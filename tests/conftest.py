@@ -1,0 +1,32 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """One Ray session for the whole pytest run (driver instructions)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def snapshot():
+    from climatemind_ontology_processing_ray.ontology import build_fixture_snapshot
+
+    return build_fixture_snapshot()
+
+
+@pytest.fixture(scope="session")
+def golden(snapshot):
+    from climatemind_ontology_processing_ray.ontology import golden_edge_set
+
+    return golden_edge_set(snapshot)
