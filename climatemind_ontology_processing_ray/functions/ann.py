@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query matrix with ``ray.put``; each batch does one numpy matmul and
+  emits its local top-k; a final ontology-sized groupby merges per-query.
+  This is the correctness baseline.
+- :func:`lsh_topk` — the scale path: random-hyperplane signatures bucket
+  the corpus; only buckets matching a query's signature (within 1 bit
+  flip) are scored exactly.  Approximate; recall grows with ``num_planes``
+  and the probe radius.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+from ray.data import Dataset
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> Dataset:
+    """Exact cosine top-k per query row.
+
+    Output: query_id (int32), vec_id, cosine — exactly k rows per query
+    (ties broken by smaller vec_id, so results are deterministic).
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        vecs = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        )
+        sims = qm @ vecs.T  # (Q, batch)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # partial select then deterministic (score desc, id asc) order
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(ids[j])
+                out_s.append(sims[qi, j])
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int32),
+                id_col: out_id,
+                "cosine": out_s,
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _signatures(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0  # (n, planes)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> Dataset:
+    """Approximate cosine top-k: score only vectors whose hyperplane
+    signature is within hamming distance 1 of the query's.
+    Output schema matches brute_force_topk (<=k rows per query)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    planes = np.random.RandomState(seed).randn(num_planes, dim)
+    q_sigs = _signatures(q, planes)
+    probe: list[set[int]] = [
+        {int(s)} | {int(s) ^ (1 << b) for b in range(num_planes)} for s in q_sigs
+    ]
+    ctx_ref = ray.put((q, planes, probe))
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, pl, pr = ray.get(ctx_ref)
+        vecs = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        )
+        sigs = _signatures(vecs, pl)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.fromiter((int(s) in pr[qi] for s in sigs), bool, len(sigs))
+            if not mask.any():
+                continue
+            sims = qm[qi] @ vecs[mask].T
+            cids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(cids[j])
+                out_s.append(sims[j])
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int32),
+                id_col: out_id,
+                "cosine": out_s,
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        ds.map_batches(local, batch_format="pandas", batch_size=4096)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )

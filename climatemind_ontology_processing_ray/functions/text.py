@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All stages are ``map_batches`` transforms; the stateful ones (compiled
+regexes, stopword sets, language profiles) are callable classes for actor
+pools.  Hashing uses md5/crc — deterministic across processes (no
+``hash()`` anywhere).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+_WORD_RE = re.compile(r"[A-Za-z0-9']+")
+# BPE-ish token regex: words, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been for on with as by at it this that".split()
+)
+
+
+def add_token_counts(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Append whitespace and BPE-ish token counts (vectorized per batch)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ws = [len(t.split(" ")) if t else 0 for t in texts]
+        bpe = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+        batch = batch.append_column("n_tokens_ws", pa.array(ws, pa.int64()))
+        batch = batch.append_column("n_tokens_bpe", pa.array(bpe, pa.int64()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Append two document fingerprints:
+
+    - ``fp_md5``: md5 hex of the exact text (content-addressable id;
+      DuckDB-checkable via ``md5(text)``)
+    - ``fp_roll``: 63-bit polynomial rolling hash of the word sequence
+      (order-sensitive; survives whitespace normalization)
+    """
+
+    def roll(t: str) -> int:
+        h = 0
+        for w in t.split():
+            h = (h * 1_000_003 + int.from_bytes(
+                hashlib.md5(w.encode()).digest()[:8], "little")) & ((1 << 63) - 1)
+        return h
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        rolls = [roll(t or "") for t in texts]
+        batch = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
+        batch = batch.append_column("fp_roll", pa.array(rolls, pa.int64()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class TextQualityScorer:
+    """Actor-pool quality scorer: length / punctuation / stopword /
+    uniqueness signals (the usual pre-training quality heuristics)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = _WORD_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        n_chars = texts.str.len()
+        words = [self.word_re.findall(t.lower()) for t in texts]
+        n_words = np.array([len(w) for w in words], dtype=np.int64)
+        n_uniq = np.array([len(set(w)) for w in words], dtype=np.int64)
+        n_stop = np.array(
+            [sum(1 for x in w if x in _STOPWORDS) for w in words], dtype=np.int64
+        )
+        alpha = np.array([sum(c.isalpha() for c in t) for t in texts], dtype=np.int64)
+        safe_words = np.maximum(n_words, 1)
+        batch = batch.copy()
+        batch["n_words"] = n_words
+        batch["uniq_ratio"] = n_uniq / safe_words
+        batch["stop_ratio"] = n_stop / safe_words
+        batch["alpha_ratio"] = alpha / np.maximum(n_chars.to_numpy(), 1)
+        batch["mean_word_len"] = np.where(
+            n_words > 0,
+            np.array([sum(len(x) for x in w) for w in words]) / safe_words,
+            0.0,
+        )
+        # composite quality in [0,1]: stopword presence, lexical diversity,
+        # alphabetic density
+        batch["quality"] = (
+            0.4 * np.clip(batch["stop_ratio"] * 4, 0, 1)
+            + 0.3 * batch["uniq_ratio"]
+            + 0.3 * batch["alpha_ratio"]
+        )
+        return batch
+
+
+class LangIdScorer:
+    """Character-trigram language ID (n-gram heuristic).
+
+    Profiles are tiny hand-rolled trigram sets for a few European
+    languages; scores are Jaccard-style overlaps.  Built once per actor.
+    For real pipelines swap in a fastText model in ``__init__`` — the Ray
+    plumbing (actor pool, batch scoring) is identical.
+    """
+
+    PROFILES = {
+        "en": ("the", " th", "he ", "ing", "ion", "and", " an", "ed ", " of", "of "),
+        "de": ("der", "die", "und", "ein", "ich", "sch", "cht", " de", "en ", "ung"),
+        "fr": ("le ", " de", "es ", "ent", "que", " qu", "ion", " le", "ais", "une"),
+        "es": ("de ", " de", "la ", " la", "ión", "que", " qu", "os ", "ado", " es"),
+    }
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        for t in batch[self.text_col].fillna(""):
+            low = t.lower()[:2000]
+            grams = {low[i : i + 3] for i in range(max(0, len(low) - 2))}
+            best_lang, best = "unknown", 0.0
+            for lang, prof in self.profiles.items():
+                s = len(grams & prof) / len(prof)
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang if best >= 0.2 else "unknown")
+            scores.append(best)
+        batch = batch.copy()
+        batch["lang_pred"] = preds
+        batch["lang_score"] = np.array(scores, dtype=np.float32)
+        return batch

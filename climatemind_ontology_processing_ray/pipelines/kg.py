@@ -1,0 +1,136 @@
+"""End-to-end KG construction pipeline (SURVEY §3.4 lifecycle).
+
+    read_parquet(pages)
+      -> map_batches(extract_pages_batch)   stateless tasks, zero-copy Arrow,
+                                            html column dropped immediately
+      -> lang filter                        vectorized pyarrow predicate
+      -> map_batches(TripleExtractor)       actor pool (automaton state)
+      -> map_batches(EntityLinker)          actor pool (broadcast index)
+      -> canonicalize_triples               two-phase salted groupby shuffle
+      -> (optional) adjacency materialize + parquet sinks
+      -> driver-side graph enrichment       ontology-sized (SURVEY §7.0 (c))
+
+Each stage is an independently-invocable Dataset -> Dataset function (the
+reference's step-method surface, SURVEY §2.9), optionally checkpointed at
+stage boundaries via CheckpointManager.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from ..graph.enrich import GraphArtifacts, build_enriched_graph
+from ..ontology.schema import OntologySnapshot
+from ..state.checkpoint import CheckpointManager
+from .. import stages as S
+
+
+@dataclass
+class KGConfig:
+    batch_size: int = 1024
+    # actor pools: (min, max) autoscaling bounds; sized so extract / shuffle
+    # stages are not starved (concurrency x num_cpus < cluster CPUs)
+    extractor_concurrency: tuple[int, int] | int = (2, 8)
+    linker_concurrency: tuple[int, int] | int = (2, 4)
+    actor_num_cpus: float = 1.0
+    link_threshold: float = 0.85
+    num_salts: int = 16
+    sources_cap: int = 8
+    keep_langs: tuple[str, ...] = ("en",)
+    checkpoint_dir: str | None = None
+    run_key: str = "v1"
+
+
+@dataclass
+class KGResult:
+    canonical_edges: Dataset
+    checkpoints: CheckpointManager
+    snapshot: OntologySnapshot
+    config: KGConfig = field(default_factory=KGConfig)
+
+
+def lang_filter(extracted: Dataset, keep_langs: tuple[str, ...]) -> Dataset:
+    langs = pa.array(list(keep_langs), pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(batch.column("lang"), value_set=langs),
+            batch.column("extract_ok"),
+        )
+        return batch.filter(mask)
+
+    return extracted.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_kg_pipeline(
+    pages: Dataset, snap: OntologySnapshot, cfg: KGConfig | None = None
+) -> KGResult:
+    """Run the distributed front end; the returned canonical edge Dataset is
+    lazy unless checkpointing forced stage materialization."""
+    cfg = cfg or KGConfig()
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.run_key)
+    snapshot_ref = ray.put(snap.to_json())  # broadcast once, read per actor
+
+    def _extracted() -> Dataset:
+        ds = pages.map_batches(
+            S.extract_pages_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        )
+        return lang_filter(ds, cfg.keep_langs)
+
+    extracted = ckpt.stage("extracted", _extracted)
+
+    def _linked() -> Dataset:
+        triples = extracted.map_batches(
+            S.TripleExtractor,
+            fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extractor_concurrency,
+            num_cpus=cfg.actor_num_cpus,
+        )
+        return triples.map_batches(
+            S.EntityLinker,
+            fn_constructor_kwargs={
+                "snapshot_ref": snapshot_ref,
+                "threshold": cfg.link_threshold,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.linker_concurrency,
+            num_cpus=cfg.actor_num_cpus,
+        )
+
+    linked = ckpt.stage("linked", _linked)
+
+    canonical = ckpt.stage(
+        "canonical_edges",
+        lambda: S.canonicalize_triples(
+            linked, num_salts=cfg.num_salts, sources_cap=cfg.sources_cap
+        ),
+    )
+    return KGResult(canonical_edges=canonical, checkpoints=ckpt, snapshot=snap, config=cfg)
+
+
+def canonical_edges_to_artifacts(
+    canonical_edges: Dataset, snap: OntologySnapshot, min_support: int = 1
+) -> GraphArtifacts:
+    """Driver-side back end: collect the (ontology-sized) canonical edge
+    table and run the reference enrichment recipe on it."""
+    rows = canonical_edges.select_columns(
+        ["subject", "object", "predicate", "support"]
+    ).take_all()
+    triples = [
+        (r["subject"], r["object"], r["predicate"])
+        for r in rows
+        if r["support"] >= min_support
+    ]
+    return build_enriched_graph(triples, snap)

@@ -1,0 +1,147 @@
+"""Canonicalization shuffles (SURVEY §7.3; north_star "groupby-aggregate
+shuffle on normalized surface-form keys with explicit salting for
+head-entity skew").
+
+Both canonicalizers follow the same two-phase salted pattern:
+
+1. **map-side combine** — inside ``map_batches``, aggregate per batch so
+   each (key, salt) pair contributes at most one row per block to the
+   shuffle.  Head keys ("climate change" appears on >=20% of pages) shrink
+   from millions of rows to (#blocks x #salts) rows before any exchange.
+2. **salted groupby** — group on (key..., salt): a hot key's partials
+   spread over ``num_salts`` reducers instead of one.
+3. **final groupby** — group on the bare key over the tiny salted output.
+
+At 10^12-document scale phase 1 is the only heavy exchange and its
+per-reducer load is bounded by ``total_blocks / num_salts`` rows per hot
+key; phase 2's input is ontology-sized x num_salts.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+TRIPLE_KEY = ["subject", "object", "predicate"]
+
+
+def _salt_of(value: str, num_salts: int) -> int:
+    # deterministic across processes (no PYTHONHASHSEED dependence)
+    return zlib.crc32(value.encode("utf-8", "ignore")) % num_salts
+
+
+def canonicalize_triples(
+    linked: Dataset,
+    num_salts: int = 16,
+    sources_cap: int = 8,
+) -> Dataset:
+    """linked triples -> canonical edge table.
+
+    Output schema = the reference's ``output.csv`` columns
+    (``make_network.py:41-45``) plus aggregation columns::
+
+        subject, object, predicate, support (int64), sources (list<string>)
+
+    ``support`` counts supporting (url, sentence) extractions — the G1
+    exact-dedup capability with provenance kept; ``sources`` keeps up to
+    ``sources_cap`` distinct source urls (G5 grouped set-union semantics,
+    ``make_graph_class.py:336-350``).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "subject": batch["subj_label"],
+                "object": batch["obj_label"],
+                "predicate": batch["predicate"],
+                "url": batch["url"],
+            }
+        )
+        grouped = df.groupby(TRIPLE_KEY, sort=False).agg(
+            support=("url", "size"),
+            sources=("url", lambda s: sorted(set(s))[:sources_cap]),
+        )
+        out = grouped.reset_index()
+        out["salt"] = [
+            _salt_of(u[0] if u else s, num_salts)
+            for s, u in zip(out["subject"], out["sources"])
+        ]
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        urls: list[str] = []
+        for lst in g["sources"]:
+            urls.extend(lst)
+        return pd.DataFrame(
+            {
+                "subject": [g["subject"].iloc[0]],
+                "object": [g["object"].iloc[0]],
+                "predicate": [g["predicate"].iloc[0]],
+                "support": [int(g["support"].sum())],
+                "sources": [sorted(set(urls))[:sources_cap]],
+            }
+        )
+
+    partials = linked.map_batches(partial, batch_format="pandas")
+    salted = partials.groupby(TRIPLE_KEY + ["salt"]).map_groups(
+        merge, batch_format="pandas"
+    )
+    return salted.groupby(TRIPLE_KEY).map_groups(merge, batch_format="pandas")
+
+
+def canonicalize_mentions(
+    mentions: Dataset,
+    num_salts: int = 16,
+    surface_index: dict[str, str] | None = None,
+) -> Dataset:
+    """mention rows -> per-surface-form counts: the mention-canonicalization
+    shuffle keyed on ``surface_norm``.
+
+    Output: surface_norm, n_mentions (int64) and — when the (small,
+    broadcast) ``surface_index`` is given — node_label (nullable).
+    Pure ``Sum`` aggregation; partial counts are pre-combined per batch so
+    the exchange carries at most (#blocks x #salts) rows per key, and the
+    salted stage splits each hot key over ``num_salts`` reducers.
+    ``node_label`` is functionally dependent on ``surface_norm``, so it is
+    re-attached after aggregation by broadcast lookup instead of being
+    shuffled alongside every row.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "surface_norm": batch["surface_norm"],
+                "salt": [_salt_of(u, num_salts) for u in batch["url"]],
+            }
+        )
+        return (
+            df.groupby(["surface_norm", "salt"], sort=False)
+            .size()
+            .rename("partial_count")
+            .reset_index()
+        )
+
+    partials = mentions.map_batches(partial, batch_format="pandas")
+    salted = partials.groupby(["surface_norm", "salt"]).aggregate(
+        Sum("partial_count", alias_name="salted_count")
+    )
+    final = salted.groupby("surface_norm").aggregate(
+        Sum("salted_count", alias_name="n_mentions")
+    )
+    if surface_index is None:
+        return final
+
+    import ray
+
+    index_ref = ray.put(surface_index)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(index_ref)
+        batch["node_label"] = [idx.get(s) for s in batch["surface_norm"]]
+        return batch
+
+    return final.map_batches(attach, batch_format="pandas")

@@ -1,0 +1,94 @@
+"""HTML -> text extraction: the first, stateless map stage.
+
+``extract_text`` is a FROZEN pure function of the ``html`` bytes — no
+locale, no dict-order, no wall-clock dependence — so its output is
+byte-identical per url at any parallelism level (input_hint invariant;
+SURVEY §7.4).  The pages *generator* computes each page's expected text
+with this same function object, making the invariant structural.
+
+The batch stage runs as stateless ``map_batches`` tasks over zero-copy
+Arrow batches and drops the wide ``html`` column immediately after
+extraction (projection-early: html can be MBs per row and must not reach
+any shuffle, SURVEY §7.4 "very wide rows").
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# --- frozen extractor v1 (do not change casually: the byte-identical     #
+# invariant and all checkpoints key on its behavior) ---------------------#
+
+_SCRIPT_RE = re.compile(rb"(?is)<(script|style)\b[^>]*>.*?(</\1\s*>|\Z)")
+_COMMENT_RE = re.compile(rb"(?s)<!--.*?(-->|\Z)")
+_BLOCK_TAG_RE = re.compile(
+    rb"(?i)</?(?:p|div|h[1-6]|li|ul|ol|tr|table|br|nav|footer|header|article|section|title|blockquote)\b[^>]*>"
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_NUMERIC_ENTITY_RE = re.compile(rb"&#(\d{1,7});")
+_ENTITIES = (
+    (b"&nbsp;", b" "),
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&apos;", b"'"),
+    (b"&#39;", b"'"),
+    (b"&copy;", b"\xc2\xa9"),
+    (b"&amp;", b"&"),  # last, so &amp;lt; becomes &lt; (single pass, like html.unescape's ordering)
+)
+_HSPACE_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def _sub_numeric_entity(m: re.Match) -> bytes:
+    code = int(m.group(1))
+    if code == 0 or code > 0x10FFFF:
+        return b""
+    try:
+        return chr(code).encode("utf-8")
+    except (ValueError, UnicodeEncodeError):
+        return b""
+
+
+def extract_text(html: bytes | str) -> str:
+    """Extract visible text from an HTML page. Frozen pure function."""
+    raw = html.encode("utf-8") if isinstance(html, str) else bytes(html)
+    raw = _SCRIPT_RE.sub(b"", raw)
+    raw = _COMMENT_RE.sub(b"", raw)
+    raw = _BLOCK_TAG_RE.sub(b"\n", raw)
+    raw = _TAG_RE.sub(b"", raw)
+    raw = _NUMERIC_ENTITY_RE.sub(_sub_numeric_entity, raw)
+    for ent, rep in _ENTITIES:
+        raw = raw.replace(ent, rep)
+    text = raw.decode("utf-8", errors="replace")
+    lines = []
+    for line in text.split("\n"):
+        line = _HSPACE_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def extract_pages_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches body: (url, warc_ts, html, lang) ->
+    (url, warc_ts, lang, extracted_text, extract_ok).
+
+    The ``html`` (and WET ``text``) columns are dropped here so no
+    downstream block carries the wide payload.
+    """
+    htmls = batch.column("html").to_pylist()
+    texts: list[str] = []
+    ok: list[bool] = []
+    for h in htmls:
+        try:
+            texts.append(extract_text(h or b""))
+            ok.append(True)
+        except Exception:
+            texts.append("")
+            ok.append(False)
+    keep = [c for c in ("url", "warc_ts", "lang") if c in batch.column_names]
+    out = batch.select(keep)
+    out = out.append_column("extracted_text", pa.array(texts, type=pa.string()))
+    out = out.append_column("extract_ok", pa.array(ok, type=pa.bool_()))
+    return out

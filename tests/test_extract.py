@@ -1,0 +1,65 @@
+"""HTML extractor: frozen pure function + byte-identical-per-url invariant."""
+
+from climatemind_ontology_processing_ray.sources.pages import generate_pages
+from climatemind_ontology_processing_ray.stages.extract import extract_text
+
+
+def test_strips_script_style_comments():
+    html = b"<html><head><style>x{}</style><script>var a=1;</script></head><body><p>Hello</p><!-- c --></body></html>"
+    assert extract_text(html) == "Hello"
+
+
+def test_entities_and_blocks():
+    html = b"<body><p>A &amp; B</p><p>x &lt; y</p><h1>T&nbsp;1</h1></body>"
+    assert extract_text(html) == "A & B\nx < y\nT 1"
+
+
+def test_malformed_html_is_stable():
+    html = b"<html><body><h1>Title\n<p>Unclosed & paragraph\n<script>var t=1;</script>"
+    out1 = extract_text(html)
+    out2 = extract_text(bytearray(html))
+    assert out1 == out2
+    assert "Unclosed & paragraph" in out1
+    assert "var t" not in out1
+
+
+def test_unterminated_script_swallowed():
+    assert extract_text(b"<p>keep</p><script>secret") == "keep"
+
+
+def test_numeric_entities():
+    assert extract_text(b"<p>&#8212; dash &#65;</p>") == "— dash A"
+
+
+def test_pure_function_of_bytes(snapshot):
+    table, _ = generate_pages(snapshot, 60, seed=99)
+    htmls = table.column("html").to_pylist()
+    first = [extract_text(h) for h in htmls]
+    second = [extract_text(h) for h in htmls]
+    assert first == second
+
+
+def test_byte_identical_across_parallelism(ray_session, snapshot):
+    """input_hint invariant: extracted text per url is byte-identical at any
+    parallelism level."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.stages.extract import extract_pages_batch
+
+    table, _ = generate_pages(snapshot, 120, seed=5)
+
+    def run(num_blocks):
+        ds = ray.data.from_arrow(table).repartition(num_blocks)
+        out = ds.map_batches(
+            extract_pages_batch, batch_format="pyarrow", batch_size=16
+        ).take_all()
+        return {r["url"]: r["extracted_text"] for r in out}
+
+    a, b = run(1), run(8)
+    assert a == b
+    # and equal to the direct scalar function (structural invariant)
+    expected = {
+        u: extract_text(h)
+        for u, h in zip(table.column("url").to_pylist(), table.column("html").to_pylist())
+    }
+    assert a == expected

@@ -1,0 +1,142 @@
+"""End-to-end KG pipeline: P/R gate, determinism across parallelism,
+canonicalization counts, adjacency schema (SURVEY §5.2 items 3-4)."""
+
+import pyarrow as pa
+import pytest
+
+from climatemind_ontology_processing_ray.ontology.oracle import precision_recall
+from climatemind_ontology_processing_ray.pipelines.kg import (
+    KGConfig,
+    canonical_edges_to_artifacts,
+    run_kg_pipeline,
+)
+from climatemind_ontology_processing_ray.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages_and_info(snapshot):
+    return generate_pages(snapshot, 300, seed=13)
+
+
+def _run(table, snapshot, num_blocks=4, **cfg_kwargs):
+    import ray.data
+
+    cfg = KGConfig(
+        extractor_concurrency=2, linker_concurrency=1, actor_num_cpus=0.5, batch_size=64, **cfg_kwargs
+    )
+    pages = ray.data.from_arrow(table).repartition(num_blocks)
+    res = run_kg_pipeline(pages, snapshot, cfg)
+    rows = res.canonical_edges.take_all()
+    return rows, res
+
+
+def test_precision_recall_gate(ray_session, snapshot, golden, pages_and_info):
+    """The BASELINE.md correctness gate: P/R >= 0.95 vs the reference
+    (oracle) edge set."""
+    table, info = pages_and_info
+    rows, _ = _run(table, snapshot)
+    emitted = {(r["subject"], r["object"], r["predicate"]) for r in rows}
+    p, r = precision_recall(emitted, golden)
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+    # false positives are exactly the labeled traps (within budget)
+    assert (emitted - golden) <= info.trap_triples
+
+
+def test_identical_edge_set_across_parallelism(ray_session, snapshot, pages_and_info):
+    table, _ = pages_and_info
+    rows_a, _ = _run(table, snapshot, num_blocks=2)
+    rows_b, _ = _run(table, snapshot, num_blocks=8)
+    key = lambda r: (r["subject"], r["object"], r["predicate"])
+    a = sorted(((key(r), r["support"], tuple(r["sources"])) for r in rows_a))
+    b = sorted(((key(r), r["support"], tuple(r["sources"])) for r in rows_b))
+    assert a == b
+
+
+def test_non_english_pages_contribute_nothing(ray_session, snapshot, pages_and_info):
+    import ray.data
+
+    table, _ = pages_and_info
+    non_en = table.filter(pa.compute.not_equal(table.column("lang"), pa.scalar("en")))
+    assert non_en.num_rows > 0
+    rows, _ = _run(non_en, snapshot, num_blocks=2)
+    assert rows == []
+
+
+def test_support_counts_sources(ray_session, snapshot, pages_and_info):
+    table, _ = pages_and_info
+    rows, _ = _run(table, snapshot)
+    for r in rows:
+        assert r["support"] >= 1
+        assert 1 <= len(r["sources"]) <= 8
+        for u in r["sources"]:
+            assert u.startswith("https://site-")
+
+
+def test_mention_canonicalization_counts(ray_session, snapshot, pages_and_info):
+    """Salted two-phase mention counts == naive single-process counts."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.stages import (
+        MentionDetector,
+        canonicalize_mentions,
+        extract_pages_batch,
+    )
+    import ray
+
+    table, _ = pages_and_info
+    snapshot_ref = ray.put(snapshot.to_json())
+    extracted = (
+        ray.data.from_arrow(table)
+        .repartition(4)
+        .map_batches(extract_pages_batch, batch_format="pyarrow")
+    )
+    mentions = extracted.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    mention_rows = mentions.take_all()
+    naive: dict[str, int] = {}
+    for r in mention_rows:
+        naive[r["surface_norm"]] = naive.get(r["surface_norm"], 0) + 1
+
+    counted = canonicalize_mentions(
+        mentions, num_salts=8, surface_index=snapshot.surface_index()
+    ).take_all()
+    got = {r["surface_norm"]: r["n_mentions"] for r in counted}
+    assert got == naive
+    # head-entity skew present (north_star): climate change is a head surface
+    assert naive.get("climate change", 0) + naive.get("global warming", 0) > 50
+    # labels attached via broadcast index
+    by_norm = {r["surface_norm"]: r["node_label"] for r in counted}
+    assert by_norm.get("climate change") == "global warming"
+
+
+def test_adjacency_materialize(ray_session, snapshot, pages_and_info):
+    from climatemind_ontology_processing_ray.stages import build_adjacency
+
+    table, _ = pages_and_info
+    _, res = _run(table, snapshot)
+    adj = build_adjacency(res.canonical_edges).take_all()
+    subjects = [r["subject"] for r in adj]
+    assert len(subjects) == len(set(subjects))
+    row = next(r for r in adj if r["subject"] == "global warming")
+    objs = [e["object"] for e in row["edges"]]
+    assert objs == sorted(objs)
+    assert row["degree"] == len(objs)
+    assert all(e["support"] >= 1 for e in row["edges"])
+
+
+def test_driver_side_artifacts_from_pipeline_edges(
+    ray_session, snapshot, golden, pages_and_info
+):
+    """Full lifecycle: distributed front end -> driver-side enrichment."""
+    table, _ = pages_and_info
+    _, res = _run(table, snapshot)
+    art = canonical_edges_to_artifacts(res.canonical_edges, snapshot)
+    root = art.G.nodes["increase in greenhouse effect"]
+    assert root["mitigation solutions"]
+    assert "downstream_adaptations" in art.subgraphs

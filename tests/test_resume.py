@@ -1,0 +1,83 @@
+"""Checkpoint/resume: killed runs restart from the last completed stage
+(FIXTURES.md §6 kill_matrix; north_rule resumability)."""
+
+import os
+
+import pytest
+
+from climatemind_ontology_processing_ray.pipelines.kg import KGConfig, run_kg_pipeline
+from climatemind_ontology_processing_ray.sources.pages import generate_pages
+
+STAGES = ["extracted", "linked", "canonical_edges"]
+
+
+def _run(table, snapshot, ckpt_dir):
+    import ray.data
+
+    cfg = KGConfig(
+        extractor_concurrency=2,
+        linker_concurrency=1,
+        actor_num_cpus=0.5,
+        batch_size=64,
+        checkpoint_dir=ckpt_dir,
+        run_key="test-run",
+    )
+    pages = ray.data.from_arrow(table).repartition(4)
+    res = run_kg_pipeline(pages, snapshot, cfg)
+    rows = res.canonical_edges.take_all()
+    key = lambda r: (r["subject"], r["object"], r["predicate"])
+    return sorted((key(r), r["support"]) for r in rows), res.checkpoints
+
+
+@pytest.fixture(scope="module")
+def table(snapshot):
+    t, _ = generate_pages(snapshot, 200, seed=21)
+    return t
+
+
+def test_fresh_run_then_full_resume(ray_session, snapshot, table, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    out1, mgr1 = _run(table, snapshot, ckpt)
+    assert mgr1.hits == [] and mgr1.misses == STAGES
+    # manifests carry per-partition lineage
+    m = mgr1.manifest("canonical_edges")
+    assert m["complete"] and m["rows"] == len(out1)
+    assert all("rows" in f for f in m["files"])
+
+    out2, mgr2 = _run(table, snapshot, ckpt)
+    assert mgr2.hits == STAGES and mgr2.misses == []
+    assert out1 == out2  # byte-equivalent results without recompute
+
+
+def test_kill_mid_stage_recovers(ray_session, snapshot, table, tmp_path_factory):
+    """A stage killed mid-write (manifest absent) is recomputed; earlier
+    completed stages are not."""
+    import shutil
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+    out1, _ = _run(table, snapshot, ckpt)
+    # simulate kill during canonical_edges write: wipe its finalized dir
+    shutil.rmtree(os.path.join(ckpt, "canonical_edges"))
+    out2, mgr = _run(table, snapshot, ckpt)
+    assert mgr.hits == ["extracted", "linked"]
+    assert mgr.misses == ["canonical_edges"]
+    assert out1 == out2
+
+
+def test_stale_run_key_recomputes(ray_session, snapshot, table, tmp_path_factory):
+    import ray.data
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt3"))
+    _run(table, snapshot, ckpt)
+    cfg = KGConfig(
+        extractor_concurrency=2,
+        linker_concurrency=1,
+        actor_num_cpus=0.5,
+        batch_size=64,
+        checkpoint_dir=ckpt,
+        run_key="DIFFERENT",
+    )
+    pages = ray.data.from_arrow(table).repartition(4)
+    res = run_kg_pipeline(pages, snapshot, cfg)
+    res.canonical_edges.take_all()
+    assert res.checkpoints.hits == []
