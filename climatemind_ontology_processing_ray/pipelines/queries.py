@@ -1,0 +1,927 @@
+"""Query registry: one entry per implemented operator/pipeline (SURVEY §2),
+each with a DuckDB oracle where SQL can express the semantics.
+
+Every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table.  Column names match the oracle SQL exactly (driver
+compares row count + schema + order-insensitive value hash).  Floating
+point outputs are rounded identically on both sides; where FP ordering
+could flip a result (ANN ranks, cosine thresholds) the value is omitted
+or thresholds sit in verified gaps.
+
+None of these call ray.init() — the session is owned by the caller.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+# --------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------- #
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    # prune at the read: only requested columns leave storage
+    return rd.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+def _round2(x):
+    """Round-half-away-from-zero to 2 decimals (DuckDB ROUND semantics;
+    Python/numpy default is banker's rounding)."""
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * 100 + 0.5) / 100
+
+
+# --------------------------------------------------------------------- #
+# relational core (operator inventory M*/G*/J*/T* over testdata tables)
+# --------------------------------------------------------------------- #
+
+
+def q_pricing_summary(sf_dir: str):
+    """G1/G5-style grouped aggregation with map-side partial combine
+    (pre-aggregate per batch, then a small groupby — SURVEY §4.2 skew row)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(disc_price=b.l_extendedprice * (1 - b.l_discount))
+        g = b.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g.reset_index()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["sum_qty"] = _round2(agg["sum_qty"])
+    agg["sum_base_price"] = _round2(agg["sum_base_price"])
+    agg["sum_disc_price"] = _round2(agg["sum_disc_price"])
+    agg["count_order"] = agg["count_order"].astype("int64")
+    return agg
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_filter(sf_dir: str):
+    """Vectorized filter + scalar aggregate (TPC-H Q6 shape), pyarrow
+    kernels end to end."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01"))),
+                pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            ),
+            pc.and_(
+                pc.greater_equal(b["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(b["l_discount"], pa.scalar(0.07)),
+            ),
+        )
+        t = b.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"revenue": [rev], "n": [t.num_rows]})
+
+    out = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pd.DataFrame(
+        {"revenue": _round2([out["revenue"].sum()]), "n": [int(out["n"].sum())]}
+    )
+
+
+SQL_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+def q_region_rollup(sf_dir: str):
+    """Broadcast-small-side join chain (J1): customer ⋈ nation ⋈ region via
+    driver-built lookup dicts shipped once with ray.put."""
+    nation = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    n2r = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    r2name = dict(zip(region.r_regionkey, region.r_name))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        b = b.assign(r_name=b.c_nationkey.map(lk))
+        return (
+            b.groupby("r_name", sort=False)
+            .agg(n_customers=("c_custkey", "size"), total_acctbal=("c_acctbal", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("total_acctbal", alias_name="total_acctbal"),
+        )
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_acctbal"] = _round2(out["total_acctbal"])
+    return out
+
+
+SQL_REGION_ROLLUP = """
+SELECT r.r_name,
+       COUNT(*)                    AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2)  AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join (J3-style membership test): orders of BUILDING
+    customers, aggregated per priority."""
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = set(
+        pc.filter(
+            cust.column("c_custkey"),
+            pc.equal(cust.column("c_mktsegment"), pa.scalar("BUILDING")),
+        ).to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        b = b[b.o_custkey.isin(k)]
+        return (
+            b.groupby("o_orderpriority", sort=False)
+            .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = _round2(out["total_price"])
+    return out
+
+
+SQL_SEMI_JOIN = """
+SELECT o.o_orderpriority,
+       COUNT(*)                     AS n_orders,
+       ROUND(SUM(o.o_totalprice),2) AS total_price
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_orders_join_agg(sf_dir: str):
+    """Join with aggregation on the big side (orders ⋈ customer): per
+    market segment, order count + total price."""
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        b = b.assign(c_mktsegment=b.o_custkey.map(seg))
+        return (
+            b.groupby("c_mktsegment", sort=False)
+            .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = _round2(out["total_price"])
+    return out
+
+
+SQL_ORDERS_JOIN_AGG = """
+SELECT c.c_mktsegment,
+       COUNT(*)                      AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """Top-k with deterministic tiebreak (T1/T2 sort capability)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out[["o_orderkey", "o_totalprice"]]
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Unordered dedup (G3): distinct (lang, source) pairs."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return (
+        ds.groupby(["lang", "source"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+
+
+SQL_DISTINCT_PAIRS = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_first_per_key(sf_dir: str):
+    """Ordered dedup (G2): first doc (min doc_id) per language + count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("lang", sort=False)
+            .agg(first_doc=("doc_id", "min"), n=("doc_id", "size"))
+            .reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "first_doc": [int(g["first_doc"].min())],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+SQL_FIRST_PER_KEY = """
+SELECT lang, MIN(doc_id) AS first_doc, COUNT(*) AS n FROM documents GROUP BY lang
+"""
+
+
+def q_url_validity(sf_dir: str):
+    """URL validity predicate (M9, process_causal_sources.py:61): documents
+    get a deterministic synthetic url column; invalid rows are dropped by
+    the real regex validator."""
+    from ..graph.enrich import is_valid_url
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        urls = [
+            f"https://{src}.example/doc/{i}" if i % 7 != 3 else f"bad url {i}"
+            for i, src in zip(b.doc_id, b.source)
+        ]
+        b = b.assign(url=urls)
+        return b[[u is not None and is_valid_url(u) for u in b.url]][["doc_id", "url"]]
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+
+SQL_URL_VALIDITY = """
+SELECT doc_id, 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+FROM documents WHERE doc_id % 7 <> 3
+"""
+
+
+# --------------------------------------------------------------------- #
+# text analysis over documents
+# --------------------------------------------------------------------- #
+
+
+def q_token_counts(sf_dir: str):
+    from ..functions.text import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_token_counts(ds).select_columns(
+        ["doc_id", "n_tokens_ws", "n_tokens_bpe"]
+    )
+    return out.to_pandas()
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' '))                                   AS n_tokens_ws,
+       LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from ..functions.text import add_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprints(ds).select_columns(["doc_id", "fp_md5"]).to_pandas()
+
+
+SQL_FINGERPRINT = "SELECT doc_id, MD5(text) AS fp_md5 FROM documents"
+
+
+def q_word_stats(sf_dir: str):
+    """Quality-scoring components that SQL can mirror exactly (integer
+    counts; the float composite stays in q_quality_scores, rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"[a-z0-9']+")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        words = [word_re.findall((t or "").lower()) for t in b.text]
+        return pd.DataFrame(
+            {
+                "doc_id": b.doc_id,
+                "n_words": [len(w) for w in words],
+                "n_uniq_words": [len(set(w)) for w in words],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+
+SQL_WORD_STATS = """
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'))                    AS n_words,
+       LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+')))     AS n_uniq_words
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    """Composite quality + lang-id scores (actor pools; float heuristics —
+    rows-only check)."""
+    from ..functions.text import LangIdScorer, TextQualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = ds.map_batches(
+        TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
+    ).map_batches(LangIdScorer, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    return scored.select_columns(
+        ["doc_id", "n_words", "stop_ratio", "quality", "lang_pred"]
+    ).to_pandas()
+
+
+# --------------------------------------------------------------------- #
+# dedup family over documents (+ deterministic near-duplicate augmentation)
+# --------------------------------------------------------------------- #
+
+AUG_OFFSET = 1_000_000
+
+
+def _augmented_docs(sf_dir: str) -> rd.Dataset:
+    """documents ∪ perturbed copies of every 20th doc — gives the near-dup
+    detectors something to find; both the Ray side and the SQL oracle build
+    the same augmentation."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        dups = b[b.doc_id % 20 == 0].copy()
+        dups["doc_id"] = dups["doc_id"] + AUG_OFFSET
+        dups["text"] = dups["text"] + " extra token"
+        return pd.concat([b, dups], ignore_index=True)
+
+    return ds.map_batches(augment, batch_format="pandas")
+
+
+SQL_AUG = f"""
+SELECT doc_id, text, lang, source FROM documents
+UNION ALL
+SELECT doc_id + {AUG_OFFSET}, text || ' extra token', lang, source
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..functions.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    return out.select_columns(["doc_id"]).to_pandas()
+
+
+SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)"
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    docs = _augmented_docs(sf_dir).filter(lambda r: len(r["text"]) >= 20)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["source", "lang"], ngram=3, threshold=0.6
+    )
+    out = pairs.to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out[["id_a", "id_b"]]
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH docs AS ({SQL_AUG}),
+grams AS (
+  SELECT doc_id, source, lang,
+         LIST_DISTINCT(
+           CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3 THEN
+             LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) - 1),
+               i -> STRING_SPLIT(LOWER(text), ' ')[i] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+1] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+2])
+           ELSE [LOWER(text)] END) AS g
+  FROM docs WHERE LENGTH(text) >= 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM grams a JOIN grams b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))) >= 0.6
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    from ..functions.dedup import minhash_lsh_pairs
+
+    docs = _augmented_docs(sf_dir).filter(lambda r: len(r["text"]) >= 20)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", ngram=3, num_perm=64, bands=16, threshold=0.8
+    )
+    out = pairs.to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_MINHASH = SQL_NGRAM_JACCARD.replace(">= 0.6", ">= 0.8").replace(
+    "ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id",
+    "ON a.doc_id < b.doc_id",
+)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash near-dup pairs (no SQL equivalent — rows-only check)."""
+    from ..functions.dedup import simhash_buckets
+
+    docs = _augmented_docs(sf_dir).filter(lambda r: len(r["text"]) >= 20)
+    out = simhash_buckets(docs, "doc_id", "text", max_hamming=3).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _augmented_embeddings(sf_dir: str) -> rd.Dataset:
+    """embeddings ∪ exact copies of every 20th vector (the synthetic near
+    duplicates; the raw table's max pairwise cosine is ~0.51, so copies are
+    the only pairs above any high threshold — both sides augment alike)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        dups = b[b.vec_id % 20 == 0].copy()
+        dups["vec_id"] = dups["vec_id"] + AUG_OFFSET
+        return pd.concat([b, dups], ignore_index=True)
+
+    return ds.map_batches(augment, batch_format="pandas")
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..functions.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_augmented_embeddings(sf_dir), threshold=0.99).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out[["id_a", "id_b"]]
+
+
+SQL_EMBED_NEARDUP = f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {AUG_OFFSET}, embedding FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.99
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    from ..functions.ann import brute_force_topk
+
+    q_tab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mask = pc.less(q_tab.column("vec_id"), pa.scalar(8))
+    q_tab = q_tab.filter(mask)
+    order = pc.sort_indices(q_tab.column("vec_id"))
+    queries = np.asarray(
+        [np.asarray(v) for v in q_tab.take(order).column("embedding").to_pylist()]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=5).to_pandas()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_id", "vec_id"]]
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         LIST_COSINE_SIMILARITY(q.qe, e.embedding) AS c
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate ANN (scale path; rows-only check)."""
+    from ..functions.ann import lsh_topk
+
+    q_tab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_tab = q_tab.filter(pc.less(q_tab.column("vec_id"), pa.scalar(8)))
+    order = pc.sort_indices(q_tab.column("vec_id"))
+    queries = np.asarray(
+        [np.asarray(v) for v in q_tab.take(order).column("embedding").to_pylist()]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_topk(ds, queries, k=5, num_planes=8).to_pandas()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_id", "vec_id"]]
+
+
+# --------------------------------------------------------------------- #
+# events: stream-shaped windows / sessions / json props
+# --------------------------------------------------------------------- #
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            hour_ts=((b.ts.dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
+        )
+        return (
+            b.groupby(["event_type", "hour_ts"], sort=False)
+            .agg(n=("value", "size"), total_value=("value", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour_ts"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = _round2(out["total_value"])
+    return out
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_ts,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Sessionization: per-user sorted gap analysis inside map_groups
+    (ordered, partitioned-log pattern; 30-minute inactivity gap)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g.ts.diff().dt.total_seconds().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(g.user_id.iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, SUM(new_session) + 1 AS n_sessions
+FROM gaps GROUP BY user_id
+"""
+
+
+def q_events_json(sf_dir: str):
+    """JSON property extraction + modular grouping (props is a JSON blob)."""
+    ds = _read(sf_dir, "events", ["props", "value"])
+    k_re = re.compile(r'"k":\s*(\d+)')
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks = [int(m.group(1)) if (m := k_re.search(p or "")) else -1 for p in b.props]
+        b = b.assign(k_mod=[k % 5 if k >= 0 else -1 for k in ks])
+        return (
+            b.groupby("k_mod", sort=False)
+            .agg(n=("value", "size"), total_value=("value", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("k_mod")
+        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = _round2(out["total_value"])
+    return out
+
+
+SQL_EVENTS_JSON = """
+SELECT CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) % 5 AS k_mod,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# KG pipeline queries (flagship; documents-derived + fixture-derived)
+# --------------------------------------------------------------------- #
+
+
+def _docs_as_pages(sf_dir: str) -> rd.Dataset:
+    """Wrap the documents table into the pages shape (url, html, lang) —
+    deterministic, so the extractor output is SQL-predictable."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def wrap(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        htmls = [
+            f"<html><head><title></title></head><body><p>{t or ''}</p></body></html>".encode()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": b.column("lang"),
+            }
+        )
+
+    return ds.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_kg_extract(sf_dir: str):
+    """HTML->text extraction stage over documents-derived pages; the
+    deterministic wrap round-trips, so SQL predicts the exact output —
+    this IS the byte-identical invariant as a checked query."""
+    from ..stages.extract import extract_pages_batch
+
+    pages = _docs_as_pages(sf_dir)
+    out = pages.map_batches(
+        extract_pages_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["url", "extracted_text"])
+    return out.to_pandas()
+
+
+SQL_KG_EXTRACT = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text AS extracted_text
+FROM documents
+"""
+
+
+_VOCAB = ("spark", "window", "vector", "customer", "stream")
+
+
+def q_kg_mentions(sf_dir: str):
+    """Mention detection with a fixed vocabulary over documents (the A1
+    automaton stage, SQL-mirrored with word-boundary regexes)."""
+    from ..stages.mentions import build_surface_pattern
+
+    pattern = build_surface_pattern(_VOCAB)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_term = [], []
+        for i, t in zip(b.doc_id, b.text):
+            found = sorted({m.group(0) for m in pattern.finditer((t or "").lower())})
+            for term in found:
+                out_id.append(i)
+                out_term.append(term)
+        return pd.DataFrame({"doc_id": out_id, "term": out_term})
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+
+SQL_KG_MENTIONS = """
+SELECT d.doc_id, v.term
+FROM documents d
+CROSS JOIN (VALUES ('spark'), ('window'), ('vector'), ('customer'), ('stream')) AS v(term)
+WHERE REGEXP_MATCHES(LOWER(d.text), '(^|[^a-z0-9])' || v.term || '($|[^a-z0-9])')
+"""
+
+
+def _fixture_pages_count(sf_dir: str) -> int:
+    # scale the synthetic corpus with the documents table size
+    meta = pq.read_metadata(_t(sf_dir, "documents"))
+    return max(300, min(meta.num_rows * 2, 120_000))
+
+
+def q_kg_canonical_edges(sf_dir: str):
+    """Flagship: full KG pipeline over synthesized fixture pages at a size
+    scaled to the sf tier (rows-only check; the P/R gate lives in pytest)."""
+    from ..ontology.fixture import build_fixture_snapshot
+    from .kg import KGConfig, run_kg_pipeline
+
+    snap = build_fixture_snapshot()
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(snap, _fixture_pages_count(sf_dir), seed=13)
+    pages = rd.from_arrow(table).repartition(8)
+    res = run_kg_pipeline(
+        pages,
+        snap,
+        KGConfig(extractor_concurrency=(2, 4), linker_concurrency=(1, 2), actor_num_cpus=0.5),
+    )
+    out = res.canonical_edges.to_pandas()
+    out["support"] = out["support"].astype("int64")
+    out["sources"] = out["sources"].map(list)
+    return out.sort_values(["subject", "object", "predicate"]).reset_index(drop=True)
+
+
+def q_kg_adjacency(sf_dir: str):
+    """Adjacency-list partitions from the flagship canonical edges
+    (rows-only)."""
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+    from ..stages.adjacency import build_adjacency
+    from .kg import KGConfig, run_kg_pipeline
+
+    snap = build_fixture_snapshot()
+    table, _ = generate_pages(snap, _fixture_pages_count(sf_dir), seed=13)
+    pages = rd.from_arrow(table).repartition(8)
+    res = run_kg_pipeline(
+        pages,
+        snap,
+        KGConfig(extractor_concurrency=(2, 4), linker_concurrency=(1, 2), actor_num_cpus=0.5),
+    )
+    adj = build_adjacency(res.canonical_edges).to_pandas()
+    adj["degree"] = adj["degree"].astype("int64")
+    adj["n_edges"] = adj["edges"].map(len).astype("int64")
+    return adj[["subject", "degree", "n_edges"]].sort_values("subject").reset_index(drop=True)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column -> actor-pool feature
+    extraction; content digest is SQL-checkable."""
+    from ..functions.multimodal import decode_images
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in b.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+        )
+
+    binary_ds = ds.map_batches(to_binary, batch_format="pyarrow", zero_copy_batch=True)
+    out = decode_images(binary_ds, concurrency=(1, 2), batch_size=64).select_columns(
+        ["doc_id", "height", "width", "content_sha256"]
+    ).to_pandas()
+    out["height"] = out["height"].astype("int64")
+    out["width"] = out["width"].astype("int64")
+    return out
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, 8 AS height, 8 AS width, SHA256(text) AS content_sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------- #
+
+# name -> (callable, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "revenue_filter": (q_revenue_filter, SQL_REVENUE),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "orders_join_agg": (q_orders_join_agg, SQL_ORDERS_JOIN_AGG),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "distinct_pairs": (q_distinct_pairs, SQL_DISTINCT_PAIRS),
+    "first_per_key": (q_first_per_key, SQL_FIRST_PER_KEY),
+    "url_validity": (q_url_validity, SQL_URL_VALIDITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "word_stats": (q_word_stats, SQL_WORD_STATS),
+    "quality_scores": (q_quality_scores, None),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
+    "simhash": (q_simhash, None),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBED_NEARDUP),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_lsh": (q_ann_lsh, None),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "kg_extract": (q_kg_extract, SQL_KG_EXTRACT),
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_canonical_edges": (q_kg_canonical_edges, None),
+    "kg_adjacency": (q_kg_adjacency, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+}
+
+
+def queries() -> dict[str, Callable]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

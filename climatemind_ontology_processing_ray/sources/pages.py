@@ -143,9 +143,13 @@ def generate_pages(
             a=_surface(rng, snap, a), b=_surface(rng, snap, b)
         )
 
-    # 1. golden edges: each embedded in k_support English pages
+    # 1. golden edges: each embedded in k_support English pages.  Support
+    # scales with corpus size (so triples/sec is meaningful at bench scale)
+    # while staying Zipf-skewed across edges; at the 300-page test scale the
+    # multiplier is 1.
+    support_scale = max(1, n_pages // 500)
     for triple in golden:
-        k = _zipf_support(rng)
+        k = min(_zipf_support(rng) * support_scale, max(1, len(en_pages) // 4))
         for page in rng.choices(en_pages, k=k):
             plan[page].append(render(triple))
 
