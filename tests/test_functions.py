@@ -1,0 +1,229 @@
+"""Training-data operators: dedup family, ANN, text analysis, multimodal
+plumbing, graph writers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",  # near-dup of 0
+        "completely different content about ray data pipelines and arrow batches",
+        "another unrelated document mentioning nothing in common with others",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup of 0
+    ]
+    return ray.data.from_items(
+        [{"doc_id": i, "text": t, "block": 0} for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup(docs_ds):
+    from climatemind_ontology_processing_ray.functions.dedup import exact_dedup
+
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs_ds, "doc_id").take_all())
+    assert kept == [0, 1, 2, 3]  # doc 4 == doc 0, min id wins
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    from climatemind_ontology_processing_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        docs_ds, "doc_id", block_cols=["block"], threshold=0.5
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in got  # exact dup: jaccard 1.0
+    assert (0, 1) in got  # near dup
+    assert (2, 3) not in got
+
+
+def test_minhash_lsh_finds_near_dups(docs_ds):
+    from climatemind_ontology_processing_ray.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, "doc_id", threshold=0.5).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in got
+    assert (0, 1) in got
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_estimates_jaccard():
+    """Signature agreement approximates true Jaccard (unbiased estimator)."""
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        _hash64,
+        _minhash_params,
+        _word_ngrams,
+        jaccard,
+        minhash_signature,
+    )
+
+    a = "a b c d e f g h i j k l m n o p"
+    b = "a b c d e f g h i j k l m n o q"
+    ga, gb = _word_ngrams(a, 3), _word_ngrams(b, 3)
+    true_j = jaccard(ga, gb)
+    pa_, pb_ = _minhash_params(256, 7), None
+    sa = minhash_signature(np.array(sorted(_hash64(s) for s in ga), np.uint64), *pa_)
+    sb = minhash_signature(np.array(sorted(_hash64(s) for s in gb), np.uint64), *pa_)
+    est = (sa == sb).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_buckets(docs_ds):
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        simhash64,
+        simhash_buckets,
+    )
+
+    # identical text -> identical signature -> hamming 0
+    pairs = simhash_buckets(docs_ds, "doc_id", max_hamming=3).take_all()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 4)) == 0
+    assert simhash64("hello world") == simhash64("hello world")
+    assert simhash64("hello world") != simhash64("goodbye moon")
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 16)
+    vecs[7] = vecs[3] * 2.0  # same direction -> cosine 1
+    items = [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)]
+    ds = ray.data.from_items(items)
+    pairs = embedding_neardup_pairs(ds, threshold=0.99).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(3, 7)}
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.ann import brute_force_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(100, 8)
+    queries = rng.randn(3, 8)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)]
+    ).repartition(4)
+    out = brute_force_topk(ds, queries, k=5).take_all()
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(3):
+        order = sorted(range(100), key=lambda j: (-sims[qi, j], j))[:5]
+        got = sorted(
+            (r["vec_id"] for r in out if r["query_id"] == qi),
+            key=lambda j: (-sims[qi, j], j),
+        )
+        assert got == order
+
+
+def test_lsh_topk_subset_of_corpus(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.ann import lsh_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 8)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)]
+    )
+    out = lsh_topk(ds, vecs[:2], k=5).take_all()
+    # the query vector itself always shares its own signature -> found
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert 0 in by_q[0] and 1 in by_q[1]
+
+
+def test_text_quality_and_langid(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        LangIdScorer,
+        TextQualityScorer,
+    )
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "The cat sat on the mat and looked at the dog."},
+            {"doc_id": 1, "text": "zzzz qqqq xxxx"},
+            {"doc_id": 2, "text": "Der Hund und die Katze spielen in der Schule zusammen."},
+        ]
+    )
+    out = (
+        ds.map_batches(TextQualityScorer, batch_format="pandas", concurrency=1)
+        .map_batches(LangIdScorer, batch_format="pandas", concurrency=1)
+        .take_all()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["quality"] > by_id[1]["quality"]
+    assert by_id[0]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "de"
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.multimodal import (
+        FrameSampler,
+        decode_images,
+        real_decode_unavailable,
+    )
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "image": bytes([i]) * 100} for i in range(10)]
+    )
+    out = decode_images(ds, concurrency=1, batch_size=4).take_all()
+    assert len(out) == 10
+    for r in out:
+        assert r["height"] == 8 and r["width"] == 8
+        assert len(r["content_sha256"]) == 64
+        assert "image" not in r  # wide payload dropped
+    frames = ds.rename_columns({"image": "video"}).map_batches(
+        FrameSampler, fn_constructor_kwargs={"every_n_bytes": 40},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    assert len(frames) == 30  # 100 bytes / 40 -> 3 frames per doc
+    with pytest.raises(NotImplementedError):
+        real_decode_unavailable()
+
+
+def test_graph_writers(tmp_path, snapshot, golden):
+    import json
+    import pickle
+
+    from climatemind_ontology_processing_ray.graph.enrich import build_enriched_graph
+    from climatemind_ontology_processing_ray.graph.writers import (
+        read_edges_csv,
+        write_all_artifacts,
+        write_graph_graphml,
+    )
+
+    art = build_enriched_graph(golden, snapshot)
+    paths = write_all_artifacts(art, str(tmp_path))
+    edges = read_edges_csv(paths["edges_csv"])
+    assert set(edges) == {
+        (s, o, d["type"]) for s, o, d in art.G.edges(data=True)
+    }
+    with open(paths["gpickle"], "rb") as f:
+        g2 = pickle.load(f)
+    assert g2.number_of_edges() == art.G.number_of_edges()
+    with open(paths["subgraphs"], "rb") as f:
+        subs = pickle.load(f)
+    assert "downstream_adaptations" in subs
+    with open(paths["test_json"]) as f:
+        jit = json.load(f)
+    assert all({"id", "name", "data", "adjacencies"} <= set(n) for n in jit)
+    write_graph_graphml(art.G, str(tmp_path))
