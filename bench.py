@@ -75,14 +75,16 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # ---- headline: KG construction pipeline -------------------------- #
+    # block count fixed (not CPU-derived) so both scaling runs see the same
+    # plan; 96 blocks ≈ 1k rows/block at sf0.1
     t0 = time.perf_counter()
-    pages = rd.read_parquet(pages_path)
+    pages = rd.read_parquet(pages_path, override_num_blocks=96)
     res = run_kg_pipeline(
         pages,
         snap,
         KGConfig(
             batch_size=1024,
-            extractor_concurrency=(4, max(4, NUM_CPUS // 2)),
+            extractor_concurrency=(4, max(4, NUM_CPUS - 8)),
             linker_concurrency=(2, max(2, NUM_CPUS // 4)),
         ),
     )

@@ -1,0 +1,107 @@
+"""Public API surface (SURVEY §2.9).
+
+Reference equivalents:
+
+- ``process_pages``  ~ ``processOntology(onto_path, output_folder_path)``
+  (process_new_ontology_file.py:10-26): full lifecycle — distributed front
+  end over the pages table, adjacency Parquet partitions, then the
+  driver-side enrichment + every reference output file.
+- ``output_edges``   ~ ``outputEdges(onto_path, output_path, source)``
+  (make_network.py:22-45): standalone canonical-edge extraction with the
+  optional ``source`` restriction (edges of the component reachable from a
+  start node — the reference restricts its DFS roots the same way,
+  network_class.py:138-139).
+
+Neither calls ray.init(); the session belongs to the caller.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ray.data import Dataset
+
+from ..graph.enrich import GraphArtifacts
+from ..graph.writers import write_all_artifacts
+from ..ontology.fixture import build_fixture_snapshot
+from ..ontology.schema import OntologySnapshot
+from ..stages.adjacency import build_adjacency
+from .kg import KGConfig, canonical_edges_to_artifacts, run_kg_pipeline
+
+
+def _load_snapshot(snapshot: OntologySnapshot | str | None) -> OntologySnapshot:
+    if snapshot is None:
+        return build_fixture_snapshot()
+    if isinstance(snapshot, str):
+        return OntologySnapshot.load(snapshot)
+    return snapshot
+
+
+def output_edges(
+    pages: Dataset,
+    snapshot: OntologySnapshot | str | None = None,
+    cfg: KGConfig | None = None,
+    source: str | None = None,
+) -> Dataset:
+    """Canonical (subject, object, predicate, support, sources) edges; with
+    ``source``, only edges of the component reachable from that node."""
+    snap = _load_snapshot(snapshot)
+    res = run_kg_pipeline(pages, snap, cfg)
+    edges = res.canonical_edges
+    if source is None:
+        return edges
+
+    # driver-side reachability on the ontology-sized edge table, then a
+    # broadcast semi-join filter (the reference's `-source` DFS-root
+    # restriction, make_network.py:72-76)
+    import ray
+
+    rows = edges.select_columns(["subject", "object"]).take_all()
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        adj.setdefault(r["subject"], []).append(r["object"])
+    reach = {source}
+    stack = [source]
+    while stack:
+        for nb in adj.get(stack.pop(), ()):
+            if nb not in reach:
+                reach.add(nb)
+                stack.append(nb)
+    reach_ref = ray.put(reach)
+
+    def keep(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep_set = pa.array(sorted(ray.get(reach_ref)), pa.string())
+        return batch.filter(pc.is_in(batch.column("subject"), value_set=keep_set))
+
+    return edges.map_batches(keep, batch_format="pyarrow")
+
+
+def process_pages(
+    pages: Dataset,
+    output_dir: str,
+    snapshot: OntologySnapshot | str | None = None,
+    cfg: KGConfig | None = None,
+) -> tuple[GraphArtifacts, dict[str, str]]:
+    """Full lifecycle: front end -> adjacency partitions -> driver-side
+    enrichment -> all reference output files under ``output_dir``."""
+    snap = _load_snapshot(snapshot)
+    os.makedirs(output_dir, exist_ok=True)
+    res = run_kg_pipeline(pages, snap, cfg)
+    # web-scale outputs: canonical edges + adjacency partitions (Parquet)
+    edges_dir = os.path.join(output_dir, "canonical_edges")
+    adjacency_dir = os.path.join(output_dir, "adjacency")
+    res.canonical_edges.write_parquet(edges_dir)
+
+    import ray.data
+
+    canonical = ray.data.read_parquet(edges_dir)
+    build_adjacency(canonical).write_parquet(adjacency_dir)
+    # ontology-sized back end + reference file outputs
+    art = canonical_edges_to_artifacts(canonical, snap)
+    paths = write_all_artifacts(art, output_dir)
+    paths["canonical_edges"] = edges_dir
+    paths["adjacency"] = adjacency_dir
+    return art, paths

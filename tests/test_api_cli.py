@@ -1,0 +1,68 @@
+"""Public API (process_pages / output_edges) and CLI surface."""
+
+import os
+import pickle
+
+from climatemind_ontology_processing_ray.pipelines.api import output_edges, process_pages
+from climatemind_ontology_processing_ray.pipelines.kg import KGConfig
+from climatemind_ontology_processing_ray.sources.pages import generate_pages
+
+CFG = KGConfig(
+    extractor_concurrency=2, linker_concurrency=1, actor_num_cpus=0.5, batch_size=64
+)
+
+
+def test_process_pages_full_outputs(ray_session, snapshot, tmp_path):
+    import ray.data
+
+    table, _ = generate_pages(snapshot, 200, seed=13)
+    pages = ray.data.from_arrow(table).repartition(4)
+    art, paths = process_pages(pages, str(tmp_path), snapshot=snapshot, cfg=CFG)
+    assert os.path.exists(paths["edges_csv"])
+    assert os.path.exists(paths["gpickle"])
+    assert os.path.exists(paths["subgraphs"])
+    assert os.listdir(paths["adjacency"])  # parquet partition dir
+    assert os.listdir(paths["canonical_edges"])
+    with open(paths["subgraphs"], "rb") as f:
+        subs = pickle.load(f)
+    assert subs["downstream_adaptations"].number_of_nodes() > 10
+    assert art.G.nodes["increase in greenhouse effect"]["mitigation solutions"]
+
+
+def test_output_edges_source_restriction(ray_session, snapshot):
+    import ray.data
+
+    table, _ = generate_pages(snapshot, 200, seed=13)
+    pages = ray.data.from_arrow(table).repartition(4)
+    all_edges = output_edges(pages, snapshot=snapshot, cfg=CFG).take_all()
+    scoped = output_edges(
+        pages, snapshot=snapshot, cfg=CFG, source="sea level rise"
+    ).take_all()
+    assert 0 < len(scoped) < len(all_edges)
+    subjects = {r["subject"] for r in scoped}
+    assert "burning of fossil fuels" not in subjects  # upstream of source
+    assert "sea level rise" in subjects
+
+
+def test_cli_synth_and_edges(tmp_path):
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "pages")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "climatemind_ontology_processing_ray",
+            "synth",
+            "--out",
+            out_dir,
+            "--pages",
+            "120",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(out_dir, "pages-00000.parquet"))
