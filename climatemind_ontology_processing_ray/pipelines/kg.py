@@ -45,6 +45,11 @@ class KGConfig:
     keep_langs: tuple[str, ...] = ("en",)
     checkpoint_dir: str | None = None
     run_key: str = "v1"
+    # fused=True runs triple extraction + linking + map-side combine in ONE
+    # actor-pool stage (fewer operator boundaries -> less per-block executor
+    # overhead); False keeps the stages as separate operators.  Outputs are
+    # identical — the fused stage composes the same implementations.
+    fused: bool = True
 
 
 @dataclass
@@ -87,6 +92,34 @@ def run_kg_pipeline(
         return lang_filter(ds, cfg.keep_langs)
 
     extracted = ckpt.stage("extracted", _extracted)
+
+    if cfg.fused:
+        from ..stages.fused import make_fused_partials_fn
+
+        def _partials() -> Dataset:
+            # stateless tasks with per-worker cached state: fuses with the
+            # read/extract/filter chain into ONE operator (see fused.py)
+            return extracted.map_batches(
+                make_fused_partials_fn(
+                    snapshot_ref=snapshot_ref,
+                    threshold=cfg.link_threshold,
+                    num_salts=cfg.num_salts,
+                    sources_cap=cfg.sources_cap,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+
+        from ..stages.canonicalize import canonicalize_partials
+
+        partials = ckpt.stage("partials", _partials)
+        canonical = ckpt.stage(
+            "canonical_edges",
+            lambda: canonicalize_partials(partials, cfg.sources_cap),
+        )
+        return KGResult(
+            canonical_edges=canonical, checkpoints=ckpt, snapshot=snap, config=cfg
+        )
 
     def _linked() -> Dataset:
         triples = extracted.map_batches(

@@ -34,6 +34,61 @@ def _salt_of(value: str, num_salts: int) -> int:
     return zlib.crc32(value.encode("utf-8", "ignore")) % num_salts
 
 
+def partial_triple_agg(
+    batch: pd.DataFrame, num_salts: int = 16, sources_cap: int = 8
+) -> pd.DataFrame:
+    """Map-side combine: linked triple rows -> one partial row per
+    (subject, object, predicate) per batch, salted by first source url."""
+    df = pd.DataFrame(
+        {
+            "subject": batch["subj_label"],
+            "object": batch["obj_label"],
+            "predicate": batch["predicate"],
+            "url": batch["url"],
+        }
+    )
+    grouped = df.groupby(TRIPLE_KEY, sort=False).agg(
+        support=("url", "size"),
+        sources=("url", lambda s: sorted(set(s))[:sources_cap]),
+    )
+    out = grouped.reset_index()
+    out["salt"] = [
+        _salt_of(u[0] if u else s, num_salts)
+        for s, u in zip(out["subject"], out["sources"])
+    ]
+    return out
+
+
+def _merge_partials(g: pd.DataFrame, sources_cap: int = 8) -> pd.DataFrame:
+    urls: list[str] = []
+    for lst in g["sources"]:
+        urls.extend(lst)
+    return pd.DataFrame(
+        {
+            "subject": [g["subject"].iloc[0]],
+            "object": [g["object"].iloc[0]],
+            "predicate": [g["predicate"].iloc[0]],
+            "support": [int(g["support"].sum())],
+            "sources": [sorted(set(urls))[:sources_cap]],
+        }
+    )
+
+
+def canonicalize_partials(
+    partials: Dataset, sources_cap: int = 8
+) -> Dataset:
+    """Shuffle phases over pre-combined partial rows: salted groupby then
+    final groupby (each hot key spread across its salts first)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return _merge_partials(g, sources_cap)
+
+    salted = partials.groupby(TRIPLE_KEY + ["salt"]).map_groups(
+        merge, batch_format="pandas"
+    )
+    return salted.groupby(TRIPLE_KEY).map_groups(merge, batch_format="pandas")
+
+
 def canonicalize_triples(
     linked: Dataset,
     num_salts: int = 16,
@@ -52,45 +107,11 @@ def canonicalize_triples(
     ``make_graph_class.py:336-350``).
     """
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "subject": batch["subj_label"],
-                "object": batch["obj_label"],
-                "predicate": batch["predicate"],
-                "url": batch["url"],
-            }
-        )
-        grouped = df.groupby(TRIPLE_KEY, sort=False).agg(
-            support=("url", "size"),
-            sources=("url", lambda s: sorted(set(s))[:sources_cap]),
-        )
-        out = grouped.reset_index()
-        out["salt"] = [
-            _salt_of(u[0] if u else s, num_salts)
-            for s, u in zip(out["subject"], out["sources"])
-        ]
-        return out
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        urls: list[str] = []
-        for lst in g["sources"]:
-            urls.extend(lst)
-        return pd.DataFrame(
-            {
-                "subject": [g["subject"].iloc[0]],
-                "object": [g["object"].iloc[0]],
-                "predicate": [g["predicate"].iloc[0]],
-                "support": [int(g["support"].sum())],
-                "sources": [sorted(set(urls))[:sources_cap]],
-            }
-        )
-
-    partials = linked.map_batches(partial, batch_format="pandas")
-    salted = partials.groupby(TRIPLE_KEY + ["salt"]).map_groups(
-        merge, batch_format="pandas"
+    partials = linked.map_batches(
+        lambda b: partial_triple_agg(b, num_salts, sources_cap),
+        batch_format="pandas",
     )
-    return salted.groupby(TRIPLE_KEY).map_groups(merge, batch_format="pandas")
+    return canonicalize_partials(partials, sources_cap)
 
 
 def canonicalize_mentions(

@@ -8,7 +8,7 @@ import pytest
 from climatemind_ontology_processing_ray.pipelines.kg import KGConfig, run_kg_pipeline
 from climatemind_ontology_processing_ray.sources.pages import generate_pages
 
-STAGES = ["extracted", "linked", "canonical_edges"]
+STAGES = ["extracted", "partials", "canonical_edges"]
 
 
 def _run(table, snapshot, ckpt_dir):
@@ -59,7 +59,7 @@ def test_kill_mid_stage_recovers(ray_session, snapshot, table, tmp_path_factory)
     # simulate kill during canonical_edges write: wipe its finalized dir
     shutil.rmtree(os.path.join(ckpt, "canonical_edges"))
     out2, mgr = _run(table, snapshot, ckpt)
-    assert mgr.hits == ["extracted", "linked"]
+    assert mgr.hits == ["extracted", "partials"]
     assert mgr.misses == ["canonical_edges"]
     assert out1 == out2
 
