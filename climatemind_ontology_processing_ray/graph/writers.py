@@ -114,6 +114,12 @@ def write_graph_graphml(G: nx.DiGraph, out_dir: str, fname: str = "Climate_Mind_
     return path
 
 
+def write_graph_gml(G: nx.DiGraph, out_dir: str, fname: str = "Climate_Mind_DiGraph") -> str:
+    path = os.path.join(out_dir, fname + ".gml")
+    nx.write_gml(_stringify_attrs(G), path)
+    return path
+
+
 def write_all_artifacts(art: GraphArtifacts, out_dir: str) -> dict[str, str]:
     """The reference's full output set (make_graph.py:47-67)."""
     os.makedirs(out_dir, exist_ok=True)

@@ -352,6 +352,201 @@ FROM documents WHERE doc_id % 7 <> 3
 """
 
 
+def q_bucketed_join(sf_dir: str):
+    """Both-sides-large partitioned hash join (orders ⋈ lineitem on
+    orderkey), aggregated per order priority."""
+    from ..functions.join import bucketed_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_extendedprice"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = bucketed_hash_join(orders, lineitem, "o_orderkey", num_buckets=32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_orderpriority", sort=False)
+            .agg(n_items=("l_extendedprice", "size"), total_price=("l_extendedprice", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    out["total_price"] = _round2(out["total_price"])
+    return out
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o.o_orderpriority,
+       COUNT(*)                        AS n_items,
+       ROUND(SUM(l.l_extendedprice),2) AS total_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_part_brand_rollup(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("p_brand", sort=False)
+            .agg(n_parts=("p_retailprice", "size"), total_price=("p_retailprice", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["avg_price"] = _round2(out["total_price"] / out["n_parts"])
+    out["total_price"] = _round2(out["total_price"])
+    return out
+
+
+SQL_PART_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(SUM(p_retailprice), 2)            AS total_price,
+       ROUND(SUM(p_retailprice)/COUNT(*), 2)   AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
+def q_supplier_nation(sf_dir: str):
+    """Broadcast join on the supplier dimension (J5-style lookup)."""
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(n_ref)
+        b = b.assign(n_name=b.s_nationkey.map(lk))
+        return (
+            b.groupby("n_name", sort=False)
+            .agg(n_suppliers=("s_suppkey", "size"), total_acctbal=("s_acctbal", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(fn, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("total_acctbal", alias_name="total_acctbal"),
+        )
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["total_acctbal"] = _round2(out["total_acctbal"])
+    return out
+
+
+SQL_SUPPLIER_NATION = """
+SELECT n.n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s.s_acctbal),2) AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_top_users(sf_dir: str):
+    """Top-10 users by spend: partial agg -> groupby -> deterministic sort."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("user_id", sort=False)
+            .agg(total_value=("value", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("total_value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = _round2(out["total_value"])
+    out = out.sort_values(
+        ["total_value", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_TOP_USERS = """
+SELECT user_id, ROUND(SUM(value),2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY ROUND(SUM(value),2) DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_mention_counts(sf_dir: str):
+    """The mention-canonicalization shuffle itself (salted two-phase count
+    on surface_norm), SQL-mirrored by exact word counting."""
+    from ..stages.canonicalize import canonicalize_mentions
+    from ..stages.mentions import MentionDetector
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_pages(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"doc://{i}" for i in b.column("doc_id").to_pylist()], pa.string()
+                ),
+                "extracted_text": b.column("text"),
+            }
+        )
+
+    pages = ds.map_batches(as_pages, batch_format="pyarrow", zero_copy_batch=True)
+    snap_like = {"individuals": {
+        t: {"label": t, "surface_forms": [t]} for t in _VOCAB
+    }}
+    import json as _json
+
+    from ..ontology.schema import OntologySnapshot
+
+    snap = OntologySnapshot(
+        individuals=snap_like["individuals"], class_parents={}, obj_edges=[]
+    )
+    mentions = pages.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"snapshot_json": snap.to_json()},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    out = canonicalize_mentions(mentions, num_salts=8).to_pandas()
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out.rename(columns={"surface_norm": "term"})[["term", "n_mentions"]]
+
+
+SQL_MENTION_COUNTS = """
+SELECT v.term,
+       SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(d.text), ' '), x -> x = v.term))) AS n_mentions
+FROM documents d
+CROSS JOIN (VALUES ('spark'), ('window'), ('vector'), ('customer'), ('stream')) AS v(term)
+GROUP BY v.term
+HAVING SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(d.text), ' '), x -> x = v.term))) > 0
+"""
+
+
 # --------------------------------------------------------------------- #
 # text analysis over documents
 # --------------------------------------------------------------------- #
@@ -893,6 +1088,11 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "orders_join_agg": (q_orders_join_agg, SQL_ORDERS_JOIN_AGG),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "part_brand_rollup": (q_part_brand_rollup, SQL_PART_BRAND),
+    "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
+    "top_users": (q_top_users, SQL_TOP_USERS),
+    "mention_counts": (q_mention_counts, SQL_MENTION_COUNTS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "distinct_pairs": (q_distinct_pairs, SQL_DISTINCT_PAIRS),
     "first_per_key": (q_first_per_key, SQL_FIRST_PER_KEY),
