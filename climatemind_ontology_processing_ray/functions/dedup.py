@@ -23,6 +23,7 @@ All hashing is seeded/deterministic (md5 / crc, never ``hash()``).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from itertools import combinations
 
 import numpy as np
@@ -57,24 +58,36 @@ def jaccard(a: set, b: set) -> float:
 # --------------------------------------------------------------------- #
 
 
+_NUM_PARTS = 64  # hash-partition fan-out for groupby stages.  map_groups
+# costs ~0.25ms of scheduling per GROUP, so grouping by a coarse partition
+# of the key and doing the per-key work vectorized inside each partition
+# (pandas drop_duplicates / duplicated masks) beats one Ray group per key
+# by orders of magnitude when keys are numerous and mostly unique.
+
+
 def exact_dedup(ds: Dataset, id_col: str, text_col: str = "text") -> Dataset:
     """Keep one row (min id) per exact text content (G1 semantics —
-    ``drop_duplicates`` at make_network.py:44 — keyed by content hash)."""
+    ``drop_duplicates`` at make_network.py:44 — keyed by content hash).
+    One hash-partition shuffle; per-partition winners via vectorized
+    drop_duplicates."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
             hashlib.md5((t or "").encode()).hexdigest()
             for t in batch.column(text_col).to_pylist()
         ]
-        return batch.append_column("__fp", pa.array(hashes, pa.string()))
+        batch = batch.append_column("__fp", pa.array(hashes, pa.string()))
+        parts = [int(h[:8], 16) % _NUM_PARTS for h in hashes]
+        return batch.append_column("__part", pa.array(parts, pa.int32()))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col).drop(columns="__fp")
+    def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        return g.drop_duplicates("__fp", keep="first").drop(columns=["__fp", "__part"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__fp")
-        .map_groups(first, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(first_per_fp, batch_format="pandas")
     )
 
 
@@ -123,7 +136,7 @@ def minhash_lsh_pairs(
     a, b = _minhash_params(num_perm, seed)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        out_id, out_band, out_bhash = [], [], []
+        out_id, out_bhash, out_part = [], [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         for i, t in zip(ids, texts):
@@ -134,47 +147,79 @@ def minhash_lsh_pairs(
             sig = minhash_signature(sh, a, b)
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                # band id folded into the hash so buckets never cross bands
+                bh = _hash64(f"{band}:{chunk.tobytes().hex()}")
                 out_id.append(i)
-                out_band.append(band)
-                out_bhash.append(_hash64(chunk.tobytes().hex()))
+                out_bhash.append(bh)
+                out_part.append(bh % _NUM_PARTS)
         return pa.table(
             {
                 id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_bhash, pa.uint64()),
+                "__part": pa.array(out_part, pa.int32()),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the vast majority) drop in one vectorized mask;
+        # only true collision buckets loop
+        g = g[g.duplicated("band_hash", keep=False)]
+        out: set[tuple] = set()
+        for _, sub in g.groupby("band_hash", sort=False):
+            ids = sorted(set(sub[id_col]))
+            out.update(combinations(ids, 2))
+        if not out:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = list(combinations(ids, 2))
-        return pd.DataFrame(
-            {"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]}
-        )
+        arr = sorted(out)
+        return pd.DataFrame({"id_a": [p[0] for p in arr], "id_b": [p[1] for p in arr]})
+
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__part"] = [
+            zlib.crc32(f"{x}|{y}".encode()) % _NUM_PARTS
+            for x, y in zip(batch["id_a"], batch["id_b"])
+        ]
+        return batch
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__part")
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
     candidates = (
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
+        bands_ds.groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .map_batches(pair_part, batch_format="pandas")
+        .groupby("__part")
         .map_groups(pair_dedup, batch_format="pandas")
     )
 
-    # verification against true n-gram Jaccard.  The shingle sets are looked
-    # up from a broadcast {id: ngram-set} built with one pass — fine for
-    # correctness/bench scales; at 10^12 docs replace with a hash-partition
-    # join of candidates against (id, shingles) on id.
+    # verification against true n-gram Jaccard.  Shingle-hash sets are
+    # computed DISTRIBUTED (map_batches) and only the compact hash arrays
+    # are collected into a broadcast {id: uint64-set} — fine for
+    # correctness/bench scales; at 10^12 docs replace the broadcast with a
+    # hash-partition join of candidates against (id, shingles) on id.
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hashes = [
+            np.fromiter(
+                (_hash64(s) for s in _word_ngrams(t or "", ngram)),
+                dtype=np.uint64,
+            )
+            for t in texts
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "shingles": pa.array([h.tolist() for h in hashes], pa.list_(pa.uint64())),
+            }
+        )
+
     shingle_map: dict = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            shingle_map[i] = _word_ngrams(t or "", ngram)
+    for row in ds.map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        shingle_map[row[id_col]] = set(row["shingles"])
     map_ref = ray.put(shingle_map)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -233,18 +278,17 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word hashes (deterministic)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in (text or "").lower().split():
-        h = _hash64(w)
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
-        ).astype(np.int64)
-        acc += 2 * bits - 1
-    return int(
-        np.packbits((acc > 0).astype(np.uint8), bitorder="little")
-        .view(np.uint64)[0]
-    )
+    """64-bit SimHash over word hashes (deterministic, vectorized: one
+    unpackbits over the whole word-hash array instead of per word)."""
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    hs = np.fromiter((_hash64(w) for w in words), dtype=np.uint64, count=len(words))
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    acc = bits.sum(axis=0) * 2 - len(words)
+    return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
 
 
 def simhash_buckets(
@@ -261,43 +305,61 @@ def simhash_buckets(
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_id, out_sig, out_chunk_id, out_chunk = [], [], [], []
+        out_id, out_sig, out_bucket, out_part = [], [], [], []
         for i, t in zip(ids, texts):
             s = simhash64(t or "")
             for c in range(4):
+                bucket = _hash64(f"{c}:{(s >> (16 * c)) & 0xFFFF}")
                 out_id.append(i)
                 out_sig.append(s)
-                out_chunk_id.append(c)
-                out_chunk.append((s >> (16 * c)) & 0xFFFF)
+                out_bucket.append(bucket)
+                out_part.append(bucket % _NUM_PARTS)
         return pa.table(
             {
                 id_col: pa.array(out_id),
                 "sig": pa.array(out_sig, pa.uint64()),
-                "chunk_id": pa.array(out_chunk_id, pa.int8()),
-                "chunk": pa.array(out_chunk, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.uint64()),
+                "__part": pa.array(out_part, pa.int32()),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g[id_col], g["sig"])))
-        out_a, out_b, out_h = [], [], []
-        for (ia, sa), (ib, sb) in combinations(recs, 2):
-            h = int(sa) ^ int(sb)
-            ham = bin(h).count("1")
-            if ham <= max_hamming:
-                out_a.append(ia)
-                out_b.append(ib)
-                out_h.append(ham)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("bucket", keep=False)]
+        out: dict[tuple, int] = {}
+        for _, sub in g.groupby("bucket", sort=False):
+            recs = sorted(set(zip(sub[id_col], sub["sig"])))
+            for (ia, sa), (ib, sb) in combinations(recs, 2):
+                ham = bin(int(sa) ^ int(sb)).count("1")
+                if ham <= max_hamming:
+                    out[(ia, ib)] = ham
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        keys = sorted(out)
+        return pd.DataFrame(
+            {
+                "id_a": [k[0] for k in keys],
+                "id_b": [k[1] for k in keys],
+                "hamming": [out[k] for k in keys],
+            }
+        )
+
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__part"] = [
+            zlib.crc32(f"{x}|{y}".encode()) % _NUM_PARTS
+            for x, y in zip(batch["id_a"], batch["id_b"])
+        ]
+        return batch
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__part")
 
     return (
         ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["chunk_id", "chunk"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
+        .groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .map_batches(pair_part, batch_format="pandas")
+        .groupby("__part")
         .map_groups(pair_dedup, batch_format="pandas")
     )
 

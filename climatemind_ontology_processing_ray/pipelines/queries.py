@@ -628,17 +628,22 @@ def q_quality_scores(sf_dir: str):
 AUG_OFFSET = 1_000_000
 
 
-def _augmented_docs(sf_dir: str) -> rd.Dataset:
+def _augmented_docs(sf_dir: str, min_chars: int = 0) -> rd.Dataset:
     """documents ∪ perturbed copies of every 20th doc — gives the near-dup
     detectors something to find; both the Ray side and the SQL oracle build
-    the same augmentation."""
+    the same augmentation.  ``min_chars`` filters short/empty docs
+    (vectorized; a row-level ds.filter(lambda) costs one Python call per
+    row)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def augment(b: pd.DataFrame) -> pd.DataFrame:
         dups = b[b.doc_id % 20 == 0].copy()
         dups["doc_id"] = dups["doc_id"] + AUG_OFFSET
         dups["text"] = dups["text"] + " extra token"
-        return pd.concat([b, dups], ignore_index=True)
+        out = pd.concat([b, dups], ignore_index=True)
+        if min_chars:
+            out = out[out["text"].str.len() >= min_chars]
+        return out
 
     return ds.map_batches(augment, batch_format="pandas")
 
@@ -664,7 +669,7 @@ SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text
 def q_ngram_jaccard(sf_dir: str):
     from ..functions.dedup import ngram_jaccard_pairs
 
-    docs = _augmented_docs(sf_dir).filter(lambda r: len(r["text"]) >= 20)
+    docs = _augmented_docs(sf_dir, min_chars=20)
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", block_cols=["source", "lang"], ngram=3, threshold=0.6
     )
@@ -698,7 +703,7 @@ WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
 def q_minhash_lsh(sf_dir: str):
     from ..functions.dedup import minhash_lsh_pairs
 
-    docs = _augmented_docs(sf_dir).filter(lambda r: len(r["text"]) >= 20)
+    docs = _augmented_docs(sf_dir, min_chars=20)
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", ngram=3, num_perm=64, bands=16, threshold=0.8
     )
@@ -718,7 +723,7 @@ def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (no SQL equivalent — rows-only check)."""
     from ..functions.dedup import simhash_buckets
 
-    docs = _augmented_docs(sf_dir).filter(lambda r: len(r["text"]) >= 20)
+    docs = _augmented_docs(sf_dir, min_chars=20)
     out = simhash_buckets(docs, "doc_id", "text", max_hamming=3).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
