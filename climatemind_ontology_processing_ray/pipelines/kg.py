@@ -45,11 +45,19 @@ class KGConfig:
     keep_langs: tuple[str, ...] = ("en",)
     checkpoint_dir: str | None = None
     run_key: str = "v1"
+    # quality gate: pages whose extracted text is shorter are dropped with
+    # the language filter (0 disables)
+    min_text_chars: int = 0
     # fused=True runs triple extraction + linking + map-side combine in ONE
     # actor-pool stage (fewer operator boundaries -> less per-block executor
     # overhead); False keeps the stages as separate operators.  Outputs are
     # identical — the fused stage composes the same implementations.
     fused: bool = True
+    # extension surface (SURVEY §2.9): inject custom extractor/linker
+    # callable classes (same constructor/__call__ contract as the defaults).
+    # Custom classes force the unfused (actor-pool) path.
+    triple_extractor_cls: type | None = None
+    entity_linker_cls: type | None = None
 
 
 @dataclass
@@ -60,7 +68,9 @@ class KGResult:
     config: KGConfig = field(default_factory=KGConfig)
 
 
-def lang_filter(extracted: Dataset, keep_langs: tuple[str, ...]) -> Dataset:
+def lang_filter(
+    extracted: Dataset, keep_langs: tuple[str, ...], min_text_chars: int = 0
+) -> Dataset:
     langs = pa.array(list(keep_langs), pa.string())
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -68,6 +78,14 @@ def lang_filter(extracted: Dataset, keep_langs: tuple[str, ...]) -> Dataset:
             pc.is_in(batch.column("lang"), value_set=langs),
             batch.column("extract_ok"),
         )
+        if min_text_chars:
+            mask = pc.and_(
+                mask,
+                pc.greater_equal(
+                    pc.utf8_length(batch.column("extracted_text")),
+                    pa.scalar(min_text_chars),
+                ),
+            )
         return batch.filter(mask)
 
     return extracted.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -89,11 +107,12 @@ def run_kg_pipeline(
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
         )
-        return lang_filter(ds, cfg.keep_langs)
+        return lang_filter(ds, cfg.keep_langs, cfg.min_text_chars)
 
     extracted = ckpt.stage("extracted", _extracted)
 
-    if cfg.fused:
+    custom = cfg.triple_extractor_cls or cfg.entity_linker_cls
+    if cfg.fused and not custom:
         from ..stages.fused import make_fused_partials_fn
 
         def _partials() -> Dataset:
@@ -123,7 +142,7 @@ def run_kg_pipeline(
 
     def _linked() -> Dataset:
         triples = extracted.map_batches(
-            S.TripleExtractor,
+            cfg.triple_extractor_cls or S.TripleExtractor,
             fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
@@ -131,7 +150,7 @@ def run_kg_pipeline(
             num_cpus=cfg.actor_num_cpus,
         )
         return triples.map_batches(
-            S.EntityLinker,
+            cfg.entity_linker_cls or S.EntityLinker,
             fn_constructor_kwargs={
                 "snapshot_ref": snapshot_ref,
                 "threshold": cfg.link_threshold,

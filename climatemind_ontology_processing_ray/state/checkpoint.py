@@ -62,8 +62,12 @@ class CheckpointManager:
         self.misses.append(stage)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
+        import time
+
+        t0 = time.perf_counter()
         ds = compute()
         ds.write_parquet(tmp_dir)
+        elapsed = time.perf_counter() - t0
         files = []
         total = 0
         import pyarrow.parquet as pq
@@ -79,6 +83,8 @@ class CheckpointManager:
             "key": self.run_key,
             "complete": True,
             "rows": total,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(total / elapsed, 1) if elapsed > 0 else None,
             "files": files,  # per-partition lineage record
         }
         with open(os.path.join(tmp_dir, "_MANIFEST.json"), "w") as f:

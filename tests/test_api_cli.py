@@ -66,3 +66,31 @@ def test_cli_synth_and_edges(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert os.path.exists(os.path.join(out_dir, "pages-00000.parquet"))
+
+
+def test_custom_extractor_extension(ray_session, snapshot):
+    """SURVEY §2.9 extension surface: user-injected extractor class."""
+    import pyarrow as pa
+    import ray.data
+
+    from climatemind_ontology_processing_ray.pipelines.kg import run_kg_pipeline
+    from climatemind_ontology_processing_ray.stages.triples import TripleExtractor
+
+    class OnlyCausesExtractor(TripleExtractor):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.filter(
+                pa.compute.equal(out.column("predicate"), pa.scalar("causes_or_promotes"))
+            )
+
+    table, _ = generate_pages(snapshot, 150, seed=13)
+    pages = ray.data.from_arrow(table).repartition(2)
+    cfg = KGConfig(
+        extractor_concurrency=2,
+        linker_concurrency=1,
+        actor_num_cpus=0.5,
+        batch_size=64,
+        triple_extractor_cls=OnlyCausesExtractor,
+    )
+    rows = run_kg_pipeline(pages, snapshot, cfg).canonical_edges.take_all()
+    assert rows and all(r["predicate"] == "causes_or_promotes" for r in rows)

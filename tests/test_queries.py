@@ -1,0 +1,85 @@
+"""Query registry vs DuckDB oracles (a fast in-suite mirror of the
+driver's correctness gate, at sf0.001)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# fast representative subset (the full 33-entry registry is exercised by
+# tools/check_queries.py and by the evaluation driver)
+SUBSET = [
+    "pricing_summary",
+    "region_rollup",
+    "topk_orders",
+    "first_per_key",
+    "token_counts",
+    "fingerprint",
+    "dedup_exact",
+    "embedding_neardup",
+    "ann_topk",
+    "events_hourly",
+    "sessionize",
+    "kg_extract",
+    "mention_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, con, name):
+    from climatemind_ontology_processing_ray.pipelines.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    ray_df = fn(SF)
+    if hasattr(ray_df, "to_pandas"):
+        ray_df = ray_df.to_pandas()
+    assert sql is not None
+    sql_df = con.execute(sql).df()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    assert len(ray_df) == len(sql_df)
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            assert np.allclose(
+                a[c].astype(float), b[c].astype(float), atol=1e-9, equal_nan=True
+            ), c
+        else:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_registry_contract():
+    """Every oracle key exists in queries(); names are unique and stable."""
+    from climatemind_ontology_processing_ray.pipelines.queries import (
+        oracle_sql,
+        queries,
+    )
+
+    q, o = queries(), oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30
+    assert len(o) >= 25
