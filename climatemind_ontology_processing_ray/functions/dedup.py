@@ -365,6 +365,98 @@ def simhash_buckets(
 
 
 # --------------------------------------------------------------------- #
+# duplicate clusters: connected components over candidate pairs
+# --------------------------------------------------------------------- #
+
+
+def dup_clusters(
+    pairs: Dataset,
+    ids: Dataset | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 10,
+) -> Dataset:
+    """Resolve duplicate PAIRS (id_a, id_b) into CLUSTERS via distributed
+    min-label propagation (the groupby-iteration pattern from the Ray
+    guide; union-find on the driver only works when the pair set is
+    provably small).
+
+    Each round: every node proposes min(own label, neighbors' labels);
+    a hash-partition groupby takes the min.  Converges in O(component
+    diameter) rounds — near-dup components are shallow, so ``max_rounds``
+    of 10 covers paths of length 2^10 via pointer-halving-free simple
+    propagation.  Rounds stop early when no label changes.
+
+    Returns (id, cluster) where cluster = min id of the component.
+    ``ids`` optionally supplies singleton nodes (rows with no pair).
+    """
+
+    def seed_labels(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [
+                pd.DataFrame({"id": b["id_a"], "label": b["id_a"]}),
+                pd.DataFrame({"id": b["id_b"], "label": b["id_b"]}),
+            ]
+        )
+        return out
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # undirected: each edge lets labels flow both ways
+        return pd.concat(
+            [
+                pd.DataFrame({"src": b["id_a"], "dst": b["id_b"]}),
+                pd.DataFrame({"src": b["id_b"], "dst": b["id_a"]}),
+            ]
+        )
+
+    def min_per_id(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("id", sort=False, as_index=False)["label"].min()
+
+    # pin the candidate pairs: the iteration below would otherwise re-run
+    # the whole upstream (lazy) pair-generation pipeline EVERY round.  The
+    # pair set is output-sized (duplicate pairs only), safe to materialize.
+    pairs = pairs.materialize()
+    labels = pairs.map_batches(seed_labels, batch_format="pandas")
+    if ids is not None:
+        labels = labels.union(
+            ids.map_batches(
+                lambda b: pd.DataFrame({"id": b[id_col], "label": b[id_col]}),
+                batch_format="pandas",
+            )
+        )
+    labels = labels.groupby("id").map_groups(min_per_id, batch_format="pandas").materialize()
+    edges = pairs.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    import ray as _ray
+
+    for _ in range(max_rounds):
+        # broadcast the current (small: one row per involved doc) label map;
+        # at 10^12 scale replace with a bucketed hash join on src
+        label_map = {r["id"]: r["label"] for r in labels.take_all()}
+        ref = _ray.put(label_map)
+
+        def propose(b: pd.DataFrame) -> pd.DataFrame:
+            m = _ray.get(ref)
+            return pd.DataFrame(
+                {"id": b["dst"], "label": [m[s] for s in b["src"]]}
+            )
+
+        proposals = edges.map_batches(propose, batch_format="pandas")
+        new_labels = (
+            labels.union(proposals)
+            .groupby("id")
+            .map_groups(min_per_id, batch_format="pandas")
+        ).materialize()
+        new_map = {r["id"]: r["label"] for r in new_labels.take_all()}
+        labels = new_labels
+        if new_map == label_map:
+            break
+
+    return labels.map_batches(
+        lambda b: b.rename(columns={"label": "cluster"}), batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------- #
 # embedding cosine near-dup
 # --------------------------------------------------------------------- #
 

@@ -749,6 +749,54 @@ def _augmented_embeddings(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(augment, batch_format="pandas")
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs resolved into connected
+    components by distributed min-label propagation; the oracle reproduces
+    the transitive closure with a recursive CTE."""
+    from ..functions.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _augmented_docs(sf_dir, min_chars=20)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", ngram=3, num_perm=64, bands=16, threshold=0.8
+    )
+    out = dup_clusters(pairs).to_pandas()
+    out["id"] = out["id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("id").reset_index(drop=True)
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE docs AS ({SQL_AUG}),
+grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(
+           CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3 THEN
+             LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) - 1),
+               i -> STRING_SPLIT(LOWER(text), ' ')[i] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+1] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+2])
+           ELSE [LOWER(text)] END) AS g
+  FROM docs WHERE LENGTH(text) >= 20
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS id, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s
+"""
+
+
 def q_embedding_neardup(sf_dir: str):
     from ..functions.dedup import embedding_neardup_pairs
 
@@ -1110,6 +1158,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "simhash": (q_simhash, None),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBED_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh": (q_ann_lsh, None),

@@ -227,3 +227,22 @@ def test_graph_writers(tmp_path, snapshot, golden):
         jit = json.load(f)
     assert all({"id", "name", "data", "adjacencies"} <= set(n) for n in jit)
     write_graph_graphml(art.G, str(tmp_path))
+
+
+def test_dup_clusters_connected_components(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import dup_clusters
+
+    # components: {1,2,3,4} via chain, {7,9}, singleton 11 (via ids)
+    pairs = ray.data.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 7, "id_b": 9},
+        ]
+    )
+    ids = ray.data.from_items([{"doc_id": i} for i in [1, 2, 3, 4, 7, 9, 11]])
+    out = {r["id"]: r["cluster"] for r in dup_clusters(pairs, ids).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 11: 11}
