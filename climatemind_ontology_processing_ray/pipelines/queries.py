@@ -539,7 +539,7 @@ def q_mention_counts(sf_dir: str):
 
 SQL_MENTION_COUNTS = """
 SELECT v.term,
-       SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(d.text), ' '), x -> x = v.term))) AS n_mentions
+       CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(d.text), ' '), x -> x = v.term))) AS BIGINT) AS n_mentions
 FROM documents d
 CROSS JOIN (VALUES ('spark'), ('window'), ('vector'), ('customer'), ('stream')) AS v(term)
 GROUP BY v.term
@@ -936,7 +936,7 @@ WITH gaps AS (
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, COUNT(*) AS n_events, SUM(new_session) + 1 AS n_sessions
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id
 """
 
