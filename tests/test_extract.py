@@ -63,3 +63,45 @@ def test_byte_identical_across_parallelism(ray_session, snapshot):
         for u, h in zip(table.column("url").to_pylist(), table.column("html").to_pylist())
     }
     assert a == expected
+
+
+def test_extract_arbitrary_bytes_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def prop(data):
+        out = extract_text(data)
+        assert isinstance(out, str)
+        assert extract_text(data) == out  # deterministic
+
+    prop()
+
+
+def test_null_columns_handled(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from climatemind_ontology_processing_ray.ontology import build_fixture_snapshot
+    from climatemind_ontology_processing_ray.pipelines.kg import KGConfig, run_kg_pipeline
+
+    table = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"], pa.string()),
+            "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "html": pa.array([None, b"<p>increase in greenhouse effect causes global warming.</p>", b""], pa.binary()),
+            "text": pa.array([None, "x", ""], pa.string()),
+            "lang": pa.array([None, "en", "en"], pa.string()),
+        }
+    )
+    snap = build_fixture_snapshot()
+    pages = ray.data.from_arrow(table)
+    rows = run_kg_pipeline(
+        pages,
+        snap,
+        KGConfig(extractor_concurrency=1, linker_concurrency=1, actor_num_cpus=0.5, batch_size=8),
+    ).canonical_edges.take_all()
+    assert {(r["subject"], r["object"], r["predicate"]) for r in rows} == {
+        ("increase in greenhouse effect", "global warming", "causes_or_promotes")
+    }
