@@ -395,6 +395,59 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_native_join(sf_dir: str):
+    """Ray Data's built-in hash-partitioned Dataset.join (available in this
+    Ray release); falls back to the explicit bucketed join elsewhere."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    if hasattr(orders, "join"):
+        joined = orders.join(
+            customer,
+            join_type="inner",
+            num_partitions=16,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    else:  # pragma: no cover - older Ray
+        from ..functions.join import bucketed_hash_join
+
+        customer = customer.map_batches(
+            lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(orders, customer, "o_custkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("c_mktsegment", sort=False)
+            .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["avg_price"] = _round2(out["total_price"] / out["n_orders"])
+    out = out.drop(columns="total_price")
+    return out
+
+
+SQL_NATIVE_JOIN = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice)/COUNT(*), 2) AS avg_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q_part_brand_rollup(sf_dir: str):
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
 
@@ -1142,6 +1195,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "orders_join_agg": (q_orders_join_agg, SQL_ORDERS_JOIN_AGG),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "native_join": (q_native_join, SQL_NATIVE_JOIN),
     "part_brand_rollup": (q_part_brand_rollup, SQL_PART_BRAND),
     "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
     "top_users": (q_top_users, SQL_TOP_USERS),

@@ -140,3 +140,28 @@ def test_driver_side_artifacts_from_pipeline_edges(
     root = art.G.nodes["increase in greenhouse effect"]
     assert root["mitigation solutions"]
     assert "downstream_adaptations" in art.subgraphs
+
+
+def test_salting_spreads_hot_keys(ray_session):
+    """White-box skew check: a hot surface form's partial rows land in
+    multiple salted groups before the final merge (SURVEY §7.3)."""
+    import pandas as pd
+    import ray.data
+
+    from climatemind_ontology_processing_ray.stages.canonicalize import _salt_of
+
+    # 10k mentions of one head key from 200 distinct urls
+    rows = [
+        {"url": f"https://site-{i % 200}.example/p{i}", "surface_norm": "climate change"}
+        for i in range(10_000)
+    ]
+    salts = {_salt_of(r["url"], 16) for r in rows}
+    assert len(salts) > 8  # the hot key spreads over most of the 16 salts
+
+    from climatemind_ontology_processing_ray.stages.canonicalize import (
+        canonicalize_mentions,
+    )
+
+    ds = ray.data.from_items(rows).repartition(8)
+    out = canonicalize_mentions(ds, num_salts=16).take_all()
+    assert out == [{"surface_norm": "climate change", "n_mentions": 10_000}]
