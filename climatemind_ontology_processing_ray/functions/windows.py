@@ -1,0 +1,102 @@
+"""Stream-shaped windowed aggregation over an ordered, partitioned log
+(the Ray-guide pattern: Ray Data has no event-time watermarks, so windows
+are computed per key inside ``map_groups`` over ts-sorted groups, and
+tumbling/sliding windows are a vectorized floor/flat-map on the ts
+column).
+
+The reference has no streaming features (SURVEY §2.8); these operators
+are part of the training-data toolbox (events table).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def tumbling_window(
+    ds: Dataset,
+    ts_col: str,
+    window_sec: int,
+    key_cols: list[str],
+    value_col: str,
+) -> Dataset:
+    """Per (key..., window_start_epoch): count + sum(value).  Pre-combined
+    per batch, then one groupby shuffle.  window_start is epoch-aligned
+    seconds (int64)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = (b[ts_col] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        b = b.assign(window_start=(epoch // window_sec * window_sec).astype("int64"))
+        return (
+            b.groupby(key_cols + ["window_start"], sort=False)
+            .agg(n=(value_col, "size"), total=(value_col, "sum"))
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_cols + ["window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+
+
+def sliding_window(
+    ds: Dataset,
+    ts_col: str,
+    window_sec: int,
+    step_sec: int,
+    key_cols: list[str],
+    value_col: str,
+) -> Dataset:
+    """Sliding windows: each event lands in window_sec/step_sec windows
+    (flat-map expansion inside the partial combine), then one groupby."""
+    assert window_sec % step_sec == 0
+    n_windows = window_sec // step_sec
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = (b[ts_col] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        frames = []
+        for i in range(n_windows):
+            start = ((epoch - i * step_sec) // window_sec * window_sec + i * step_sec)
+            f = b[key_cols + [value_col]].assign(window_start=start.astype("int64"))
+            frames.append(f)
+        expanded = pd.concat(frames, ignore_index=True)
+        return (
+            expanded.groupby(key_cols + ["window_start"], sort=False)
+            .agg(n=(value_col, "size"), total=(value_col, "sum"))
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_cols + ["window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+
+
+def sessionize(
+    ds: Dataset,
+    ts_col: str,
+    key_col: str,
+    gap_sec: int,
+    order_cols: list[str] | None = None,
+) -> Dataset:
+    """Per-key session stats with an inactivity gap (ordered-log pattern:
+    the groupby shuffle co-locates a key's events; ordering happens inside
+    the group).  Output: key, n_events, n_sessions."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols or [ts_col], kind="mergesort")
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(0)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int((gaps > gap_sec).sum()) + 1],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

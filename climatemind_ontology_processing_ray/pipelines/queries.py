@@ -930,24 +930,11 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
+    from ..functions.windows import tumbling_window
+
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(
-            hour_ts=((b.ts.dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
-        )
-        return (
-            b.groupby(["event_type", "hour_ts"], sort=False)
-            .agg(n=("value", "size"), total_value=("value", "sum"))
-            .reset_index()
-        )
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour_ts"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
-        .to_pandas()
-    )
+    out = tumbling_window(ds, "ts", 3600, ["event_type"], "value").to_pandas()
+    out = out.rename(columns={"window_start": "hour_ts", "total": "total_value"})
     out["n"] = out["n"].astype("int64")
     out["total_value"] = _round2(out["total_value"])
     return out
@@ -965,21 +952,16 @@ FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
 def q_sessionize(sf_dir: str):
     """Sessionization: per-user sorted gap analysis inside map_groups
     (ordered, partitioned-log pattern; 30-minute inactivity gap)."""
+    from ..functions.windows import sessionize
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g.ts.diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [int(g.user_id.iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = sessionize(
+        ds, "ts", "user_id", 1800, order_cols=["ts", "event_id"]
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out
 
 
 SQL_SESSIONIZE = """
@@ -991,6 +973,34 @@ WITH gaps AS (
 )
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (1h window, 30min step): each event lands in two
+    windows; SQL mirrors it as the union of two shifted tumbling windows."""
+    from ..functions.windows import sliding_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window(ds, "ts", 3600, 1800, ["event_type"], "value").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["window_start"] = out["window_start"].astype("int64")
+    out["total"] = _round2(out["total"])
+    return out
+
+
+SQL_EVENTS_SLIDING = """
+WITH x AS (
+  SELECT event_type,
+         CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         CAST(EPOCH(DATE_TRUNC('hour', ts - INTERVAL 30 MINUTE)) AS BIGINT) + 1800, value
+  FROM events
+)
+SELECT event_type, window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM x GROUP BY event_type, window_start
 """
 
 
@@ -1217,6 +1227,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh": (q_ann_lsh, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "kg_extract": (q_kg_extract, SQL_KG_EXTRACT),
