@@ -116,6 +116,10 @@ def run_bench() -> dict:
         "dedup_exact",
         "minhash_lsh",
         "simhash",
+        "dup_clusters",
+        "bucketed_join",
+        "native_join",
+        "events_sliding",
         "embedding_neardup",
         "ann_topk",
         "token_counts",

@@ -11,7 +11,7 @@ from .dedup import (
     simhash_buckets,
     embedding_neardup_pairs,
 )
-from .ann import brute_force_topk, lsh_topk
+from .ann import brute_force_topk, lsh_topk, ivf_topk, train_ivf_centroids
 
 __all__ = [
     "TextQualityScorer",
@@ -25,4 +25,6 @@ __all__ = [
     "embedding_neardup_pairs",
     "brute_force_topk",
     "lsh_topk",
+    "ivf_topk",
+    "train_ivf_centroids",
 ]

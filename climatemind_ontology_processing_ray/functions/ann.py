@@ -74,6 +74,91 @@ def brute_force_topk(
     )
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic mini k-means on a (driver-side) sample — the IVF
+    coarse quantizer.  At real scale the sample comes from
+    ``ds.random_sample(frac, seed)``; training stays driver-side (small)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_sample_size: int = 4096,
+) -> Dataset:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid (one pass, no shuffle — the assignment is a column); each
+    query scores only vectors in its ``nprobe`` closest centroid buckets.
+    Scale path: broadcast is just the (n_centroids x dim) matrix; per-batch
+    work is a small matmul + mask.  Output schema matches brute_force_topk.
+    """
+    sample_rows = ds.select_columns([vec_col]).limit(train_sample_size).take_all()
+    sample = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    cents = train_ivf_centroids(sample, n_centroids, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # the nprobe closest centroids per query
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    ctx_ref = ray.put((q, cents, [set(map(int, p)) for p in probe]))
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, cm, probes = ray.get(ctx_ref)
+        vecs = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        )
+        assign = np.argmax(vecs @ cm.T, axis=1)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.fromiter((int(a) in probes[qi] for a in assign), bool, len(assign))
+            if not mask.any():
+                continue
+            sims = qm[qi] @ vecs[mask].T
+            cids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(cids[j])
+                out_s.append(sims[j])
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int32),
+                id_col: out_id,
+                "cosine": out_s,
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        ds.map_batches(local, batch_format="pandas", batch_size=4096)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _signatures(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (vecs @ planes.T) > 0  # (n, planes)
     weights = (1 << np.arange(planes.shape[0])).astype(np.int64)

@@ -907,6 +907,23 @@ SELECT query_id, vec_id FROM (
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN (the 10^12-scale path; rows-only)."""
+    from ..functions.ann import ivf_topk
+
+    q_tab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_tab = q_tab.filter(pc.less(q_tab.column("vec_id"), pa.scalar(8)))
+    order = pc.sort_indices(q_tab.column("vec_id"))
+    queries_m = np.asarray(
+        [np.asarray(v) for v in q_tab.take(order).column("embedding").to_pylist()]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, queries_m, k=5, n_centroids=16, nprobe=4).to_pandas()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_id", "vec_id"]]
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate ANN (scale path; rows-only check)."""
     from ..functions.ann import lsh_topk
@@ -1226,6 +1243,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBED_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

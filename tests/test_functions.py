@@ -246,3 +246,27 @@ def test_dup_clusters_connected_components(ray_session):
     ids = ray.data.from_items([{"doc_id": i} for i in [1, 2, 3, 4, 7, 9, 11]])
     out = {r["id"]: r["cluster"] for r in dup_clusters(pairs, ids).take_all()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 11: 11}
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(17)
+    # clustered corpus: 4 clusters of 50
+    centers = rng.randn(4, 8) * 3
+    vecs = np.vstack([c + rng.randn(50, 8) * 0.3 for c in centers])
+    queries = centers + rng.randn(4, 8) * 0.1
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)]
+    ).repartition(4)
+    exact = brute_force_topk(ds, queries, k=5).take_all()
+    approx = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=3).take_all()
+    for qi in range(4):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) >= 4  # >=80% recall on clustered data

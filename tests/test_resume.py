@@ -81,3 +81,33 @@ def test_stale_run_key_recomputes(ray_session, snapshot, table, tmp_path_factory
     res = run_kg_pipeline(pages, snapshot, cfg)
     res.canonical_edges.take_all()
     assert res.checkpoints.hits == []
+
+
+def test_task_failure_retried(ray_session, snapshot, table, tmp_path_factory):
+    """Fault tolerance: a UDF that crashes once per worker process is
+    retried (retry_exceptions) and the pipeline completes with correct,
+    complete output."""
+    import os
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    marker_dir = str(tmp_path_factory.mktemp("crash_markers"))
+
+    def flaky_identity(batch: pa.Table) -> pa.Table:
+        marker = os.path.join(marker_dir, f"pid-{os.getpid()}")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("crashed once")
+            raise RuntimeError("injected one-shot failure")
+        return batch
+
+    ds = ray.data.from_arrow(table).repartition(4)
+    out = ds.map_batches(
+        flaky_identity,
+        batch_format="pyarrow",
+        retry_exceptions=True,
+        max_retries=3,
+    ).take_all()
+    assert len(out) == table.num_rows
