@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..ontology.vocab import CAUSES, EXPOSURE, INHIBITS, IS_A, MYTH_ABOUT, POPULATION
-from .mentions import SENTENCE_SPLIT, _load_snapshot, build_surface_pattern
+from .mentions import _load_snapshot, build_surface_pattern
 
 # connective text (lowercased, stripped) -> (predicate, subject_first)
 CONNECTIVES: dict[str, tuple[str, bool]] = {
@@ -53,32 +53,45 @@ class TripleExtractor:
             forms.update(node.get("surface_forms") or [node["label"]])
         self.pattern = build_surface_pattern(forms)
 
+    # connectives are short; gaps longer than this can't match
+    _MAX_GAP = max(len(c) for c in CONNECTIVES) + 8
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         texts = batch.column("extracted_text").to_pylist()
         o_url, o_sid, o_subj, o_obj, o_pred, o_evidence = [], [], [], [], [], []
+        max_gap = self._MAX_GAP
         for url, text in zip(urls, texts):
-            for sid, sent in enumerate(SENTENCE_SPLIT.split(text or "")):
-                low = sent.lower()
-                if not low:
+            low = (text or "").lower()
+            # single whole-page scan; a sentence boundary ('.', '!', '?',
+            # newline) inside the gap disqualifies the pair, which is
+            # exactly the per-sentence pairing without the per-sentence
+            # regex loop (hot-path optimization; semantics unchanged)
+            mentions = self.pattern.finditer(low)
+            prev = next(mentions, None)
+            for m2 in mentions:
+                m1, prev = prev, m2
+                gap = low[m1.end() : m2.start()]
+                if len(gap) > max_gap or any(c in gap for c in ".!?\n"):
                     continue
-                mentions = list(self.pattern.finditer(low))
-                if len(mentions) < 2:
+                hit = CONNECTIVES.get(gap.strip(_GAP_STRIP))
+                if hit is None:
                     continue
-                for m1, m2 in zip(mentions, mentions[1:]):
-                    gap = low[m1.end() : m2.start()].strip(_GAP_STRIP)
-                    hit = CONNECTIVES.get(gap)
-                    if hit is None:
-                        continue
-                    predicate, subject_first = hit
-                    a, b = m1.group(0), m2.group(0)
-                    subj, obj = (a, b) if subject_first else (b, a)
-                    o_url.append(url)
-                    o_sid.append(sid)
-                    o_subj.append(subj)
-                    o_obj.append(obj)
-                    o_pred.append(predicate)
-                    o_evidence.append(sent[:300])
+                predicate, subject_first = hit
+                a, b = m1.group(0), m2.group(0)
+                subj, obj = (a, b) if subject_first else (b, a)
+                # sentence id + evidence derived lazily, only on a hit
+                sid = low.count(".", 0, m1.start()) + low.count("\n", 0, m1.start())
+                start = max(
+                    low.rfind(".", 0, m1.start()), low.rfind("\n", 0, m1.start())
+                ) + 1
+                end = m2.end()
+                o_url.append(url)
+                o_sid.append(sid)
+                o_subj.append(subj)
+                o_obj.append(obj)
+                o_pred.append(predicate)
+                o_evidence.append(text[start : end + 1].strip()[:300])
         return pa.table(
             {
                 "url": pa.array(o_url, pa.string()),
