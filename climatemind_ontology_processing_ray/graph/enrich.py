@@ -140,6 +140,9 @@ class GraphArtifacts:
     mitigation_solutions: list[str] = field(default_factory=list)
     upstream_nodes: list[str] = field(default_factory=list)
     adaptation_nodes: list[str] = field(default_factory=list)
+    # validation error channel (strict=False): e.g. opposing personal-value
+    # vectors (the reference raises instead, make_graph_class.py:289-290)
+    errors: list[dict] = field(default_factory=list)
 
 
 # --------------------------------------------------------------------- #
@@ -147,10 +150,16 @@ class GraphArtifacts:
 # --------------------------------------------------------------------- #
 
 
-def _attach_node_attributes(G: nx.DiGraph, snap: OntologySnapshot) -> None:
+def _attach_node_attributes(
+    G: nx.DiGraph, snap: OntologySnapshot, errors: list[dict] | None = None
+) -> None:
     """Node attribute projection (make_graph_class.py:113-304): basic info,
     class sets, dynamic superclass keys, properties, data properties,
-    personal-value vectors, political vector."""
+    personal-value vectors, political vector.
+
+    With ``errors`` given, validation failures (opposing value vectors,
+    make_graph_class.py:289-290) are recorded there and the conflicted
+    slot becomes None instead of aborting the build."""
     superclasses = snap.superclasses()
     desc = {sc: snap.class_descendants(sc) for sc in superclasses}
 
@@ -183,7 +192,14 @@ def _attach_node_attributes(G: nx.DiGraph, snap: OntologySnapshot) -> None:
                     attrs[sc] = to_add
         attrs["properties"] = {k: list(v) for k, v in rec["properties"].items()}
         attrs["data_properties"] = dict(rec["data_properties"])
-        pv19, pv10 = personal_value_vectors(attrs["data_properties"])
+        try:
+            pv19, pv10 = personal_value_vectors(attrs["data_properties"])
+        except OpposingValuesError as e:
+            if errors is None:
+                raise
+            errors.append({"node": node, "error": "opposing_values", "detail": str(e)})
+            pv19 = [attrs["data_properties"].get(k) for k in PERSONAL_VALUES_19]
+            pv10 = [None] * 10
         attrs["personal_values_19"] = pv19
         attrs["personal_values_10"] = pv10
         attrs["political_value"] = [
@@ -488,15 +504,20 @@ def _test_ontology_filter(G: nx.DiGraph) -> nx.DiGraph:
 
 
 def build_enriched_graph(
-    edges: Iterable[Triple], snap: OntologySnapshot
+    edges: Iterable[Triple], snap: OntologySnapshot, strict: bool = True
 ) -> GraphArtifacts:
     """Run the full reference enrichment recipe (make_graph.py:28-67) over a
-    canonical (subject, object, predicate) edge collection."""
+    canonical (subject, object, predicate) edge collection.
+
+    ``strict=True`` reproduces the reference's behavior of raising on
+    opposing value vectors; ``strict=False`` routes such rows to the
+    :attr:`GraphArtifacts.errors` channel and continues."""
     G = nx.DiGraph()
     for s, o, p in edges:
         G.add_edge(s, o, type=p, properties=None)
 
-    _attach_node_attributes(G, snap)
+    errors: list[dict] = []
+    _attach_node_attributes(G, snap, None if strict else errors)
     to_remove = _set_edge_properties(G)
     _remove_edge_properties_from_nodes(G, to_remove)
     B = _make_acyclic(G)
@@ -521,4 +542,5 @@ def build_enriched_graph(
         mitigation_solutions=mitigation_solutions,
         upstream_nodes=upstream_nodes,
         adaptation_nodes=_dedup_keep_first(adaptation_nodes),
+        errors=errors,
     )

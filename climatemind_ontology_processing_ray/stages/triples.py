@@ -1,8 +1,10 @@
 """Causal-pattern triple extraction (SURVEY §2.2 "new-engine-only" stage c).
 
-A stateful actor-pool stage sharing the mention automaton: per sentence,
-adjacent mention pairs whose connecting text matches a causal connective
-emit one pre-link triple row.  The connective table mirrors the
+A stateful stage sharing the mention automaton: adjacent mention pairs in
+the same sentence whose connecting text matches a causal connective emit
+one pre-link triple row (implemented as a single whole-page scan — a
+sentence boundary inside the gap disqualifies the pair, equivalent to
+per-sentence pairing).  The connective table mirrors the
 reference's two dominant predicates (``causes_or_promotes`` and
 ``is_inhibited_or_prevented_or_blocked_or_slowed_by``,
 ``make_graph_class.py:423``, ``:460``) plus the remaining reference edge

@@ -218,3 +218,20 @@ class TestEnrichment:
         up = custom_bfs(art.B, "increase in greenhouse effect", "reverse", CAUSES)
         assert "burning of fossil fuels" in up
         assert "global warming" not in up
+
+
+def test_error_channel_non_strict(snapshot, golden):
+    """Validation error channel: a node with opposing value vectors aborts
+    a strict build (reference behavior) but is recorded and skipped with
+    strict=False."""
+    import copy
+
+    bad = copy.deepcopy(snapshot)
+    rec = bad.individuals["coastal flooding"]
+    rec["data_properties"]["universalism_concern"] = 1
+    rec["data_properties"]["universalism_nature"] = -1
+    with pytest.raises(OpposingValuesError):
+        build_enriched_graph(golden, bad, strict=True)
+    art = build_enriched_graph(golden, bad, strict=False)
+    assert art.errors and art.errors[0]["node"] == "coastal flooding"
+    assert art.G.nodes["coastal flooding"]["personal_values_10"] == [None] * 10
