@@ -71,19 +71,25 @@ class MentionDetector:
         out_url, out_sid, out_surface, out_norm, out_label = [], [], [], [], []
         out_start, out_end = [], []
         for url, text in zip(urls, texts):
-            offset = 0
-            for sid, sent in enumerate(SENTENCE_SPLIT.split(text or "")):
-                low = sent.lower()
-                for m in self.pattern.finditer(low):
-                    norm = normalize_surface(m.group(0))
-                    out_url.append(url)
-                    out_sid.append(sid)
-                    out_surface.append(m.group(0))
-                    out_norm.append(norm)
-                    out_label.append(self.index.get(norm))
-                    out_start.append(offset + m.start())
-                    out_end.append(offset + m.end())
-                offset += len(sent) + 1
+            # single whole-page scan: spans are exact page offsets; sent_id
+            # counts sentence terminators before the match
+            low = (text or "").lower()
+            for m in self.pattern.finditer(low):
+                norm = normalize_surface(m.group(0))
+                s = m.start()
+                sid = (
+                    low.count(".", 0, s)
+                    + low.count("!", 0, s)
+                    + low.count("?", 0, s)
+                    + low.count("\n", 0, s)
+                )
+                out_url.append(url)
+                out_sid.append(sid)
+                out_surface.append(m.group(0))
+                out_norm.append(norm)
+                out_label.append(self.index.get(norm))
+                out_start.append(s)
+                out_end.append(m.end())
         return pa.table(
             {
                 "url": pa.array(out_url, pa.string()),

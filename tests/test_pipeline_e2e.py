@@ -165,3 +165,26 @@ def test_salting_spreads_hot_keys(ray_session):
     ds = ray.data.from_items(rows).repartition(8)
     out = canonicalize_mentions(ds, num_salts=16).take_all()
     assert out == [{"surface_norm": "climate change", "n_mentions": 10_000}]
+
+
+def test_mention_spans_are_exact_page_offsets(ray_session, snapshot):
+    import ray
+    import ray.data
+
+    from climatemind_ontology_processing_ray.stages import MentionDetector
+
+    text = "Sea level rise worries experts.\nGlobal warming causes sea level rise."
+    ds = ray.data.from_items([{"url": "u", "extracted_text": text}])
+    snapshot_ref = ray.put(snapshot.to_json())
+    rows = ds.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    for r in rows:
+        assert text.lower()[r["span_start"] : r["span_end"]] == r["surface"]
+    assert {r["surface"] for r in rows} == {"sea level rise", "global warming"}
+    sids = {r["span_start"]: r["sent_id"] for r in rows}
+    assert sids[0] == 0  # first sentence
+    assert max(sids.values()) >= 1  # later mentions in a later sentence
