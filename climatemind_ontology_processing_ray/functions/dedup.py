@@ -374,6 +374,7 @@ def dup_clusters(
     ids: Dataset | None = None,
     id_col: str = "doc_id",
     max_rounds: int = 10,
+    driver_threshold: int = 250_000,
 ) -> Dataset:
     """Resolve duplicate PAIRS (id_a, id_b) into CLUSTERS via distributed
     min-label propagation (the groupby-iteration pattern from the Ray
@@ -415,6 +416,39 @@ def dup_clusters(
     # the whole upstream (lazy) pair-generation pipeline EVERY round.  The
     # pair set is output-sized (duplicate pairs only), safe to materialize.
     pairs = pairs.materialize()
+
+    # small candidate sets (the common case: dup pairs are output-sized)
+    # resolve driver-side with union-find — each distributed propagation
+    # round costs seconds of fixed shuffle overhead that dwarfs the work.
+    # The distributed path below remains for genuinely large pair sets.
+    if pairs.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        members: set = set()
+        for r in pairs.select_columns(["id_a", "id_b"]).take_all():
+            members.add(r["id_a"])
+            members.add(r["id_b"])
+            ra, rb = find(r["id_a"]), find(r["id_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        if ids is not None:
+            for r in ids.select_columns([id_col]).take_all():
+                members.add(r[id_col])
+        rows = pd.DataFrame(
+            {"id": sorted(members)}
+        )
+        rows["cluster"] = [find(i) for i in rows["id"]]
+        import ray.data as _rd
+
+        return _rd.from_pandas(rows)
     labels = pairs.map_batches(seed_labels, batch_format="pandas")
     if ids is not None:
         labels = labels.union(

@@ -270,3 +270,21 @@ def test_ivf_topk_recall(ray_session):
         e = {r["vec_id"] for r in exact if r["query_id"] == qi}
         a = {r["vec_id"] for r in approx if r["query_id"] == qi}
         assert len(e & a) >= 4  # >=80% recall on clustered data
+
+
+def test_dup_clusters_distributed_path(ray_session):
+    """Force the min-label-propagation path (driver_threshold=0) and check
+    it matches the union-find fast path."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import dup_clusters
+
+    pairs = ray.data.from_items(
+        [{"id_a": a, "id_b": b} for a, b in [(1, 2), (2, 3), (5, 6), (3, 9)]]
+    )
+    fast = {r["id"]: r["cluster"] for r in dup_clusters(pairs).take_all()}
+    dist = {
+        r["id"]: r["cluster"]
+        for r in dup_clusters(pairs, driver_threshold=0).take_all()
+    }
+    assert fast == dist == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
