@@ -79,14 +79,54 @@ def output_edges(
     return edges.map_batches(keep, batch_format="pyarrow")
 
 
+def extract_mentions(
+    pages: Dataset,
+    snapshot: OntologySnapshot | str | None = None,
+    cfg: KGConfig | None = None,
+) -> Dataset:
+    """The mentions table of SURVEY §1.3: pages -> extracted text -> mention
+    rows (url, sent_id, surface, surface_norm, node_label, span_start/end)
+    via the A1 automaton actor pool."""
+    import ray
+
+    from ..stages.extract import extract_pages_batch
+    from ..stages.mentions import MentionDetector
+    from .kg import lang_filter
+
+    cfg = cfg or KGConfig()
+    snap = _load_snapshot(snapshot)
+    snapshot_ref = ray.put(snap.to_json())
+    extracted = lang_filter(
+        pages.map_batches(
+            extract_pages_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        ),
+        cfg.keep_langs,
+        cfg.min_text_chars,
+    )
+    return extracted.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.extractor_concurrency,
+        num_cpus=cfg.actor_num_cpus,
+    )
+
+
 def process_pages(
     pages: Dataset,
     output_dir: str,
     snapshot: OntologySnapshot | str | None = None,
     cfg: KGConfig | None = None,
+    emit_mentions: bool = False,
 ) -> tuple[GraphArtifacts, dict[str, str]]:
     """Full lifecycle: front end -> adjacency partitions -> driver-side
-    enrichment -> all reference output files under ``output_dir``."""
+    enrichment -> all reference output files under ``output_dir``.
+    ``emit_mentions`` additionally materializes the mentions table
+    (SURVEY §1.3) as Parquet."""
     snap = _load_snapshot(snapshot)
     os.makedirs(output_dir, exist_ok=True)
     res = run_kg_pipeline(pages, snap, cfg)
@@ -104,4 +144,8 @@ def process_pages(
     paths = write_all_artifacts(art, output_dir)
     paths["canonical_edges"] = edges_dir
     paths["adjacency"] = adjacency_dir
+    if emit_mentions:
+        mentions_dir = os.path.join(output_dir, "mentions")
+        extract_mentions(pages, snap, cfg).write_parquet(mentions_dir)
+        paths["mentions"] = mentions_dir
     return art, paths

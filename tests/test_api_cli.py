@@ -17,8 +17,11 @@ def test_process_pages_full_outputs(ray_session, snapshot, tmp_path):
 
     table, _ = generate_pages(snapshot, 200, seed=13)
     pages = ray.data.from_arrow(table).repartition(4)
-    art, paths = process_pages(pages, str(tmp_path), snapshot=snapshot, cfg=CFG)
+    art, paths = process_pages(
+        pages, str(tmp_path), snapshot=snapshot, cfg=CFG, emit_mentions=True
+    )
     assert os.path.exists(paths["edges_csv"])
+    assert os.listdir(paths["mentions"])
     assert os.path.exists(paths["gpickle"])
     assert os.path.exists(paths["subgraphs"])
     assert os.listdir(paths["adjacency"])  # parquet partition dir
