@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 # --------------------------------------------------------------------- #
 # helpers
@@ -568,15 +568,12 @@ def q_mention_counts(sf_dir: str):
         )
 
     pages = ds.map_batches(as_pages, batch_format="pyarrow", zero_copy_batch=True)
-    snap_like = {"individuals": {
-        t: {"label": t, "surface_forms": [t]} for t in _VOCAB
-    }}
-    import json as _json
-
     from ..ontology.schema import OntologySnapshot
 
     snap = OntologySnapshot(
-        individuals=snap_like["individuals"], class_parents={}, obj_edges=[]
+        individuals={t: {"label": t, "surface_forms": [t]} for t in _VOCAB},
+        class_parents={},
+        obj_edges=[],
     )
     mentions = pages.map_batches(
         MentionDetector,
