@@ -1,0 +1,49 @@
+"""Deterministic sampling for QA slices (SURVEY §2.6: the reference has
+no sampling; the engine adds it for smoke slices and stratified QA).
+
+Sampling is content-addressed (md5 of the id), NOT RNG-based, so:
+- the same rows are selected at any parallelism level and on re-runs,
+- an oracle can reproduce the exact sample (md5 prefix compare in SQL),
+- samples are stable across engine versions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _md5_prefix(value) -> str:
+    return hashlib.md5(str(value).encode()).hexdigest()[:8]
+
+
+def deterministic_sample(ds: Dataset, id_col: str, frac: float) -> Dataset:
+    """Keep rows whose md5(id) 8-hex-digit prefix falls below frac of the
+    space.  No shuffle; pure vectorized filter."""
+    cut = format(int(frac * 16**8), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = [
+            _md5_prefix(v) < cut for v in batch.column(id_col).to_pylist()
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: Dataset, key_col: str, id_col: str, per_key: int
+) -> Dataset:
+    """First ``per_key`` rows per key, ordered by (md5(id), id) — a
+    deterministic per-stratum quota.  One groupby shuffle."""
+
+    def head_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__h=[_md5_prefix(v) for v in g[id_col]])
+        g = g.sort_values(["__h", id_col], kind="mergesort").head(per_key)
+        return g.drop(columns="__h")
+
+    return ds.groupby(key_col).map_groups(head_per_key, batch_format="pandas")

@@ -597,6 +597,43 @@ HAVING SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(d.text), ' '), x -> x = v.term))) 
 """
 
 
+def q_sample(sf_dir: str):
+    """Deterministic (content-addressed) 10% sample — same rows at any
+    parallelism, reproducible by the md5-prefix oracle."""
+    from ..functions.sample import deterministic_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return deterministic_sample(ds, "doc_id", 0.10).to_pandas()
+
+
+SQL_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language quota sample (3 docs per lang, md5-ordered)."""
+    from ..functions.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", "doc_id", 3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+SQL_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------- #
 # text analysis over documents
 # --------------------------------------------------------------------- #
@@ -1228,6 +1265,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "distinct_pairs": (q_distinct_pairs, SQL_DISTINCT_PAIRS),
     "first_per_key": (q_first_per_key, SQL_FIRST_PER_KEY),
     "url_validity": (q_url_validity, SQL_URL_VALIDITY),
+    "sample": (q_sample, SQL_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "word_stats": (q_word_stats, SQL_WORD_STATS),

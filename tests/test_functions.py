@@ -288,3 +288,27 @@ def test_dup_clusters_distributed_path(ray_session):
         for r in dup_clusters(pairs, driver_threshold=0).take_all()
     }
     assert fast == dist == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_deterministic_sampling(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "lang": ["en", "de"][i % 2]} for i in range(400)]
+    )
+    a = sorted(r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.1).take_all())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(ds.repartition(7), "doc_id", 0.1).take_all()
+    )
+    assert a == b and 10 <= len(a) <= 90  # same rows at any parallelism
+    strat = stratified_sample(ds, "lang", "doc_id", 5).take_all()
+    per_key = {}
+    for r in strat:
+        per_key.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in per_key.items()} == {"en": 5, "de": 5}
