@@ -22,3 +22,16 @@ caller (bench.py, CLI, test fixture, or the evaluation driver).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level convenience exports (keeps bare import light)
+    if name in ("process_pages", "output_edges", "extract_mentions"):
+        from .pipelines import api
+
+        return getattr(api, name)
+    if name in ("KGConfig", "run_kg_pipeline", "canonical_edges_to_artifacts"):
+        from .pipelines import kg
+
+        return getattr(kg, name)
+    raise AttributeError(name)

@@ -10,7 +10,11 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
     embedding_neardup_pairs,
+    dup_clusters,
 )
+from .join import bucketed_hash_join
+from .sample import deterministic_sample, stratified_sample
+from .windows import tumbling_window, sliding_window, sessionize
 from .ann import brute_force_topk, lsh_topk, ivf_topk, train_ivf_centroids
 
 __all__ = [
@@ -27,4 +31,11 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "train_ivf_centroids",
+    "dup_clusters",
+    "bucketed_hash_join",
+    "deterministic_sample",
+    "stratified_sample",
+    "tumbling_window",
+    "sliding_window",
+    "sessionize",
 ]
