@@ -97,7 +97,20 @@ def run_kg_pipeline(
     """Run the distributed front end; the returned canonical edge Dataset is
     lazy unless checkpointing forced stage materialization."""
     cfg = cfg or KGConfig()
-    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.run_key)
+    # guard against stale-checkpoint reuse: fold a fingerprint of the input
+    # files (when the Dataset exposes them) and the ontology snapshot into
+    # the manifest key, so a different corpus or ontology under the same
+    # run_key recomputes instead of resuming
+    import hashlib
+
+    try:
+        files = sorted(pages.input_files())
+    except Exception:
+        files = []
+    fp = hashlib.sha1(
+        ("|".join(files) + snap.to_json()).encode()
+    ).hexdigest()[:12]
+    ckpt = CheckpointManager(cfg.checkpoint_dir, f"{cfg.run_key}:{fp}")
     snapshot_ref = ray.put(snap.to_json())  # broadcast once, read per actor
 
     def _extracted() -> Dataset:

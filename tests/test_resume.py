@@ -111,3 +111,33 @@ def test_task_failure_retried(ray_session, snapshot, table, tmp_path_factory):
         max_retries=3,
     ).take_all()
     assert len(out) == table.num_rows
+
+
+def test_changed_ontology_invalidates_checkpoints(
+    ray_session, snapshot, table, tmp_path_factory
+):
+    """Same run_key but a different ontology snapshot must NOT resume from
+    the old checkpoints (input fingerprint folded into the manifest key)."""
+    import copy
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.ontology.fixture import (
+        build_fixture_snapshot,
+    )
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt4"))
+    _run(table, snapshot, ckpt)
+    other = build_fixture_snapshot(extra_chain_nodes=5)  # different ontology
+    cfg = KGConfig(
+        extractor_concurrency=2,
+        linker_concurrency=1,
+        actor_num_cpus=0.5,
+        batch_size=64,
+        checkpoint_dir=ckpt,
+        run_key="test-run",
+    )
+    pages = ray.data.from_arrow(table).repartition(4)
+    res = run_kg_pipeline(pages, other, cfg)
+    res.canonical_edges.take_all()
+    assert res.checkpoints.hits == []
