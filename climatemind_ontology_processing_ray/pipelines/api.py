@@ -116,6 +116,37 @@ def extract_mentions(
     )
 
 
+def merge_canonical_edges(existing: Dataset, new: Dataset, sources_cap: int = 8) -> Dataset:
+    """Incremental ingest: merge a new crawl batch's canonical edges into an
+    existing canonical edge table (support counts add, source sets union).
+
+    Because canonicalization is a sum/union aggregation, processing a corpus
+    in k batches and merging equals processing it at once (tested).  One
+    groupby shuffle over two ontology-sized tables.
+    """
+    import pandas as pd
+
+    from ..stages.canonicalize import TRIPLE_KEY
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        urls: list[str] = []
+        for lst in g["sources"]:
+            urls.extend(lst)
+        return pd.DataFrame(
+            {
+                "subject": [g["subject"].iloc[0]],
+                "object": [g["object"].iloc[0]],
+                "predicate": [g["predicate"].iloc[0]],
+                "support": [int(g["support"].sum())],
+                "sources": [sorted(set(urls))[:sources_cap]],
+            }
+        )
+
+    cols = TRIPLE_KEY + ["support", "sources"]
+    unioned = existing.select_columns(cols).union(new.select_columns(cols))
+    return unioned.groupby(TRIPLE_KEY).map_groups(merge, batch_format="pandas")
+
+
 def process_pages(
     pages: Dataset,
     output_dir: str,

@@ -97,3 +97,30 @@ def test_custom_extractor_extension(ray_session, snapshot):
     )
     rows = run_kg_pipeline(pages, snapshot, cfg).canonical_edges.take_all()
     assert rows and all(r["predicate"] == "causes_or_promotes" for r in rows)
+
+
+def test_incremental_merge_equals_full_run(ray_session, snapshot):
+    """Processing the corpus in two batches then merging canonical edges is
+    identical (supports included) to processing it at once."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.pipelines.api import merge_canonical_edges
+    from climatemind_ontology_processing_ray.pipelines.kg import run_kg_pipeline
+
+    table, _ = generate_pages(snapshot, 300, seed=13)
+    half = table.num_rows // 2
+
+    def canon(t):
+        res = run_kg_pipeline(
+            ray.data.from_arrow(t).repartition(4), snapshot, CFG
+        )
+        return res.canonical_edges
+
+    full = canon(table).take_all()
+    merged = merge_canonical_edges(
+        canon(table.slice(0, half)), canon(table.slice(half))
+    ).take_all()
+    key = lambda r: (r["subject"], r["object"], r["predicate"])
+    a = sorted((key(r), r["support"], tuple(r["sources"])) for r in full)
+    b = sorted((key(r), r["support"], tuple(r["sources"])) for r in merged)
+    assert a == b
