@@ -72,3 +72,55 @@ def bucketed_hash_join(
         return out
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str,
+    right_ts_col: str | None = None,
+    num_buckets: int = 32,
+) -> Dataset:
+    """As-of join (SURVEY §2.4 notes the reference has none; a general
+    engine needs it): for each left row, attach the latest right row with
+    the same key whose timestamp is <= the left timestamp.
+
+    Pattern from the Ray guide: bucket both sides by key hash, one groupby
+    shuffle co-locates a key's rows, ``pd.merge_asof`` runs per bucket over
+    ts-sorted frames.  Left rows with no earlier right row keep nulls.
+    """
+    right_ts_col = right_ts_col or ts_col
+    left_names = list(left.schema().names)
+    right_names = list(right.schema().names)
+    all_names = left_names + [n for n in right_names if n not in left_names]
+
+    l_tagged = left.map_batches(
+        lambda b: _with_schema(b, "l", all_names, key, num_buckets),
+        batch_format="pyarrow",
+    )
+    r_tagged = right.map_batches(
+        lambda b: _with_schema(b, "r", all_names, key, num_buckets),
+        batch_format="pyarrow",
+    )
+    unioned = l_tagged.union(r_tagged)
+    r_only = [n for n in right_names if n not in left_names]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][left_names].sort_values(ts_col, kind="mergesort")
+        r = g[g["__side"] == "r"][[key, right_ts_col] + [c for c in r_only if c != right_ts_col]]
+        r = r.sort_values(right_ts_col, kind="mergesort")
+        if len(l) == 0:
+            return pd.DataFrame(columns=left_names + r_only)
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=ts_col,
+            right_on=right_ts_col,
+            by=key,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        return out
+
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

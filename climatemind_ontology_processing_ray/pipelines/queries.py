@@ -1055,6 +1055,53 @@ FROM x GROUP BY event_type, window_start
 """
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users per event type (mergeable-sketch
+    aggregation; deterministic but approximate -> rows-only check; the
+    error bound vs exact COUNT DISTINCT is asserted in pytest)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = approx_distinct(ds, "user_id", ["event_type"], p=12).to_pandas()
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase event joined to the user's most recent
+    signup event at-or-before it (DuckDB ASOF JOIN oracle)."""
+    from ..functions.join import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.map_batches(
+        lambda b: b[b.event_type == "purchase"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    right = ev.map_batches(
+        lambda b: b[b.event_type == "signup"][["user_id", "ts"]].rename(
+            columns={"ts": "signup_ts"}
+        ),
+        batch_format="pandas",
+    )
+    joined = asof_join(
+        left, right, key="user_id", ts_col="ts", right_ts_col="signup_ts"
+    ).to_pandas()
+    joined["signup_epoch_us"] = [
+        int(v.value // 1000) if pd.notna(v) else -1 for v in joined["signup_ts"]
+    ]
+    joined["event_id"] = joined["event_id"].astype("int64")
+    joined["signup_epoch_us"] = joined["signup_epoch_us"].astype("int64")
+    return joined[["event_id", "signup_epoch_us"]].sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, COALESCE(EPOCH_US(r.ts), -1) AS signup_epoch_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_events_json(sf_dir: str):
     """JSON property extraction + modular grouping (props is a JSON blob)."""
     ds = _read(sf_dir, "events", ["props", "value"])
@@ -1282,6 +1329,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf": (q_ann_ivf, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "approx_distinct": (q_approx_distinct, None),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "kg_extract": (q_kg_extract, SQL_KG_EXTRACT),

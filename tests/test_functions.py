@@ -312,3 +312,23 @@ def test_deterministic_sampling(ray_session):
     for r in strat:
         per_key.setdefault(r["lang"], []).append(r["doc_id"])
     assert {k: len(v) for k, v in per_key.items()} == {"en": 5, "de": 5}
+
+
+def test_hll_approx_distinct(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sketch import approx_distinct
+
+    rows = [
+        {"k": "a", "v": f"user-{i % 1000}"} for i in range(5000)
+    ] + [{"k": "b", "v": f"user-{i % 50}"} for i in range(2000)]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = {r["k"]: r["approx_distinct"] for r in approx_distinct(ds, "v", ["k"]).take_all()}
+    assert abs(out["a"] - 1000) / 1000 < 0.05
+    assert abs(out["b"] - 50) / 50 < 0.05
+    # merge independence: different block layout, same sketch result
+    out2 = {
+        r["k"]: r["approx_distinct"]
+        for r in approx_distinct(ds.repartition(2), "v", ["k"]).take_all()
+    }
+    assert out == out2

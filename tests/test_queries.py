@@ -83,3 +83,20 @@ def test_registry_contract():
     assert set(o) <= set(q)
     assert len(q) >= 30
     assert len(o) >= 25
+
+
+def test_approx_distinct_error_bound(ray_session, con):
+    """HLL estimate within 5% of exact COUNT(DISTINCT)."""
+    from climatemind_ontology_processing_ray.pipelines.queries import REGISTRY
+
+    fn, _ = REGISTRY["approx_distinct"]
+    approx = {r.event_type: r.approx_distinct for r in fn(SF).itertuples()}
+    exact = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, approx[k], exact[k])
