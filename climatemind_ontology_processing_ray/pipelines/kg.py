@@ -67,6 +67,12 @@ class KGResult:
     snapshot: OntologySnapshot
     config: KGConfig = field(default_factory=KGConfig)
 
+    def stats(self) -> str:
+        """Per-operator wall/cpu/memory breakdown of the executed pipeline
+        (Ray Data ``Dataset.stats()``) — the observability hook used to tune
+        block sizes and pool widths."""
+        return self.canonical_edges.stats()
+
 
 def lang_filter(
     extracted: Dataset, keep_langs: tuple[str, ...], min_text_chars: int = 0

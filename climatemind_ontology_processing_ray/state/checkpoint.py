@@ -75,8 +75,15 @@ class CheckpointManager:
         for name in sorted(os.listdir(tmp_dir)):
             if not name.endswith(".parquet"):
                 continue
-            n = pq.read_metadata(os.path.join(tmp_dir, name)).num_rows
-            files.append({"path": name, "rows": n})
+            fpath = os.path.join(tmp_dir, name)
+            n = pq.read_metadata(fpath).num_rows
+            import hashlib
+
+            h = hashlib.md5()
+            with open(fpath, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            files.append({"path": name, "rows": n, "md5": h.hexdigest()})
             total += n
         manifest = {
             "stage": stage,
