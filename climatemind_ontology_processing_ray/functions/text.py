@@ -69,6 +69,81 @@ def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PHONE_RE = re.compile(r"\+?\d[\d\- ]{7,}\d")
+
+
+def scrub_pii(ds: Dataset, text_col: str = "text", out_col: str | None = None) -> Dataset:
+    """Replace email addresses and phone-number-shaped digit runs with
+    placeholder tokens (the standard pre-training PII scrub; stateless
+    vectorized map)."""
+    out_col = out_col or text_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scrubbed = [
+            _PHONE_RE.sub("<PHONE>", _EMAIL_RE.sub("<EMAIL>", t or ""))
+            for t in batch.column(text_col).to_pylist()
+        ]
+        arr = pa.array(scrubbed, pa.string())
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_documents(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    num_bins: int = 64,
+) -> Dataset:
+    """Pack documents into fixed-token-budget training groups.
+
+    Docs are hash-partitioned into ``num_bins`` groups (one shuffle), then
+    greedily packed in deterministic (id) order inside each group.  Over-
+    budget single documents become singleton packs.  Output: pack_id
+    (string: "<bin>-<seq>"), doc_ids (list), n_tokens (int64).
+    """
+    import hashlib
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        bins = [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % num_bins
+            for v in batch.column(id_col).to_pylist()
+        ]
+        return batch.append_column("__bin", pa.array(bins, pa.int32()))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        bin_id = int(g["__bin"].iloc[0])
+        packs, ids, toks = [], [], 0
+        out_rows = []
+        for i, t in zip(g[id_col], g[text_col]):
+            n = len((t or "").split(" "))
+            if ids and toks + n > max_tokens:
+                out_rows.append((ids, toks))
+                ids, toks = [], 0
+            ids.append(i)
+            toks += n
+        if ids:
+            out_rows.append((ids, toks))
+        return pd.DataFrame(
+            {
+                "pack_id": [f"{bin_id}-{seq}" for seq in range(len(out_rows))],
+                "doc_ids": [r[0] for r in out_rows],
+                "n_tokens": [int(r[1]) for r in out_rows],
+            }
+        )
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bin")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
 class TextQualityScorer:
     """Actor-pool quality scorer: length / punctuation / stopword /
     uniqueness signals (the usual pre-training quality heuristics)."""

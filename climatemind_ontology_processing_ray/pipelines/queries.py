@@ -694,6 +694,56 @@ FROM documents
 """
 
 
+def q_scrub_pii(sf_dir: str):
+    """PII scrub over a deterministically PII-injected corpus (both sides
+    inject the same emails/phones, then scrub)."""
+    from ..functions.text import scrub_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text"] = [
+            (t or "")
+            + (f" contact user{i}@example.com now" if i % 3 == 0 else "")
+            + (f" call 555-0100-{i:04d} today" if i % 5 == 0 else "")
+            for i, t in zip(b.doc_id, b.text)
+        ]
+        return b
+
+    out = scrub_pii(ds.map_batches(inject, batch_format="pandas")).to_pandas()
+    return out.rename(columns={"text": "scrubbed"})[["doc_id", "scrubbed"]]
+
+
+SQL_SCRUB_PII = """
+SELECT doc_id,
+       REGEXP_REPLACE(
+         REGEXP_REPLACE(
+           text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-0100-' || LPAD(CAST(doc_id AS VARCHAR), 4, '0') || ' today'
+                     ELSE '' END,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+def q_pack_documents(sf_dir: str):
+    """Token-budget document packing for training (rows-only; invariants
+    asserted in pytest)."""
+    from ..functions.text import pack_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_documents(ds, max_tokens=512, num_bins=16).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_docs"] = out["doc_ids"].map(len).astype("int64")
+    return out[["pack_id", "n_docs", "n_tokens"]].sort_values("pack_id").reset_index(drop=True)
+
+
 def q_quality_scores(sf_dir: str):
     """Composite quality + lang-id scores (actor pools; float heuristics —
     rows-only check)."""
@@ -1318,6 +1368,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "word_stats": (q_word_stats, SQL_WORD_STATS),
     "quality_scores": (q_quality_scores, None),
+    "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
+    "pack_documents": (q_pack_documents, None),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),

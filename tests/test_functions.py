@@ -332,3 +332,35 @@ def test_hll_approx_distinct(ray_session):
         for r in approx_distinct(ds.repartition(2), "v", ["k"]).take_all()
     }
     assert out == out2
+
+
+def test_scrub_pii_and_packing(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        pack_documents,
+        scrub_pii,
+    )
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "mail me at a.b+c@example.org or +1 555 123 4567 ok"},
+            {"doc_id": 1, "text": "clean text with no private data"},
+        ]
+    )
+    out = {r["doc_id"]: r["text"] for r in scrub_pii(ds).take_all()}
+    assert out[0] == "mail me at <EMAIL> or <PHONE> ok"
+    assert out[1] == "clean text with no private data"
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": " ".join(["w"] * (50 + i))} for i in range(40)]
+    ).repartition(4)
+    packs = pack_documents(docs, max_tokens=200, num_bins=4).take_all()
+    all_ids = [i for p in packs for i in p["doc_ids"]]
+    assert sorted(all_ids) == list(range(40))  # every doc packed exactly once
+    for p in packs:
+        assert p["n_tokens"] <= 200 or len(p["doc_ids"]) == 1  # budget or singleton
+    # determinism across layouts
+    packs2 = pack_documents(docs.repartition(9), max_tokens=200, num_bins=4).take_all()
+    k = lambda ps: sorted((p["pack_id"], tuple(p["doc_ids"]), p["n_tokens"]) for p in ps)
+    assert k(packs) == k(packs2)
