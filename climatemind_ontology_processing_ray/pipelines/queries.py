@@ -657,6 +657,55 @@ FROM documents
 """
 
 
+def q_top_terms(sf_dir: str):
+    """Explode -> two-phase count -> per-group top-k: the 3 most frequent
+    terms per source (ties broken lexicographically)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode_count(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[tuple, int] = {}
+        for src, t in zip(b.source, b.text):
+            for w in (t or "").lower().split(" "):
+                if w:
+                    rows[(src, w)] = rows.get((src, w), 0) + 1
+        keys = list(rows)
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k in keys],
+                "term": [k[1] for k in keys],
+                "n": [rows[k] for k in keys],
+            }
+        )
+
+    counts = (
+        ds.map_batches(explode_count, batch_format="pandas")
+        .groupby(["source", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        return g.head(3)
+
+    out = counts.groupby("source").map_groups(topk, batch_format="pandas").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["source", "term"]).reset_index(drop=True)
+
+
+SQL_TOP_TERMS = """
+SELECT source, term, n FROM (
+  SELECT source, term, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rn
+  FROM (
+    SELECT source, term, COUNT(*) AS n
+    FROM (SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY source, term
+  )
+) WHERE rn <= 3
+"""
+
+
 def q_fingerprint(sf_dir: str):
     from ..functions.text import add_fingerprints
 
@@ -1366,6 +1415,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "word_stats": (q_word_stats, SQL_WORD_STATS),
     "quality_scores": (q_quality_scores, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
