@@ -364,3 +364,35 @@ def test_scrub_pii_and_packing(ray_session):
     packs2 = pack_documents(docs.repartition(9), max_tokens=200, num_bins=4).take_all()
     k = lambda ps: sorted((p["pack_id"], tuple(p["doc_ids"]), p["n_tokens"]) for p in ps)
     assert k(packs) == k(packs2)
+
+
+def test_graph_as_datasets(ray_session, snapshot, golden, tmp_path):
+    import json
+
+    from climatemind_ontology_processing_ray.graph.enrich import build_enriched_graph
+    from climatemind_ontology_processing_ray.graph.tables import graph_to_datasets
+
+    art = build_enriched_graph(golden, snapshot)
+    ds = graph_to_datasets(art)
+    assert ds["nodes"].count() == art.G.number_of_nodes()
+    assert ds["edges"].count() == art.G.number_of_edges()
+    # nested Arrow schema survives a parquet round trip
+    out = str(tmp_path / "nodes")
+    ds["nodes"].write_parquet(out)
+    import ray.data
+
+    back = ray.data.read_parquet(out)
+    assert back.count() == art.G.number_of_nodes()
+    row = next(r for r in back.take_all() if r["label"] == "onshore wind energy")
+    assert row["data_properties"]["CO2_eq_reduced"] == 47.2
+    assert "mitigation" in row["direct_classes"]
+    extra = json.loads(row["extra"])
+    assert "risk solution" in extra  # dynamic superclass key carried in extra
+    erow = next(
+        r
+        for r in ds["edges"].take_all()
+        if r["subject"] == "burning of fossil fuels"
+        and r["object"] == "increase in atmospheric co2"
+    )
+    props = dict(erow["properties"])
+    assert "dc_source" in props
