@@ -175,6 +175,13 @@ def process_pages(
     paths = write_all_artifacts(art, output_dir)
     paths["canonical_edges"] = edges_dir
     paths["adjacency"] = adjacency_dir
+    # graph tables in the data plane (nested Arrow schemas)
+    from ..graph.tables import graph_to_datasets
+
+    tables = graph_to_datasets(art)
+    nodes_dir = os.path.join(output_dir, "nodes")
+    tables["nodes"].write_parquet(nodes_dir)
+    paths["nodes"] = nodes_dir
     if emit_mentions:
         mentions_dir = os.path.join(output_dir, "mentions")
         extract_mentions(pages, snap, cfg).write_parquet(mentions_dir)
