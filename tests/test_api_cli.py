@@ -124,3 +124,26 @@ def test_incremental_merge_equals_full_run(ray_session, snapshot):
     a = sorted((key(r), r["support"], tuple(r["sources"])) for r in full)
     b = sorted((key(r), r["support"], tuple(r["sources"])) for r in merged)
     assert a == b
+
+
+def test_cli_process_end_to_end(tmp_path):
+    import subprocess
+    import sys
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    env_cmd = [sys.executable, "-m", "climatemind_ontology_processing_ray"]
+    r1 = subprocess.run(
+        env_cmd + ["synth", "--out", pages_dir, "--pages", "150"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r1.returncode == 0, r1.stderr
+    r2 = subprocess.run(
+        env_cmd + ["process", "--pages", pages_dir, "--out", out_dir, "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert os.path.exists(os.path.join(out_dir, "output.csv"))
+    assert os.path.exists(os.path.join(out_dir, "graphs_for_visualization.pickle"))
+    assert os.listdir(os.path.join(out_dir, "adjacency"))
+    assert os.listdir(os.path.join(out_dir, "nodes"))
