@@ -158,12 +158,19 @@ def process_pages(
     enrichment -> all reference output files under ``output_dir``.
     ``emit_mentions`` additionally materializes the mentions table
     (SURVEY §1.3) as Parquet."""
+    import shutil
+
     snap = _load_snapshot(snapshot)
     os.makedirs(output_dir, exist_ok=True)
     res = run_kg_pipeline(pages, snap, cfg)
-    # web-scale outputs: canonical edges + adjacency partitions (Parquet)
+    # web-scale outputs: canonical edges + adjacency partitions (Parquet).
+    # Parquet dirs are cleared first: Ray's writer ADDS uniquely-named part
+    # files, so a rerun into a stale dir would otherwise duplicate rows.
     edges_dir = os.path.join(output_dir, "canonical_edges")
     adjacency_dir = os.path.join(output_dir, "adjacency")
+    for d in (edges_dir, adjacency_dir, os.path.join(output_dir, "nodes"),
+              os.path.join(output_dir, "mentions")):
+        shutil.rmtree(d, ignore_errors=True)
     res.canonical_edges.write_parquet(edges_dir)
 
     import ray.data

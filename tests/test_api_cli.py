@@ -147,3 +147,17 @@ def test_cli_process_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "graphs_for_visualization.pickle"))
     assert os.listdir(os.path.join(out_dir, "adjacency"))
     assert os.listdir(os.path.join(out_dir, "nodes"))
+
+
+def test_process_pages_rerun_is_idempotent(ray_session, snapshot, tmp_path):
+    """Rerunning into the same output dir must not duplicate parquet rows
+    (Ray's writer adds uniquely-named files; dirs are cleared first)."""
+    import ray.data
+
+    table, _ = generate_pages(snapshot, 150, seed=13)
+    out = str(tmp_path)
+    for _ in range(2):
+        pages = ray.data.from_arrow(table).repartition(2)
+        _, paths = process_pages(pages, out, snapshot=snapshot, cfg=CFG)
+    n = ray.data.read_parquet(paths["canonical_edges"]).count()
+    assert n == 97
