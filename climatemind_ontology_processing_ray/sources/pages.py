@@ -267,6 +267,11 @@ def write_pages_parquet(
                     return out_dir
         except Exception:
             pass
+    import shutil
+
+    # clear any stale/partial shards (an interrupted earlier write, or a
+    # previous corpus with more files, would otherwise leave extra rows)
+    shutil.rmtree(out_dir, ignore_errors=True)
     table, _ = generate_pages(snap, n_pages, seed)
     os.makedirs(out_dir, exist_ok=True)
     for shard, start in enumerate(range(0, n_pages, rows_per_file)):
