@@ -188,3 +188,45 @@ def test_mention_spans_are_exact_page_offsets(ray_session, snapshot):
     sids = {r["span_start"]: r["sent_id"] for r in rows}
     assert sids[0] == 0  # first sentence
     assert max(sids.values()) >= 1  # later mentions in a later sentence
+
+
+def test_skew_stress_partial_rows_bounded(ray_session, snapshot):
+    """Zipf-heavy stress (SURVEY §7.1 item 5): a single hot triple repeated
+    on most pages must enter the shuffle as at most (blocks x salts) partial
+    rows, not one row per occurrence — the map-side combine bound."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from climatemind_ontology_processing_ray.stages.extract import extract_pages_batch
+    from climatemind_ontology_processing_ray.stages.fused import make_fused_partials_fn
+
+    n_pages, n_blocks, n_salts = 600, 6, 8
+    hot = "global warming causes sea level rise."
+    table = pa.table(
+        {
+            "url": pa.array([f"https://s{i % 97}.example/{i}" for i in range(n_pages)]),
+            "html": pa.array(
+                [f"<p>{hot} Filler {i}.</p>".encode() for i in range(n_pages)],
+                pa.binary(),
+            ),
+            "lang": pa.array(["en"] * n_pages),
+        }
+    )
+    ref = ray.put(snapshot.to_json())
+    partials = (
+        ray.data.from_arrow(table)
+        .repartition(n_blocks)
+        .map_batches(extract_pages_batch, batch_format="pyarrow")
+        .map_batches(
+            make_fused_partials_fn(snapshot_ref=ref, num_salts=n_salts),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()
+    )
+    hot_rows = [p for p in partials if p["subject"] == "global warming"]
+    assert sum(p["support"] for p in hot_rows) == n_pages  # nothing lost
+    assert len(hot_rows) <= n_blocks  # one partial row per block, not per page
+    # and the salts spread those partials across reducers
+    assert len({p["salt"] for p in hot_rows}) > 1
