@@ -13,8 +13,15 @@ nothing here (or in the library code) calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the package lives next to this file; make imports robust to any driver CWD
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry() -> Any:
