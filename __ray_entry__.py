@@ -19,9 +19,14 @@ from collections.abc import Callable
 from typing import Any
 
 # the package lives next to this file; make imports robust to any driver CWD
+# (PYTHONPATH additionally covers Ray workers spawned after this import)
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 
 def entry() -> Any:
