@@ -95,7 +95,7 @@ def extract_mentions(
 
     cfg = cfg or KGConfig()
     snap = _load_snapshot(snapshot)
-    snapshot_ref = ray.put(snap.to_json())
+    snapshot_json = snap.to_json()
     extracted = lang_filter(
         pages.map_batches(
             extract_pages_batch,
@@ -108,7 +108,7 @@ def extract_mentions(
     )
     return extracted.map_batches(
         MentionDetector,
-        fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+        fn_constructor_kwargs={"snapshot_json": snapshot_json},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.extractor_concurrency,

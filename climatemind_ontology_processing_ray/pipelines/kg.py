@@ -117,7 +117,11 @@ def run_kg_pipeline(
         ("|".join(files) + snap.to_json()).encode()
     ).hexdigest()[:12]
     ckpt = CheckpointManager(cfg.checkpoint_dir, f"{cfg.run_key}:{fp}")
-    snapshot_ref = ray.put(snap.to_json())  # broadcast once, read per actor
+    # the snapshot is ~100 KB JSON: shipped inline in constructor kwargs.
+    # (An ObjectRef broadcast also works but makes actor RESTARTS depend on
+    # the driver keeping the ref alive — ray-project/ray#53727; inline args
+    # are self-contained.  For genuinely large snapshots switch to ray.put.)
+    snapshot_json = snap.to_json()
 
     def _extracted() -> Dataset:
         ds = pages.map_batches(
@@ -139,7 +143,7 @@ def run_kg_pipeline(
             # read/extract/filter chain into ONE operator (see fused.py)
             return extracted.map_batches(
                 make_fused_partials_fn(
-                    snapshot_ref=snapshot_ref,
+                    snapshot_json=snapshot_json,
                     threshold=cfg.link_threshold,
                     num_salts=cfg.num_salts,
                     sources_cap=cfg.sources_cap,
@@ -162,7 +166,7 @@ def run_kg_pipeline(
     def _linked() -> Dataset:
         triples = extracted.map_batches(
             cfg.triple_extractor_cls or S.TripleExtractor,
-            fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+            fn_constructor_kwargs={"snapshot_json": snapshot_json},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.extractor_concurrency,
@@ -171,7 +175,7 @@ def run_kg_pipeline(
         return triples.map_batches(
             cfg.entity_linker_cls or S.EntityLinker,
             fn_constructor_kwargs={
-                "snapshot_ref": snapshot_ref,
+                "snapshot_json": snapshot_json,
                 "threshold": cfg.link_threshold,
             },
             batch_format="pyarrow",

@@ -67,8 +67,12 @@ def make_fused_partials_fn(
     block hand-off per batch).  Use the actor-pool stages instead
     (KGConfig(fused=False)) when linker state is heavy (a real model).
     """
+    import hashlib
+
     key = (
-        snapshot_ref.hex() if hasattr(snapshot_ref, "hex") else id(snapshot_json),
+        snapshot_ref.hex()
+        if hasattr(snapshot_ref, "hex")
+        else hashlib.sha1((snapshot_json or "").encode()).hexdigest(),
         threshold,
         num_salts,
         sources_cap,
