@@ -112,7 +112,22 @@ def ivf_topk(
     Scale path: broadcast is just the (n_centroids x dim) matrix; per-batch
     work is a small matmul + mask.  Output schema matches brute_force_topk.
     """
-    sample_rows = ds.select_columns([vec_col]).limit(train_sample_size).take_all()
+    # unbiased deterministic training sample: content-addressed md5 filter
+    # over ids (a ``limit(N)`` prefix is biased when the corpus is ordered);
+    # the fraction is sized from the dataset row count, with a floor so tiny
+    # corpora still train.
+    from .sample import deterministic_sample
+
+    n_rows = ds.count()
+    frac = min(1.0, train_sample_size / max(n_rows, 1))
+    sample_rows = (
+        deterministic_sample(ds.select_columns([id_col, vec_col]), id_col, frac)
+        .limit(train_sample_size)
+        .take_all()
+    )
+    if len(sample_rows) < min(n_centroids, n_rows):
+        # degenerate fraction (rounding on tiny inputs): fall back to prefix
+        sample_rows = ds.select_columns([id_col, vec_col]).limit(train_sample_size).take_all()
     sample = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
     cents = train_ivf_centroids(sample, n_centroids, seed=seed)
     q = _normalize(np.asarray(queries, dtype=np.float64))

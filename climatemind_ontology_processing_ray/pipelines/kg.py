@@ -17,6 +17,7 @@ stage boundaries via CheckpointManager.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -104,18 +105,40 @@ def run_kg_pipeline(
     lazy unless checkpointing forced stage materialization."""
     cfg = cfg or KGConfig()
     # guard against stale-checkpoint reuse: fold a fingerprint of the input
-    # files (when the Dataset exposes them) and the ontology snapshot into
-    # the manifest key, so a different corpus or ontology under the same
-    # run_key recomputes instead of resuming
+    # corpus and the ontology snapshot into the manifest key, so a different
+    # corpus or ontology under the same run_key recomputes instead of
+    # resuming.  For file-backed Datasets the fingerprint covers the file
+    # list plus each file's (size, mtime); for in-memory / transformed
+    # Datasets (``input_files()`` empty — from_arrow, from_pandas, mapped
+    # sources) it falls back to a CONTENT fingerprint: row count + a
+    # deterministic prefix sample of urls.  Only computed when checkpointing
+    # is on — the no-checkpoint path stays fully lazy.
     import hashlib
 
-    try:
-        files = sorted(pages.input_files())
-    except Exception:
-        files = []
-    fp = hashlib.sha1(
-        ("|".join(files) + snap.to_json()).encode()
-    ).hexdigest()[:12]
+    if cfg.checkpoint_dir:
+        try:
+            files = sorted(pages.input_files())
+        except Exception:
+            files = []
+        if files:
+            stats = []
+            for f in files:
+                try:
+                    st = os.stat(f)
+                    stats.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+                except OSError:
+                    stats.append(f)
+            corpus_fp = "|".join(stats)
+        else:
+            sample = pages.select_columns(["url"]).limit(64).take_all()
+            corpus_fp = f"rows={pages.count()}|" + "|".join(
+                r["url"] for r in sample
+            )
+        fp = hashlib.sha1(
+            (corpus_fp + snap.to_json()).encode()
+        ).hexdigest()[:12]
+    else:
+        fp = "nockpt"
     ckpt = CheckpointManager(cfg.checkpoint_dir, f"{cfg.run_key}:{fp}")
     # the snapshot is ~100 KB JSON: shipped inline in constructor kwargs.
     # (An ObjectRef broadcast also works but makes actor RESTARTS depend on
