@@ -193,18 +193,22 @@ def minhash_lsh_pairs(
         .map_groups(pair_dedup, batch_format="pandas")
     )
 
-    # verification against true n-gram Jaccard.  Shingle-hash sets are
-    # computed DISTRIBUTED (map_batches) and only the compact hash arrays
-    # are collected into a broadcast {id: uint64-set} — fine for
-    # correctness/bench scales; at 10^12 docs replace the broadcast with a
-    # hash-partition join of candidates against (id, shingles) on id.
+    # verification against true n-gram Jaccard — fully DISTRIBUTED: a
+    # hash-partition join of the candidate pairs against the (id, sorted
+    # shingle hashes) table on id (once per side), then a per-pair
+    # partition that computes the exact Jaccard.  No corpus-sized driver
+    # structure: only the candidate-id set (output-sized, one int per
+    # involved doc) is broadcast, to semi-join-prune the shingle table
+    # before the exchange.
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         hashes = [
-            np.fromiter(
-                (_hash64(s) for s in _word_ngrams(t or "", ngram)),
-                dtype=np.uint64,
+            np.unique(
+                np.fromiter(
+                    (_hash64(s) for s in _word_ngrams(t or "", ngram)),
+                    dtype=np.uint64,
+                )
             )
             for t in texts
         ]
@@ -215,26 +219,134 @@ def minhash_lsh_pairs(
             }
         )
 
-    shingle_map: dict = {}
-    for row in ds.map_batches(
+    shingles_ds = ds.map_batches(
         shingle_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():
-        shingle_map[row[id_col]] = set(row["shingles"])
-    map_ref = ray.put(shingle_map)
+    )
+    return _verify_pairs_jaccard(
+        candidates, shingles_ds, id_col, threshold=threshold
+    )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(map_ref)
-        if len(batch) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        j = [
-            jaccard(m.get(x, set()), m.get(y, set()))
-            for x, y in zip(batch["id_a"], batch["id_b"])
+
+def _verify_pairs_jaccard(
+    candidates: Dataset,
+    shingles_ds: Dataset,
+    id_col: str,
+    *,
+    threshold: float,
+    num_parts: int = _NUM_PARTS,
+) -> Dataset:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    distributed (id, sorted-unique shingle hashes) table.
+
+    Shuffle structure (both exchanges are hash-partition groupbys):
+
+    1. pairs exploded to one row per side keyed by that side's id, unioned
+       with the shingle table, grouped by hash(id) — each partition holds
+       the shingle lists for its ids plus every pair-side needing them;
+       emits (id_a, id_b, shingles) rows.
+    2. grouped by hash(id_a, id_b) — each pair's two sides meet; exact
+       Jaccard via sorted-array intersection (np.intersect1d).
+
+    The candidate-id set (output-sized) is broadcast once to prune the
+    shingle table before exchange 1, so the corpus-sized shingle table
+    never shuffles rows that no pair needs.
+    """
+    # pin: pairs feed two downstream uses (explode + id-set); without this
+    # the lazy candidate pipeline would re-run per consumer.
+    candidates = candidates.materialize()
+    cand_ids: set = set()
+    for row in candidates.select_columns(["id_a", "id_b"]).take_all():
+        cand_ids.add(row["id_a"])
+        cand_ids.add(row["id_b"])
+    if not cand_ids:
+        return candidates.map_batches(
+            lambda b: pd.DataFrame(
+                {"id_a": [], "id_b": [], "jaccard": pd.Series([], dtype="float64")}
+            ),
+            batch_format="pandas",
+        )
+    ids_ref = ray.put(cand_ids)
+
+    # no nulls anywhere (a null in an int64 column would promote to float64
+    # through the pandas group conversion, corrupting large ids): shingle
+    # rows carry their own id in id_a/id_b, an is_shingle flag tells the
+    # row kinds apart, and pair rows carry an empty shingle list.
+    def prune_and_key(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(ids_ref)
+        batch = batch[[i in keep for i in batch[id_col]]]
+        return pd.DataFrame(
+            {
+                "jid": batch[id_col],
+                "id_a": batch[id_col],
+                "id_b": batch[id_col],
+                "is_shingle": True,
+                "shingles": batch["shingles"],
+                "__part": [
+                    zlib.crc32(str(i).encode()) % num_parts for i in batch[id_col]
+                ],
+            }
+        )
+
+    def explode_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for side in ("id_a", "id_b"):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "jid": batch[side],
+                        "id_a": batch["id_a"],
+                        "id_b": batch["id_b"],
+                        "is_shingle": False,
+                        "shingles": [[]] * len(batch),
+                        "__part": [
+                            zlib.crc32(str(i).encode()) % num_parts
+                            for i in batch[side]
+                        ],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
+        mask = g["is_shingle"].to_numpy()
+        lookup = dict(zip(g.loc[mask, "jid"], g.loc[mask, "shingles"]))
+        p = g[~mask]
+        out = pd.DataFrame(
+            {
+                "id_a": p["id_a"].to_numpy(),
+                "id_b": p["id_b"].to_numpy(),
+                "shingles": [lookup.get(j, []) for j in p["jid"]],
+            }
+        )
+        out["__pp"] = [
+            zlib.crc32(f"{x}|{y}".encode()) % num_parts
+            for x, y in zip(out["id_a"], out["id_b"])
         ]
-        batch = batch.copy()
-        batch["jaccard"] = j
-        return batch[batch["jaccard"] >= threshold]
+        return out
 
-    return candidates.map_batches(verify, batch_format="pandas")
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (ia, ib), sub in g.groupby(["id_a", "id_b"], sort=False):
+            sets = [np.asarray(s, dtype=np.uint64) for s in sub["shingles"]]
+            if len(sets) != 2:  # a side went missing — never a valid pair
+                continue
+            a, b = sets[0], sets[1]
+            if len(a) == 0 and len(b) == 0:
+                j = 1.0
+            else:
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                j = inter / (len(a) + len(b) - inter)
+            if j >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(j)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    keyed = shingles_ds.map_batches(prune_and_key, batch_format="pandas").union(
+        candidates.map_batches(explode_sides, batch_format="pandas")
+    )
+    sided = keyed.groupby("__part").map_groups(attach_shingles, batch_format="pandas")
+    return sided.groupby("__pp").map_groups(pair_jaccard, batch_format="pandas")
 
 
 # --------------------------------------------------------------------- #
@@ -369,23 +481,69 @@ def simhash_buckets(
 # --------------------------------------------------------------------- #
 
 
+@ray.remote
+def _concat_pandas_blocks(*dfs):
+    import pandas as _pd
+
+    return _pd.concat(list(dfs), ignore_index=True)
+
+
+@ray.remote
+def _concat_arrow_blocks(*tables):
+    import pyarrow as _pa
+
+    return _pa.concat_tables(list(tables), promote_options="permissive")
+
+
+def pin_blocks(ds: Dataset, target_blocks: int = 64) -> Dataset:
+    """Materialize ``ds`` and rebuild it from its block refs, coalesced to
+    <= ``target_blocks`` blocks via remote concat tasks (no driver data).
+
+    Needed by ITERATIVE algorithms: in ray 2.49 a per-round
+    union -> sort -> materialize loop (a) re-plans the full upstream chain
+    each round (``materialize`` does not truncate the logical plan across
+    ``union``) and (b) doubles the block count every round (sort preserves
+    input block count) — both make round cost grow geometrically.
+    Rebuilding from refs cuts the lineage; the concat bounds block count.
+    """
+    mat = ds.materialize()
+    refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return mat
+    if len(refs) > target_blocks:
+        chunks = [refs[i::target_blocks] for i in range(target_blocks)]
+        peek = ray.get(refs[0])
+        concat = (
+            _concat_pandas_blocks if isinstance(peek, pd.DataFrame) else _concat_arrow_blocks
+        )
+        refs = [concat.remote(*c) for c in chunks if c]
+    peek = ray.get(refs[0])
+    if isinstance(peek, pd.DataFrame):
+        return ray.data.from_pandas_refs(refs)
+    return ray.data.from_arrow_refs(refs)
+
+
 def dup_clusters(
     pairs: Dataset,
     ids: Dataset | None = None,
     id_col: str = "doc_id",
-    max_rounds: int = 10,
+    max_rounds: int = 30,
     driver_threshold: int = 250_000,
 ) -> Dataset:
     """Resolve duplicate PAIRS (id_a, id_b) into CLUSTERS via distributed
-    min-label propagation (the groupby-iteration pattern from the Ray
-    guide; union-find on the driver only works when the pair set is
-    provably small).
+    min-label propagation with POINTER DOUBLING (union-find on the driver
+    only when the pair set is provably small).
 
-    Each round: every node proposes min(own label, neighbors' labels);
-    a hash-partition groupby takes the min.  Converges in O(component
-    diameter) rounds — near-dup components are shallow, so ``max_rounds``
-    of 10 covers paths of length 2^10 via pointer-halving-free simple
-    propagation.  Rounds stop early when no label changes.
+    Each distributed round combines, per node, (a) simple propagation —
+    min over neighbors' labels — and (b) pointer doubling —
+    ``label(label(id))`` — so the number of rounds needed is
+    O(log diameter), not O(diameter): ``max_rounds=30`` covers components
+    of diameter ~2^30.  Both lookups are hash-partition joins (the label
+    table is co-partitioned with the edge table on the join key); NOTHING
+    round-trips through the driver — convergence is detected from an
+    aggregated per-round changed-count, and the loop RAISES if the labels
+    have not stabilized within ``max_rounds`` (silent splitting of a
+    component would corrupt downstream dedup).
 
     Returns (id, cluster) where cluster = min id of the component.
     ``ids`` optionally supplies singleton nodes (rows with no pair).
@@ -449,6 +607,12 @@ def dup_clusters(
         import ray.data as _rd
 
         return _rd.from_pandas(rows)
+    # adaptive partition fan-out: tiny label tables don't need 64-way sorts
+    num_parts = min(_NUM_PARTS, max(8, pairs.count() // 4096))
+
+    def _part_of(values) -> list[int]:
+        return [zlib.crc32(str(v).encode()) % num_parts for v in values]
+
     labels = pairs.map_batches(seed_labels, batch_format="pandas")
     if ids is not None:
         labels = labels.union(
@@ -457,33 +621,141 @@ def dup_clusters(
                 batch_format="pandas",
             )
         )
-    labels = labels.groupby("id").map_groups(min_per_id, batch_format="pandas").materialize()
-    edges = pairs.map_batches(edge_rows, batch_format="pandas").materialize()
 
-    import ray as _ray
+    def min_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("id", sort=False, as_index=False)["label"].min()
 
-    for _ in range(max_rounds):
-        # broadcast the current (small: one row per involved doc) label map;
-        # at 10^12 scale replace with a bucketed hash join on src
-        label_map = {r["id"]: r["label"] for r in labels.take_all()}
-        ref = _ray.put(label_map)
+    labels = pin_blocks(
+        labels.map_batches(
+            lambda b: b.assign(__part=_part_of(b["id"])), batch_format="pandas"
+        )
+        .groupby("__part")
+        .map_groups(min_per_partition, batch_format="pandas"),
+        target_blocks=num_parts,
+    )
+    edges = pin_blocks(
+        pairs.map_batches(edge_rows, batch_format="pandas"), target_blocks=num_parts
+    )
 
-        def propose(b: pd.DataFrame) -> pd.DataFrame:
-            m = _ray.get(ref)
-            return pd.DataFrame(
-                {"id": b["dst"], "label": [m[s] for s in b["src"]]}
-            )
+    # Each round, ONE co-partitioned exchange answers both lookups:
+    #   rows keyed by jid = the id whose label is being looked up —
+    #     label rows   (jid=id,    kind=0): the label table itself
+    #     edge rows    (jid=src,   kind=1, ref=dst):  neighbor propagation
+    #     pointer rows (jid=label, kind=2, ref=id):   label(label(id))
+    # The partition holding jid's label row emits (ref, label(jid)).
+    # A second exchange takes the per-id min of {old label} ∪ proposals and
+    # counts changed ids; Sum(changed) == 0 terminates the loop.
+    from ray.data.aggregate import Sum as _Sum
 
-        proposals = edges.map_batches(propose, batch_format="pandas")
-        new_labels = (
-            labels.union(proposals)
-            .groupby("id")
-            .map_groups(min_per_id, batch_format="pandas")
-        ).materialize()
-        new_map = {r["id"]: r["label"] for r in new_labels.take_all()}
-        labels = new_labels
-        if new_map == label_map:
+    def lookup_rows(labels_ds: Dataset) -> Dataset:
+        lab = labels_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "jid": b["id"],
+                    "ref": b["id"],
+                    "kind": 0,
+                    "label": b["label"],
+                    "__part": _part_of(b["id"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+        ptr = labels_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "jid": b["label"],
+                    "ref": b["id"],
+                    "kind": 2,
+                    "label": b["label"],
+                    "__part": _part_of(b["label"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+        edge = edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "jid": b["src"],
+                    "ref": b["dst"],
+                    "kind": 1,
+                    "label": b["src"],
+                    "__part": _part_of(b["src"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+        return lab.union(edge).union(ptr)
+
+    def resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
+        is_label = g["kind"].to_numpy() == 0
+        lookup = dict(zip(g.loc[is_label, "jid"], g.loc[is_label, "label"]))
+        req = g[~is_label]
+        return pd.DataFrame(
+            {
+                "id": req["ref"].to_numpy(),
+                "label": [lookup[j] for j in req["jid"]],
+                "__part": _part_of(req["ref"]),
+            }
+        )
+
+    def min_and_changed(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("id", sort=False, as_index=False)["label"].min()
+        old = g.loc[g["is_old"].to_numpy() == 1, ["id", "label"]].rename(
+            columns={"label": "old_label"}
+        )
+        out = new.merge(old, on="id", how="left")
+        out["changed"] = (out["label"] != out["old_label"]).astype("int64")
+        return out[["id", "label", "changed"]]
+
+    for round_no in range(max_rounds):
+        # pinned: proposals are output-sized, and pinning keeps each
+        # round's plan to a single all-to-all (two chained sorts across a
+        # union stall the ray 2.49 streaming executor) AND cuts lineage /
+        # block growth (see pin_blocks)
+        proposals = pin_blocks(
+            lookup_rows(labels)
+            .groupby("__part")
+            .map_groups(resolve_partition, batch_format="pandas"),
+            target_blocks=num_parts,
+        )
+        old = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "label": b["label"],
+                    "is_old": 1,
+                    "__part": _part_of(b["id"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+        prop = proposals.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "label": b["label"],
+                    "is_old": 0,
+                    "__part": b["__part"],
+                }
+            ),
+            batch_format="pandas",
+        )
+        merged = pin_blocks(
+            old.union(prop)
+            .groupby("__part")
+            .map_groups(min_and_changed, batch_format="pandas"),
+            target_blocks=num_parts,
+        )
+        n_changed = merged.aggregate(_Sum("changed", alias_name="n"))["n"]
+        labels = pin_blocks(merged.drop_columns(["changed"]), target_blocks=num_parts)
+        if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_rounds} pointer-doubling "
+            "rounds — component structure is deeper than 2^max_rounds, or the "
+            "pair set is inconsistent; raise max_rounds"
+        )
 
     return labels.map_batches(
         lambda b: b.rename(columns={"label": "cluster"}), batch_format="pandas"
@@ -501,16 +773,44 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
+    method: str = "auto",
+    broadcast_threshold: int = 200_000,
+    n_centroids: int = 64,
+    nassign: int = 2,
+    seed: int = 42,
 ) -> Dataset:
     """All pairs (id_a < id_b) with cosine similarity >= threshold.
 
-    The full (id, normalized-vector) matrix is broadcast once with
-    ``ray.put``; each batch computes its (batch x all) similarity block
-    with one numpy matmul and keeps only upper-triangle hits.  Compute is
-    distributed over batches; the broadcast is the scale limit (fine to
-    ~10^6 x 10^2 dims; beyond that, IVF-bucket first: see ann.lsh_topk).
+    Two paths:
+
+    - ``broadcast`` — the full (id, normalized-vector) matrix is broadcast
+      once with ``ray.put``; each batch computes its (batch x all)
+      similarity block with one numpy matmul.  Exact; the broadcast is the
+      scale limit (~10^6 x 10^2 dims).
+    - ``ivf`` — the 10^12-scale path: vectors are assigned to their
+      ``nassign`` nearest k-means centroids (multi-assignment so
+      cross-boundary pairs still co-locate), one groupby shuffle buckets
+      each centroid's members, pairwise cosine runs per bucket, and a
+      pair-dedup shuffle removes pairs found in several buckets.
+      Approximate: a pair is missed only if the two vectors share none of
+      their ``nassign`` nearest centroids (exact duplicates always share
+      all of them).
+
+    ``auto`` picks broadcast below ``broadcast_threshold`` rows, else ivf.
     Output: id_a, id_b, cosine.
     """
+    if method == "auto":
+        method = "broadcast" if ds.count() <= broadcast_threshold else "ivf"
+    if method == "ivf":
+        return _embedding_neardup_ivf(
+            ds,
+            id_col,
+            vec_col,
+            threshold=threshold,
+            n_centroids=n_centroids,
+            nassign=nassign,
+            seed=seed,
+        )
     ids_list: list = []
     vecs_list: list = []
     for batch in ds.select_columns([id_col, vec_col]).iter_batches(
@@ -544,3 +844,88 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     return ds.map_batches(block, batch_format="pandas", batch_size=2048)
+
+
+def _embedding_neardup_ivf(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_centroids: int,
+    nassign: int,
+    seed: int,
+) -> Dataset:
+    """IVF-bucketed near-dup pairs: the scale path promised by
+    :func:`embedding_neardup_pairs`.  Only the (n_centroids x dim) centroid
+    matrix is broadcast; all pairwise work happens inside per-centroid
+    buckets after ONE groupby shuffle, followed by the standard pair-dedup
+    shuffle.  Bucket sizes are ~N*nassign/n_centroids — size ``n_centroids``
+    so a bucket's matrix fits a worker's heap."""
+    from .ann import train_ivf_centroids, _normalize
+    from .sample import deterministic_sample
+
+    n_rows = ds.count()
+    frac = min(1.0, 4096 / max(n_rows, 1))
+    sample_rows = (
+        deterministic_sample(ds.select_columns([id_col, vec_col]), id_col, frac)
+        .limit(4096)
+        .take_all()
+    )
+    if len(sample_rows) < min(n_centroids, n_rows):
+        sample_rows = ds.select_columns([id_col, vec_col]).limit(4096).take_all()
+    sample = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    cents = train_ivf_centroids(sample, n_centroids, seed=seed)
+    cents_ref = ray.put(cents)
+    k_assign = min(nassign, len(cents))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cents_ref)
+        vecs = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        )
+        sims = vecs @ cm.T  # (batch, n_centroids)
+        top = np.argsort(-sims, axis=1)[:, :k_assign]
+        ids = batch[id_col].to_numpy()
+        out_id, out_cent, out_vec = [], [], []
+        for r in range(len(ids)):
+            for c in top[r]:
+                out_id.append(ids[r])
+                out_cent.append(int(c))
+                out_vec.append(vecs[r].tolist())  # pre-normalized
+        return pd.DataFrame({id_col: out_id, "centroid": out_cent, "vec": out_vec})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        ra, cb = np.where(sims >= threshold)
+        out_a, out_b, out_c = [], [], []
+        for r, c in zip(ra, cb):
+            if ids[r] < ids[c]:
+                out_a.append(ids[r])
+                out_b.append(ids[c])
+                out_c.append(sims[r, c])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__part"] = [
+            zlib.crc32(f"{x}|{y}".encode()) % _NUM_PARTS
+            for x, y in zip(batch["id_a"], batch["id_b"])
+        ]
+        return batch
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__part")
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("centroid")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(pair_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pair_dedup, batch_format="pandas")
+    )

@@ -396,3 +396,78 @@ def test_graph_as_datasets(ray_session, snapshot, golden, tmp_path):
     )
     props = dict(erow["properties"])
     assert "dc_source" in props
+
+
+def test_dup_clusters_distributed_chain(ray_session):
+    """ADVICE repro: a 25-node chain must resolve to ONE cluster through the
+    DISTRIBUTED path (driver_threshold=0).  Simple one-hop propagation needs
+    24 rounds; pointer doubling must converge in O(log n)."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import dup_clusters
+
+    pairs = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 1} for i in range(24)]
+    )
+    out = dup_clusters(pairs, driver_threshold=0, max_rounds=8).take_all()
+    clusters = {r["id"]: r["cluster"] for r in out}
+    assert len(clusters) == 25
+    assert set(clusters.values()) == {0}
+
+
+def test_dup_clusters_distributed_matches_driver(ray_session):
+    """Distributed and driver union-find paths agree on a multi-component
+    pair set (including singletons supplied via ids)."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import dup_clusters
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)]
+    pairs = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    ids = ray.data.from_items([{"doc_id": i} for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 23, 99]])
+
+    def as_map(ds):
+        return {r["id"]: r["cluster"] for r in ds.take_all()}
+
+    got_driver = as_map(dup_clusters(pairs, ids, driver_threshold=10**6))
+    got_dist = as_map(dup_clusters(pairs, ids, driver_threshold=0))
+    assert got_driver == got_dist
+    assert got_dist[4] == 1 and got_dist[23] == 20 and got_dist[99] == 99
+
+
+def test_dup_clusters_nonconvergence_raises(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import dup_clusters
+
+    pairs = ray.data.from_items([{"id_a": i, "id_b": i + 1} for i in range(40)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, driver_threshold=0, max_rounds=1)
+
+
+def test_embedding_neardup_ivf_matches_broadcast(ray_session):
+    """The IVF-bucketed scale path finds the same >=0.99 pairs as the exact
+    broadcast path (exact duplicates always share their nearest centroids)."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 16)
+    for i in range(0, 200, 20):  # 10 exact-direction duplicates
+        vecs[i + 7] = vecs[i] * 1.5
+    items = [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)]
+    ds = ray.data.from_items(items)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(ds, threshold=0.99, method="broadcast").take_all()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            ds, threshold=0.99, method="ivf", n_centroids=8, nassign=2
+        ).take_all()
+    }
+    assert exact and approx == exact
