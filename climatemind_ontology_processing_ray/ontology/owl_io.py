@@ -1,0 +1,422 @@
+"""OWL RDF/XML reader + writer (SURVEY §2.1 S1).
+
+The reference ingests its ontology as an OWL RDF/XML file via owlready2
+(``make_network.py:34`` ``get_ontology(onto_path).load()``) and then reads
+exactly these constructs (``make_graph_class.py:52-66``, ``:94-170``;
+``network_class.py:73-110``):
+
+- object / annotation / data property declarations with ``rdfs:label``
+  (aliased through ``give_alias``, ``ontology_processing_utils.py:168-174``);
+- the class hierarchy (``rdfs:subClassOf`` between named classes) rooted at
+  ``climate mind``;
+- named individuals: label, comment, ``rdf:type`` classes, annotation
+  property values (source URLs etc.), data property values (personal-value
+  scores, CO2_eq_reduced, myth flags), object property assertions;
+- class-level object property restrictions (walked by the class DFS,
+  ``network_class.py:73-77``) and classes whose parents include an
+  individual (``:79-81``).
+
+This module parses that subset with the stdlib ``xml.etree`` (owlready2 is
+not a dependency) into an :class:`OntologySnapshot`, and serializes a
+snapshot back to RDF/XML.  The round trip is exact up to edge-list order
+(tested against the fixture snapshot).
+
+**Reasoner caveat** (explicitly out of scope, documented per SURVEY §2.1):
+the reference optionally runs ``sync_reasoner()`` (HermiT,
+``make_graph_class.py:79-82``).  The snapshot's precomputed ancestor
+closure reproduces ``ancestors()`` over the *asserted* hierarchy; class
+memberships that only materialize through DL reasoning (equivalent-class
+axioms, property-domain inference) are NOT derived.  The reference
+pipeline's own edge set does not depend on them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from xml.etree import ElementTree as ET
+
+from .schema import OntologySnapshot, empty_data_properties, empty_properties
+from .vocab import normalize_predicate_label
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XML = "http://www.w3.org/XML/1998/namespace"
+BASE = "urn:graft:onto"
+
+_ABOUT = f"{{{RDF}}}about"
+_RESOURCE = f"{{{RDF}}}resource"
+_DATATYPE = f"{{{RDF}}}datatype"
+_LANG = f"{{{XML}}}lang"
+
+_LOCSTR_RE = re.compile(r"locstr\('(.*?)', '(\w+)'\)")
+_URL_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.I)
+
+
+def _frag(iri: str) -> str:
+    """Snapshot-facing identifier for a full IRI: the fragment when one
+    exists (Protégé style), else the full IRI (WebProtégé style)."""
+    return iri.rsplit("#", 1)[1] if "#" in iri else iri
+
+
+def _parse_literal(text: str | None, datatype: str | None):
+    text = text or ""
+    if datatype:
+        dt = _frag(datatype).lower()
+        if dt in ("integer", "int", "long", "short", "nonnegativeinteger"):
+            return int(text)
+        if dt in ("double", "float", "decimal"):
+            return float(text)
+        if dt == "boolean":
+            return text.strip().lower() == "true"
+    return text
+
+
+def _comment_repr(literals: list[tuple[str, str | None]]) -> str:
+    """owlready2 ``str(node.comment)`` shape: a list repr of locstr/str
+    (``make_graph_class.py:127`` stores ``str(ontology_node.comment)``)."""
+    if not literals:
+        return "[]"
+    parts = [
+        f"locstr('{t}', '{lang}')" if lang else repr(t) for t, lang in literals
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def parse_owl(source: str | bytes) -> OntologySnapshot:
+    """Parse an OWL RDF/XML file (path or bytes) into an OntologySnapshot.
+
+    Two passes: (1) collect declarations — property kinds + labels, class
+    labels, individual labels — keyed by IRI; (2) build node records,
+    class hierarchy and edge lists by resolving IRI references.
+    """
+    if isinstance(source, bytes):
+        root = ET.fromstring(source)
+    elif source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+
+    def q(ns: str, name: str) -> str:
+        return f"{{{ns}}}{name}"
+
+    def first_label(el) -> str | None:
+        lab = el.find(q(RDFS, "label"))
+        return lab.text if lab is not None and lab.text else None
+
+    # ---- pass 1: declarations -----------------------------------------
+    prop_kind: dict[str, str] = {}  # prop IRI -> object|annotation|data
+    prop_label: dict[str, str] = {}  # prop IRI -> raw label
+    class_label: dict[str, str] = {}  # class IRI -> label
+    indiv_label: dict[str, str] = {}  # individual IRI -> label
+    indiv_els: list = []
+    class_els: list = []
+
+    def node_kind(el) -> str | None:
+        tag = el.tag
+        if tag == q(OWL, "ObjectProperty"):
+            return "object"
+        if tag == q(OWL, "AnnotationProperty"):
+            return "annotation"
+        if tag in (q(OWL, "DatatypeProperty"), q(OWL, "DataProperty")):
+            return "data"
+        if tag == q(OWL, "Class"):
+            return "class"
+        if tag == q(OWL, "NamedIndividual"):
+            return "individual"
+        if tag == q(RDF, "Description"):
+            # typed Description (some serializers): look at rdf:type
+            for t in el.findall(q(RDF, "type")):
+                res = t.get(_RESOURCE, "")
+                if res == f"{OWL}NamedIndividual":
+                    return "individual"
+                if res == f"{OWL}Class":
+                    return "class"
+        return None
+
+    for el in root:
+        kind = node_kind(el)
+        iri = el.get(_ABOUT)
+        if kind is None or iri is None:
+            continue
+        if kind in ("object", "annotation", "data"):
+            prop_kind[iri] = kind
+            prop_label[iri] = first_label(el) or _frag(iri)
+        elif kind == "class":
+            class_label[iri] = first_label(el) or _frag(iri)
+            class_els.append((iri, el))
+        elif kind == "individual":
+            indiv_label[iri] = first_label(el) or _frag(iri)
+            indiv_els.append((iri, el))
+
+    # ---- pass 2: classes ----------------------------------------------
+    class_parents: dict[str, tuple[str, ...]] = {}
+    class_obj_edges: list[tuple[str, str, str]] = []
+    class_individual_parents: list[tuple[str, str]] = []
+
+    for iri, el in class_els:
+        label = class_label[iri]
+        parents: list[str] = []
+        for sub in el.findall(q(RDFS, "subClassOf")):
+            res = sub.get(_RESOURCE)
+            if res is not None:
+                if res in class_label:
+                    parents.append(class_label[res])
+                elif res in indiv_label:
+                    # class with an individual parent: is_a emission
+                    # (network_class.py:79-81, :109-110)
+                    class_individual_parents.append((label, indiv_label[res]))
+                continue
+            restr = sub.find(q(OWL, "Restriction"))
+            if restr is None:
+                continue
+            on_prop = restr.find(q(OWL, "onProperty"))
+            value = restr.find(q(OWL, "hasValue"))
+            if value is None:
+                value = restr.find(q(OWL, "someValuesFrom"))
+            if on_prop is None or value is None:
+                continue
+            p_iri = on_prop.get(_RESOURCE, "")
+            v_iri = value.get(_RESOURCE, "")
+            if p_iri in prop_label and v_iri in indiv_label:
+                # class-level object assertion (network_class.py:73-77)
+                class_obj_edges.append(
+                    (label, prop_label[p_iri], indiv_label[v_iri])
+                )
+        class_parents[label] = tuple(parents)
+
+    # ---- pass 2: individuals ------------------------------------------
+    individuals: dict[str, dict] = {}
+    obj_edges: list[tuple[str, str, str]] = []
+
+    for iri, el in indiv_els:
+        label = indiv_label[iri]
+        direct_classes: list[str] = []
+        comments: list[tuple[str, str | None]] = []
+        alt_labels: list[str] = []
+        props = empty_properties()
+        dprops = empty_data_properties()
+        for child in el:
+            tag = child.tag
+            if tag == q(RDF, "type"):
+                res = child.get(_RESOURCE, "")
+                if res in class_label:
+                    direct_classes.append(class_label[res])
+                continue
+            if tag == q(RDFS, "comment"):
+                comments.append((child.text or "", child.get(_LANG)))
+                continue
+            if tag in (q(SKOS, "altLabel"), q(SKOS, "prefLabel")):
+                if child.text:
+                    alt_labels.append(child.text)
+                continue
+            if tag == q(RDFS, "label"):
+                continue  # consumed in pass 1 (first label wins)
+            # property assertion: resolve the element tag back to an IRI.
+            # RDF/XML maps property IRIs to namespaced tags: {ns}name
+            m = re.match(r"\{(.*)\}(.*)", tag)
+            if not m:
+                continue
+            p_iri = m.group(1) + m.group(2)
+            kind = prop_kind.get(p_iri)
+            if kind is None and (res := child.get(_RESOURCE)) is not None:
+                # undeclared property with a resource object: treat known
+                # individual targets as object assertions (lenient mode)
+                if res in indiv_label:
+                    kind = "object"
+            raw = prop_label.get(p_iri, _frag(p_iri))
+            if kind == "object":
+                res = child.get(_RESOURCE, "")
+                if res in indiv_label:
+                    obj_edges.append((label, raw, indiv_label[res]))
+            elif kind == "annotation":
+                key = normalize_predicate_label(raw)
+                res = child.get(_RESOURCE)
+                val = res if res is not None else (child.text or "")
+                props.setdefault(key, []).append(val)
+            elif kind == "data":
+                key = normalize_predicate_label(raw)
+                dprops[key] = _parse_literal(child.text, child.get(_DATATYPE))
+        individuals[label] = {
+            "label": label,
+            "iri": _frag(iri),
+            "comment": _comment_repr(comments),
+            "direct_classes": direct_classes,
+            "properties": props,
+            "data_properties": dprops,
+            "surface_forms": alt_labels or [label],
+        }
+
+    return OntologySnapshot(
+        individuals=individuals,
+        class_parents=class_parents,
+        obj_edges=obj_edges,
+        class_obj_edges=class_obj_edges,
+        class_individual_parents=class_individual_parents,
+    )
+
+
+# --------------------------------------------------------------------- #
+# writer
+# --------------------------------------------------------------------- #
+
+# normalized annotation-prop name -> raw OWL label ("dc_source" was
+# "dc:source" before give_alias; first underscore restores the prefix)
+def _raw_annotation_label(norm: str) -> str:
+    if "_" in norm:
+        prefix, rest = norm.split("_", 1)
+        if prefix in ("dc", "schema"):
+            return f"{prefix}:{rest}"
+    return norm
+
+
+def _esc(s: str) -> str:
+    return (
+        str(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def write_owl(snap: OntologySnapshot, path: str | None = None) -> str:
+    """Serialize a snapshot to OWL RDF/XML; returns the XML text (and
+    writes it to ``path`` when given).  Uses the same subset
+    :func:`parse_owl` reads, so ``parse_owl(write_owl(s))`` reproduces
+    ``s`` exactly up to edge-list order."""
+
+    def h(kind: str, name: str) -> str:
+        return f"{BASE}#{kind}_{hashlib.md5(name.encode()).hexdigest()[:16]}"
+
+    # stable property tables
+    raw_obj_props = sorted(
+        {p for _, p, _ in snap.obj_edges} | {p for _, p, _ in snap.class_obj_edges}
+    )
+    ann_keys = sorted(
+        {k for n in snap.individuals.values() for k, v in (n.get("properties") or {}).items()}
+    )
+    data_keys = sorted(
+        {
+            k
+            for n in snap.individuals.values()
+            for k, v in (n.get("data_properties") or {}).items()
+        }
+    )
+    op_iri = {p: h("op", p) for p in raw_obj_props}
+    ap_iri = {k: h("ap", k) for k in ann_keys}
+    dp_iri = {k: h("dp", k) for k in data_keys}
+    cls_iri = {c: h("c", c) for c in snap.class_parents}
+    ind_iri = {
+        label: f"{BASE}#{node['iri']}" for label, node in snap.individuals.items()
+    }
+
+    out: list[str] = []
+    w = out.append
+    w('<?xml version="1.0"?>')
+    w(
+        f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:rdfs="{RDFS}" xmlns:owl="{OWL}" '
+        f'xmlns:skos="{SKOS}" xmlns:g="{BASE}#">'
+    )
+    w(f'  <owl:Ontology rdf:about="{BASE}"/>')
+
+    for p in raw_obj_props:
+        w(f'  <owl:ObjectProperty rdf:about="{op_iri[p]}">')
+        w(f"    <rdfs:label>{_esc(p)}</rdfs:label>")
+        w("  </owl:ObjectProperty>")
+    for k in ann_keys:
+        w(f'  <owl:AnnotationProperty rdf:about="{ap_iri[k]}">')
+        w(f"    <rdfs:label>{_esc(_raw_annotation_label(k))}</rdfs:label>")
+        w("  </owl:AnnotationProperty>")
+    for k in data_keys:
+        w(f'  <owl:DatatypeProperty rdf:about="{dp_iri[k]}">')
+        w(f"    <rdfs:label>{_esc(k)}</rdfs:label>")
+        w("  </owl:DatatypeProperty>")
+
+    # root classes ("climate mind") appear only as parents; declare them
+    # first so subClassOf references resolve
+    roots = sorted(
+        {
+            p
+            for parents in snap.class_parents.values()
+            for p in parents
+            if p not in snap.class_parents
+        }
+    )
+    for c in roots:
+        cls_iri[c] = h("c", c)
+        w(f'  <owl:Class rdf:about="{cls_iri[c]}">')
+        w(f"    <rdfs:label>{_esc(c)}</rdfs:label>")
+        w("  </owl:Class>")
+
+    # classes: asserted parents, individual parents, class-level restrictions
+    cls_restrictions: dict[str, list[tuple[str, str]]] = {}
+    for c, p, ind in snap.class_obj_edges:
+        cls_restrictions.setdefault(c, []).append((p, ind))
+    cls_ind_parents: dict[str, list[str]] = {}
+    for c, ind in snap.class_individual_parents:
+        cls_ind_parents.setdefault(c, []).append(ind)
+
+    for c in snap.class_parents:
+        w(f'  <owl:Class rdf:about="{cls_iri[c]}">')
+        w(f"    <rdfs:label>{_esc(c)}</rdfs:label>")
+        for parent in snap.class_parents[c]:
+            if parent in cls_iri:
+                w(f'    <rdfs:subClassOf rdf:resource="{cls_iri[parent]}"/>')
+        for ind in cls_ind_parents.get(c, ()):
+            if ind in ind_iri:
+                w(f'    <rdfs:subClassOf rdf:resource="{ind_iri[ind]}"/>')
+        for p, ind in cls_restrictions.get(c, ()):
+            w("    <rdfs:subClassOf><owl:Restriction>")
+            w(f'      <owl:onProperty rdf:resource="{op_iri[p]}"/>')
+            w(f'      <owl:hasValue rdf:resource="{ind_iri[ind]}"/>')
+            w("    </owl:Restriction></rdfs:subClassOf>")
+        w("  </owl:Class>")
+
+    edges_by_subject: dict[str, list[tuple[str, str]]] = {}
+    for s, p, o in snap.obj_edges:
+        edges_by_subject.setdefault(s, []).append((p, o))
+
+    for label, node in snap.individuals.items():
+        w(f'  <owl:NamedIndividual rdf:about="{ind_iri[label]}">')
+        for c in node.get("direct_classes") or ():
+            if c in cls_iri:
+                w(f'    <rdf:type rdf:resource="{cls_iri[c]}"/>')
+        w(f'    <rdfs:label>{_esc(label)}</rdfs:label>')
+        for sf in node.get("surface_forms") or ():
+            w(f"    <skos:altLabel>{_esc(sf)}</skos:altLabel>")
+        for text, lang in _LOCSTR_RE.findall(node.get("comment") or ""):
+            w(f'    <rdfs:comment xml:lang="{lang}">{_esc(text)}</rdfs:comment>')
+        for k, vals in (node.get("properties") or {}).items():
+            tag = f"g:ap_{ap_iri[k].rsplit('_', 1)[1]}"
+            for v in vals or ():
+                if _URL_RE.match(str(v)):
+                    w(f'    <{tag} rdf:resource="{_esc(v)}"/>')
+                else:
+                    w(f"    <{tag}>{_esc(v)}</{tag}>")
+        for k, v in (node.get("data_properties") or {}).items():
+            if v is None:
+                continue
+            tag = f"g:dp_{dp_iri[k].rsplit('_', 1)[1]}"
+            if isinstance(v, bool):
+                w(f'    <{tag} rdf:datatype="{XSD}boolean">{str(v).lower()}</{tag}>')
+            elif isinstance(v, int):
+                w(f'    <{tag} rdf:datatype="{XSD}integer">{v}</{tag}>')
+            elif isinstance(v, float):
+                w(f'    <{tag} rdf:datatype="{XSD}double">{v}</{tag}>')
+            else:
+                w(f"    <{tag}>{_esc(v)}</{tag}>")
+        for p, o in edges_by_subject.get(label, ()):
+            tag = f"g:op_{op_iri[p].rsplit('_', 1)[1]}"
+            w(f'    <{tag} rdf:resource="{ind_iri[o]}"/>')
+        w("  </owl:NamedIndividual>")
+
+    w("</rdf:RDF>")
+    xml = "\n".join(out)
+    if path:
+        with open(path, "w") as f:
+            f.write(xml)
+    return xml

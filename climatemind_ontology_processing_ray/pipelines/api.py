@@ -30,9 +30,18 @@ from .kg import KGConfig, canonical_edges_to_artifacts, run_kg_pipeline
 
 
 def _load_snapshot(snapshot: OntologySnapshot | str | None) -> OntologySnapshot:
+    """Accepts a snapshot object, a path to a snapshot JSON, or a path to
+    an OWL RDF/XML file (the reference's native input format,
+    ``make_network.py:34``) — sniffed by content, not extension."""
     if snapshot is None:
         return build_fixture_snapshot()
     if isinstance(snapshot, str):
+        with open(snapshot, "rb") as f:
+            head = f.read(256).lstrip()
+        if head.startswith(b"<"):
+            from ..ontology.owl_io import parse_owl
+
+            return parse_owl(snapshot)
         return OntologySnapshot.load(snapshot)
     return snapshot
 

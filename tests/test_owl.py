@@ -1,0 +1,150 @@
+"""OWL RDF/XML reader/writer (SURVEY §2.1 S1): the reference's native
+ontology input format (make_network.py:34 get_ontology(path).load()),
+parsed dependency-free into an OntologySnapshot."""
+
+import os
+
+import pytest
+
+from climatemind_ontology_processing_ray.ontology.fixture import build_fixture_snapshot
+from climatemind_ontology_processing_ray.ontology.oracle import golden_edge_set
+from climatemind_ontology_processing_ray.ontology.owl_io import parse_owl, write_owl
+from climatemind_ontology_processing_ray.ontology.vocab import CLIMATE_MIND
+
+
+@pytest.fixture(scope="module")
+def roundtrip():
+    snap = build_fixture_snapshot()
+    xml = write_owl(snap)
+    return snap, parse_owl(xml)
+
+
+def test_roundtrip_individuals_exact(roundtrip):
+    snap, back = roundtrip
+    assert set(back.individuals) == set(snap.individuals)
+    for label, node in snap.individuals.items():
+        got = back.individuals[label]
+        assert got["iri"] == node["iri"]
+        assert got["comment"] == node["comment"]
+        assert list(got["direct_classes"]) == list(node["direct_classes"])
+        assert got["properties"] == node["properties"]
+        assert got["data_properties"] == node["data_properties"]
+        assert list(got["surface_forms"]) == list(node["surface_forms"])
+
+
+def test_roundtrip_class_hierarchy(roundtrip):
+    snap, back = roundtrip
+    # the parser keeps the root class as an explicit (parentless) entry
+    expected = dict(snap.class_parents)
+    expected[CLIMATE_MIND] = ()
+    assert back.class_parents == expected
+    assert back.superclasses() == snap.superclasses()
+    for c in snap.class_parents:
+        assert back.class_ancestors(c) == snap.class_ancestors(c)
+
+
+def test_roundtrip_edges(roundtrip):
+    snap, back = roundtrip
+    assert sorted(back.obj_edges) == sorted(snap.obj_edges)
+    assert sorted(back.class_obj_edges) == sorted(snap.class_obj_edges)
+    assert sorted(back.class_individual_parents) == sorted(
+        snap.class_individual_parents
+    )
+
+
+def test_roundtrip_golden_edge_set(roundtrip):
+    """The end goal: the DFS-equivalent edge set derived from the parsed
+    OWL equals the one from the original snapshot (reference parity,
+    network_class.py:121-156)."""
+    snap, back = roundtrip
+    assert golden_edge_set(back) == golden_edge_set(snap)
+
+
+def test_parse_protege_style_document():
+    """A hand-written Protégé/WebProtégé-flavoured file: raw 'dc:source'
+    labels, fragment-less individual IRIs, xsd-typed literals."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="http://webprotege.stanford.edu/">
+  <owl:ObjectProperty rdf:about="http://webprotege.stanford.edu/Rcauses">
+    <rdfs:label>causes/promotes</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:AnnotationProperty rdf:about="http://webprotege.stanford.edu/Rsource">
+    <rdfs:label>dc:source</rdfs:label>
+  </owl:AnnotationProperty>
+  <owl:DatatypeProperty rdf:about="http://webprotege.stanford.edu/Rscore">
+    <rdfs:label>universalism_concern</rdfs:label>
+  </owl:DatatypeProperty>
+  <owl:Class rdf:about="http://webprotege.stanford.edu/Rcm">
+    <rdfs:label>climate mind</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://webprotege.stanford.edu/Rissue">
+    <rdfs:label>climate issue</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://webprotege.stanford.edu/Rcm"/>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="http://webprotege.stanford.edu/RA">
+    <rdf:type rdf:resource="http://webprotege.stanford.edu/Rissue"/>
+    <rdfs:label xml:lang="en">ocean warming</rdfs:label>
+    <rdfs:comment xml:lang="en">heat uptake</rdfs:comment>
+    <wp:Rsource rdf:resource="https://example.org/src"/>
+    <wp:Rscore rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">1</wp:Rscore>
+    <wp:Rcauses rdf:resource="http://webprotege.stanford.edu/RB"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="http://webprotege.stanford.edu/RB">
+    <rdf:type rdf:resource="http://webprotege.stanford.edu/Rissue"/>
+    <rdfs:label>sea level rise</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    assert set(snap.individuals) == {"ocean warming", "sea level rise"}
+    node = snap.individuals["ocean warming"]
+    assert node["iri"] == "http://webprotege.stanford.edu/RA"
+    assert node["comment"] == "[locstr('heat uptake', 'en')]"
+    assert node["direct_classes"] == ["climate issue"]
+    assert node["properties"]["dc_source"] == ["https://example.org/src"]
+    assert node["data_properties"]["universalism_concern"] == 1
+    assert snap.obj_edges == [
+        ("ocean warming", "causes/promotes", "sea level rise")
+    ]
+    assert snap.class_parents["climate issue"] == ("climate mind",)
+
+
+def test_reasoner_inferences_not_derived():
+    """Documented gap (VERDICT 'what's missing' #2): asserted-hierarchy
+    ancestors are reproduced; DL-reasoner-only memberships are not."""
+    snap = build_fixture_snapshot()
+    back = parse_owl(write_owl(snap))
+    # asserted closure works
+    assert "personal value" in back.class_ancestors("security societal")
+    # no equivalent-class / inferred memberships appear out of thin air
+    assert back.individuals["global warming"]["direct_classes"] == [
+        "environmental impact"
+    ]
+
+
+def test_owl_file_feeds_pipeline(ray_session, tmp_path):
+    """process surface: an .owl file path is accepted end-to-end
+    (make_network.py:22-45 outputEdges parity via output_edges)."""
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.pipelines.api import output_edges
+    from climatemind_ontology_processing_ray.pipelines.kg import KGConfig
+    from climatemind_ontology_processing_ray.sources.pages import generate_pages
+
+    snap = build_fixture_snapshot()
+    owl_path = os.path.join(tmp_path, "fixture.owl")
+    write_owl(snap, owl_path)
+    table, _ = generate_pages(snap, 300, seed=13)
+    pages = rd.from_arrow(table)
+    edges = output_edges(
+        pages,
+        snapshot=owl_path,
+        cfg=KGConfig(extractor_concurrency=(1, 2), linker_concurrency=(1, 2),
+                     actor_num_cpus=0.5),
+    ).to_pandas()
+    got = {(r.subject, r.object, r.predicate) for r in edges.itertuples()}
+    golden = golden_edge_set(snap)
+    # near-total recall at 300 pages; precision within the trap budget
+    assert len(got & golden) / len(golden) > 0.9
