@@ -125,6 +125,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 1729,
+    verify_broadcast_threshold: int = 100_000,
 ) -> Dataset:
     """Near-duplicate pairs: shingle -> minhash -> banded LSH buckets ->
     candidate pairs -> exact-Jaccard verification.
@@ -135,14 +136,35 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
 
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hashes = [
+            np.unique(
+                np.fromiter(
+                    (_hash64(s) for s in _word_ngrams(t or "", ngram)),
+                    dtype=np.uint64,
+                )
+            )
+            for t in texts
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "shingles": pa.array([h.tolist() for h in hashes], pa.list_(pa.uint64())),
+            }
+        )
+
     def to_bands(batch: pa.Table) -> pa.Table:
         out_id, out_bhash, out_part = [], [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         for i, t in zip(ids, texts):
-            sh = np.array(
-                sorted(_hash64(s) for s in _word_ngrams(t or "", ngram)),
-                dtype=np.uint64,
+            sh = np.unique(
+                np.fromiter(
+                    (_hash64(x) for x in _word_ngrams(t or "", ngram)),
+                    dtype=np.uint64,
+                )
             )
             sig = minhash_signature(sh, a, b)
             for band in range(bands):
@@ -199,41 +221,29 @@ def minhash_lsh_pairs(
     # partition that computes the exact Jaccard.  No corpus-sized driver
     # structure: only the candidate-id set (output-sized, one int per
     # involved doc) is broadcast, to semi-join-prune the shingle table
-    # before the exchange.
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        hashes = [
-            np.unique(
-                np.fromiter(
-                    (_hash64(s) for s in _word_ngrams(t or "", ngram)),
-                    dtype=np.uint64,
-                )
-            )
-            for t in texts
-        ]
-        return pa.table(
-            {
-                id_col: pa.array(ids),
-                "shingles": pa.array([h.tolist() for h in hashes], pa.list_(pa.uint64())),
-            }
-        )
-
-    shingles_ds = ds.map_batches(
-        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # (or, below a size threshold, to collect the PRUNED output-sized
+    # shingle map for a broadcast verify).  The shingle table is LAZY and
+    # pruned to candidate ids inside _verify_pairs_jaccard BEFORE
+    # tokenizing, so only near-dup docs are tokenized a second time.
     return _verify_pairs_jaccard(
-        candidates, shingles_ds, id_col, threshold=threshold
+        candidates,
+        ds,
+        id_col,
+        shingle_fn=shingle_rows,
+        threshold=threshold,
+        broadcast_threshold=verify_broadcast_threshold,
     )
 
 
 def _verify_pairs_jaccard(
     candidates: Dataset,
-    shingles_ds: Dataset,
+    docs: Dataset,
     id_col: str,
     *,
+    shingle_fn,
     threshold: float,
     num_parts: int = _NUM_PARTS,
+    broadcast_threshold: int = 100_000,
 ) -> Dataset:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
     distributed (id, sorted-unique shingle hashes) table.
@@ -248,8 +258,8 @@ def _verify_pairs_jaccard(
        Jaccard via sorted-array intersection (np.intersect1d).
 
     The candidate-id set (output-sized) is broadcast once to prune the
-    shingle table before exchange 1, so the corpus-sized shingle table
-    never shuffles rows that no pair needs.
+    DOCS table before tokenization, so only near-dup candidates are ever
+    shingled here and the shuffles carry candidate-sized data only.
     """
     # pin: pairs feed two downstream uses (explode + id-set); without this
     # the lazy candidate pipeline would re-run per consumer.
@@ -267,13 +277,53 @@ def _verify_pairs_jaccard(
         )
     ids_ref = ray.put(cand_ids)
 
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ids_ref)
+        mask = pa.array([i in keep for i in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
+
+    # prune BEFORE tokenizing: only candidate docs reach shingle_fn
+    shingles_ds = docs.map_batches(
+        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(shingle_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    # small candidate sets (the common case: near-dup pairs are
+    # output-sized): collect the PRUNED shingle table — one compact hash
+    # array per candidate id, NOT the corpus — and verify by broadcast.
+    # The join path below kicks in when even the candidate set is too big
+    # to hold; neither path materializes a corpus-sized driver structure.
+    if len(cand_ids) <= broadcast_threshold:
+        pruned: dict = {}
+        for row in shingles_ds.take_all():
+            pruned[row[id_col]] = np.asarray(row["shingles"], dtype=np.uint64)
+        pruned_ref = ray.put(pruned)
+
+        def verify_broadcast(batch: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(pruned_ref)
+            out_a, out_b, out_j = [], [], []
+            for x, y in zip(batch["id_a"], batch["id_b"]):
+                a = m.get(x)
+                b = m.get(y)
+                a = a if a is not None else np.empty(0, np.uint64)
+                b = b if b is not None else np.empty(0, np.uint64)
+                if len(a) == 0 and len(b) == 0:
+                    j = 1.0
+                else:
+                    inter = np.intersect1d(a, b, assume_unique=True).size
+                    j = inter / (len(a) + len(b) - inter)
+                if j >= threshold:
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_j.append(j)
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+        return candidates.map_batches(verify_broadcast, batch_format="pandas")
+
     # no nulls anywhere (a null in an int64 column would promote to float64
     # through the pandas group conversion, corrupting large ids): shingle
     # rows carry their own id in id_a/id_b, an is_shingle flag tells the
     # row kinds apart, and pair rows carry an empty shingle list.
     def prune_and_key(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = ray.get(ids_ref)
-        batch = batch[[i in keep for i in batch[id_col]]]
         return pd.DataFrame(
             {
                 "jid": batch[id_col],

@@ -70,23 +70,98 @@ def extract_text(html: bytes | str) -> str:
     return "\n".join(lines)
 
 
+# --- vectorized fast path: the SAME transform chain as extract_text,     #
+# expressed as pyarrow.compute (RE2) kernels over the whole column.        #
+# Byte-identity with the frozen function is guaranteed by construction     #
+# for rows WITHOUT numeric character entities (RE2 has no computed         #
+# replacement, so `&#NNN;` rows take the frozen python path) and is        #
+# enforced by the frozen-function fuzz tests.  The script/style pattern    #
+# is split in two because RE2 lacks backreferences.                        #
+_VEC_STEPS = (
+    (r"(?is)<script\b[^>]*>.*?(</script\s*>|$)", ""),
+    (r"(?is)<style\b[^>]*>.*?(</style\s*>|$)", ""),
+    (r"(?s)<!--.*?(-->|$)", ""),
+    (
+        r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|tr|table|br|nav|footer|header|article|section|title|blockquote)\b[^>]*>",
+        "\n",
+    ),
+    (r"<[^>]*>", ""),
+)
+_VEC_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&copy;", "©"),
+    ("&amp;", "&"),
+)
+_VEC_CLEANUP = (
+    (r"[ \t\r\f\v]+", " "),
+    (r"(?m)^ | $", ""),
+    (r"\n{2,}", "\n"),
+    (r"^\n+|\n+$", ""),
+)
+# numeric entities other than &#39; need chr() (computed replacement) —
+# only those rows pay the python path
+_NUMERIC_GATE = re.compile(r"&#(?!39;)[0-9]")
+
+
+def _extract_vectorized(strings: pa.Array) -> pa.Array:
+    import pyarrow.compute as pc
+
+    x = strings
+    for pat, rep in _VEC_STEPS:
+        x = pc.replace_substring_regex(x, pattern=pat, replacement=rep)
+    for ent, rep in _VEC_ENTITIES:
+        x = pc.replace_substring(x, pattern=ent, replacement=rep)
+    for pat, rep in _VEC_CLEANUP:
+        x = pc.replace_substring_regex(x, pattern=pat, replacement=rep)
+    return x
+
+
 def extract_pages_batch(batch: pa.Table) -> pa.Table:
     """Stateless map_batches body: (url, warc_ts, html, lang) ->
     (url, warc_ts, lang, extracted_text, extract_ok).
 
-    The ``html`` (and WET ``text``) columns are dropped here so no
-    downstream block carries the wide payload.
+    Runs the Arrow-kernel fast path for the whole column; rows the fast
+    path cannot reproduce byte-identically (numeric character entities,
+    invalid UTF-8 payloads) are recomputed with the frozen python
+    function.  The ``html`` (and WET ``text``) columns are dropped here so
+    no downstream block carries the wide payload.
     """
-    htmls = batch.column("html").to_pylist()
-    texts: list[str] = []
-    ok: list[bool] = []
-    for h in htmls:
-        try:
-            texts.append(extract_text(h or b""))
-            ok.append(True)
-        except Exception:
-            texts.append("")
-            ok.append(False)
+    html_col = batch.column("html")
+    texts: list[str] | None = None
+    ok: list[bool]
+    try:
+        if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
+            strings = html_col.cast(pa.string())  # validates utf-8
+        else:
+            strings = html_col
+        if isinstance(strings, pa.ChunkedArray):
+            strings = strings.combine_chunks()
+        vec = _extract_vectorized(strings).to_pylist()
+        raw = strings.to_pylist()
+        texts = [
+            extract_text(r or "") if (r and _NUMERIC_GATE.search(r)) else (v or "")
+            for r, v in zip(raw, vec)
+        ]
+        ok = [True] * len(texts)
+    except Exception:
+        texts = None
+    if texts is None:
+        # fallback: invalid utf-8 somewhere in the batch (or kernel
+        # failure) — frozen per-row path, byte-for-byte the reference
+        texts = []
+        ok = []
+        for h in html_col.to_pylist():
+            try:
+                texts.append(extract_text(h or b""))
+                ok.append(True)
+            except Exception:
+                texts.append("")
+                ok.append(False)
     keep = [c for c in ("url", "warc_ts", "lang") if c in batch.column_names]
     out = batch.select(keep)
     out = out.append_column("extracted_text", pa.array(texts, type=pa.string()))

@@ -105,3 +105,45 @@ def test_null_columns_handled(ray_session):
     assert {(r["subject"], r["object"], r["predicate"]) for r in rows} == {
         ("increase in greenhouse effect", "global warming", "causes_or_promotes")
     }
+
+
+def test_vectorized_path_byte_identical_fuzz():
+    """The Arrow-kernel fast path must be byte-identical to the frozen
+    python function for arbitrary inputs — including numeric entities
+    (gated to the python path) and invalid utf-8 (batch fallback)."""
+    import random
+
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.stages.extract import (
+        extract_pages_batch,
+        extract_text,
+    )
+
+    rng = random.Random(99)
+    frags = [
+        "<p>hello world</p>", "<script>var x=1;</script>", "<style>a{}</style>",
+        "<div CLASS='x'>text &amp; more</div>", "<!-- comment -->", "&#8212;",
+        "&#39;quoted&#39;", "plain text", "<h1>Title", "<br/>", "&copy; 2025",
+        "&#100;igits", "multi  \t spaces", "\n\nnewlines\n", "<P>UPPER</P>",
+        "<unknown>tag</unknown>", "& lone amp", "&#0;", "&#1114112;", "ünïcødé",
+        "<table><tr><td>c</td></tr></table>", "a<b>c", "]]>", "<![CDATA[x]]>",
+    ]
+    htmls = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        htmls.append("".join(rng.choice(frags) for _ in range(n)).encode())
+    htmls.append(b"\xff\xfe invalid utf8 <p>x</p>")  # forces batch fallback
+    htmls.append(b"")
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(htmls))]),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(["en"] * len(htmls)),
+        }
+    )
+    out = extract_pages_batch(batch)
+    got = out.column("extracted_text").to_pylist()
+    expected = [extract_text(h) for h in htmls]
+    assert got == expected
+    assert all(out.column("extract_ok").to_pylist())

@@ -471,3 +471,20 @@ def test_embedding_neardup_ivf_matches_broadcast(ray_session):
         ).take_all()
     }
     assert exact and approx == exact
+
+
+def test_minhash_verify_join_path_matches_broadcast(docs_ds):
+    """The distributed hash-partition-join verify (used when the candidate
+    set exceeds the broadcast threshold) returns the same verified pairs
+    as the pruned-broadcast fast path."""
+    from climatemind_ontology_processing_ray.functions.dedup import minhash_lsh_pairs
+
+    def pairs(th):
+        out = minhash_lsh_pairs(
+            docs_ds, "doc_id", threshold=0.5, verify_broadcast_threshold=th
+        ).take_all()
+        return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in out}
+
+    fast = pairs(10**6)
+    joined = pairs(0)  # force the join path
+    assert fast and joined == fast
