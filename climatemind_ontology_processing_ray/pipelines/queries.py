@@ -838,6 +838,151 @@ def q_quality_scores(sf_dir: str):
 
 
 # --------------------------------------------------------------------- #
+# corpus quality / repetition (C4 / Gopher-style curation, SURVEY §2.10)
+# --------------------------------------------------------------------- #
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition metrics + keep flag (stateless
+    vectorized map; ratios rounded 4dp to match DuckDB ROUND)."""
+    from ..functions.quality import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repetition_stats(ds, "doc_id", "text").to_pandas()
+    out["id"] = out["id"].astype("int64")
+    return out.sort_values("id").reset_index(drop=True)
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, LEN(ws) AS n,
+         CAST(LEN(LIST_DISTINCT(ws)) AS DOUBLE) / LEN(ws) AS uniq,
+         CAST(LIST_SUM(LIST_TRANSFORM(ws, x -> LEN(x))) AS DOUBLE) / LEN(ws) AS mwl
+  FROM w
+),
+bi AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM w, UNNEST(RANGE(1, LEN(ws))) AS t(i)
+),
+topbi AS (
+  SELECT doc_id, MAX(c) AS topc
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id AS id, b.n AS n_words,
+       ROUND(b.uniq, 4) AS unique_word_ratio,
+       ROUND(COALESCE(CAST(t.topc AS DOUBLE) / (b.n - 1), 0), 4) AS top_bigram_frac,
+       ROUND(b.mwl, 4) AS mean_word_len,
+       (b.n > 0
+        AND COALESCE(CAST(t.topc AS DOUBLE) / (b.n - 1), 0) <= 0.18
+        AND b.uniq >= 0.3) AS keep
+FROM base b LEFT JOIN topbi t USING (doc_id)
+ORDER BY id
+"""
+
+
+def q_ngram_doc_frequency(sf_dir: str):
+    """Boilerplate mining: 3-grams by distinct-document frequency
+    (map-side combine then one gram-hash groupby)."""
+    from ..functions.quality import ngram_doc_frequency
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_doc_frequency(ds, "doc_id", "text", n=3, min_docs=5).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+SQL_NGRAM_DF = """
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(
+           CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 3 THEN
+             LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+               i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                    STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                    STRING_SPLIT(text, ' ')[i+2])
+           ELSE [] END)) AS gram
+  FROM documents
+)
+SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+HAVING COUNT(*) >= 5 ORDER BY gram
+"""
+
+
+def q_remove_boilerplate(sf_dir: str):
+    """C4-style boilerplate span removal at 3-gram granularity; the
+    checked row counts removed gram occurrences per doc (the cleaned-text
+    invariants live in pytest)."""
+    from ..functions.quality import remove_boilerplate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = remove_boilerplate(ds, "doc_id", "text", n=3, min_docs=50).to_pandas()
+    out["id"] = out["id"].astype("int64")
+    out["n_boiler_grams"] = out["n_boiler_grams"].astype("int64")
+    return out[["id", "n_boiler_grams"]].sort_values("id").reset_index(drop=True)
+
+
+SQL_REMOVE_BOILER = """
+WITH freq AS (
+  SELECT gram FROM (
+    SELECT UNNEST(LIST_DISTINCT(
+             CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 3 THEN
+               LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                 i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                      STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                      STRING_SPLIT(text, ' ')[i+2])
+             ELSE [] END)) AS gram, doc_id
+    FROM documents
+  ) GROUP BY gram HAVING COUNT(*) >= 50
+),
+occ AS (
+  SELECT d.doc_id,
+         UNNEST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 3 THEN
+           LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+             i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                  STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                  STRING_SPLIT(text, ' ')[i+2])
+         ELSE [] END) AS gram
+  FROM documents d
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_boiler_grams
+FROM documents d
+LEFT JOIN (
+  SELECT o.doc_id, COUNT(*) AS n
+  FROM occ o JOIN freq f ON o.gram = f.gram
+  GROUP BY o.doc_id
+) h ON d.doc_id = h.doc_id
+ORDER BY id
+"""
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain curation aggregates (map-side combine + small groupby)."""
+    from ..functions.quality import domain_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out = domain_stats(ds, "source", "text").to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_words"] = out["total_words"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+SQL_DOMAIN_STATS = """
+SELECT source AS domain, COUNT(*) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_words,
+       ROUND(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_words,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source ORDER BY domain
+"""
+
+
+# --------------------------------------------------------------------- #
 # dedup family over documents (+ deterministic near-duplicate augmentation)
 # --------------------------------------------------------------------- #
 
@@ -1660,6 +1805,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_scores": (q_quality_scores, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "pack_documents": (q_pack_documents, SQL_PACK_DOCUMENTS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION),
+    "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DF),
+    "remove_boilerplate": (q_remove_boilerplate, SQL_REMOVE_BOILER),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),

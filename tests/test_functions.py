@@ -529,3 +529,61 @@ def test_minhash_verify_no_corpus_sized_driver_structure(ray_session):
     assert put_sizes, "broadcast payloads should have been recorded"
     # candidate-sized: 8 involved ids; corpus-sized would be ~2004
     assert max(put_sizes) <= 16, put_sizes
+
+
+def test_repetition_stats_keep_flag(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.quality import repetition_stats
+
+    docs = [
+        {"doc_id": 0, "text": "buy now buy now buy now buy now buy now"},  # repeated phrase
+        {"doc_id": 1, "text": "a genuinely varied document with many different words here"},
+        {"doc_id": 2, "text": ""},
+    ]
+    out = {r["id"]: r for r in repetition_stats(ray.data.from_items(docs)).take_all()}
+    assert not out[0]["keep"]  # top bigram dominates
+    assert out[0]["top_bigram_frac"] > 0.4
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["n_words"] == 0
+
+
+def test_remove_boilerplate_rewrite(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.quality import (
+        ngram_doc_frequency,
+        remove_boilerplate,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = [{"doc_id": i, "text": f"unique{i} words number{i} {boiler} tail{i}"}
+            for i in range(10)]
+    docs.append({"doc_id": 99, "text": "entirely clean document with no shared spans"})
+    ds = ray.data.from_items(docs)
+    freq = {r["gram"]: r["df"] for r in ngram_doc_frequency(ds, n=4, min_docs=5).take_all()}
+    assert freq.get(boiler) == 10
+
+    out = {r["id"]: r for r in remove_boilerplate(ds, n=4, min_docs=5).take_all()}
+    assert out[0]["n_boiler_grams"] == 1
+    assert boiler not in out[0]["text"]
+    # untouched words survive in order
+    assert out[0]["text"] == "unique0 words number0 tail0"
+    assert out[99]["n_boiler_grams"] == 0
+    assert out[99]["text"] == "entirely clean document with no shared spans"
+
+
+def test_domain_stats(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.quality import domain_stats
+
+    docs = [
+        {"doc_id": 0, "text": "one two three", "lang": "en", "source": "a"},
+        {"doc_id": 1, "text": "four five", "lang": "de", "source": "a"},
+        {"doc_id": 2, "text": "six", "lang": "en", "source": "b"},
+    ]
+    out = {r["domain"]: r for r in domain_stats(ray.data.from_items(docs)).take_all()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["total_words"] == 5
+    assert out["a"]["mean_words"] == 2.5 and out["a"]["n_langs"] == 2
+    assert out["b"]["n_docs"] == 1 and out["b"]["n_langs"] == 1
