@@ -29,7 +29,14 @@ if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
     ).rstrip(os.pathsep)
 
 
+def _configure() -> None:
+    from climatemind_ontology_processing_ray.runtime import configure_data_context
+
+    configure_data_context()
+
+
 def entry() -> Any:
+    _configure()
     from climatemind_ontology_processing_ray.pipelines.queries import (
         q_kg_canonical_edges,
     )
@@ -38,6 +45,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _configure()
     from climatemind_ontology_processing_ray.pipelines.queries import queries as _q
 
     return _q()

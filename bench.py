@@ -74,6 +74,9 @@ def run_bench() -> dict:
 
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from climatemind_ontology_processing_ray.runtime import configure_data_context
+
+    configure_data_context()
 
     from climatemind_ontology_processing_ray.ontology import build_fixture_snapshot
     from climatemind_ontology_processing_ray.pipelines.kg import KGConfig, run_kg_pipeline
@@ -162,7 +165,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
-            GRAFT_PAGES_PER_DOC=str(PAGES_PER_DOC * 2),
+            GRAFT_PAGES_PER_DOC=str(PAGES_PER_DOC * int(os.environ.get("GRAFT_SCALE_MULT", "8"))),
             GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
@@ -192,8 +195,55 @@ def run_scaling() -> dict:
     }
 
 
+_CEILING_PAT = None
+
+
+def _ceiling_work(n: int) -> int:
+    import re as _re
+
+    global _CEILING_PAT
+    if _CEILING_PAT is None:
+        _CEILING_PAT = _re.compile(r"([a-z]+) causes ([a-z]+)")
+    doc = ("increase in atmospheric co2 causes warming " * 60 + "filler words here ") * 4
+    acc = 0
+    for i in range(n):
+        s = doc + str(i)
+        acc += len(_CEILING_PAT.findall(s))
+        acc += int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+    return acc
+
+
+def run_ceiling() -> dict:
+    """Raw host scaling ceiling: the same style of per-task work (regex +
+    hashing over strings) under plain multiprocessing — NO Ray — at the
+    two scaling parallelism levels.  This is the denominator for the
+    hardware-normalized scaling efficiency in BASELINE.md: a single SMT
+    host shares memory bandwidth across workers, so even perfect-engine
+    scaling cannot reach 4.0x from N to 4N workers (a real N->4N NODE
+    cluster adds bandwidth with nodes and does not pay this)."""
+    import multiprocessing as mp
+
+    def run(workers: int) -> float:
+        with mp.Pool(workers) as p:
+            t0 = time.perf_counter()
+            p.map(_ceiling_work, [400] * 64)
+            return time.perf_counter() - t0
+
+    t_lo = min(run(SCALE_LO) for _ in range(3))
+    t_hi = min(run(SCALE_HI) for _ in range(3))
+    return {
+        "metric": f"raw_host_ceiling_{SCALE_LO}_to_{SCALE_HI}",
+        "value": round((t_lo / t_hi) / (SCALE_HI / SCALE_LO), 3),
+        "unit": "ratio",
+        f"sec_{SCALE_LO}": round(t_lo, 2),
+        f"sec_{SCALE_HI}": round(t_hi, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ceiling" in sys.argv:
+        print(json.dumps(run_ceiling()))
     else:
         print(json.dumps(run_bench()))

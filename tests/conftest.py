@@ -19,6 +19,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from climatemind_ontology_processing_ray.runtime import configure_data_context
+
+    configure_data_context()
     yield
     ray.shutdown()
 
