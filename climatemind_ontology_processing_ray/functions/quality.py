@@ -229,3 +229,95 @@ def domain_stats(
         .groupby(domain_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def duplicate_spans(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    L: int = 5,
+    min_docs: int = 2,
+) -> Dataset:
+    """Substring-level exact dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", adapted to word granularity):
+    maximal word spans covered by L-grams that occur in >= min_docs
+    DISTINCT documents.
+
+    Output: id, span_start, span_end (word indices, [start, end)) — one
+    row per maximal duplicated span, computed by merging overlapping
+    [p, p+L) windows of cross-document L-grams (gaps-and-islands).
+
+    Shuffle structure: the frequent-gram table comes from
+    :func:`ngram_doc_frequency` (ONE groupby).  Position rows join against
+    it by gram hash — at corpus scale this is a second hash-partition
+    groupby; the per-doc island merge is the final doc-hash groupby with
+    vectorized merging inside partitions.
+    """
+    import zlib
+
+    freq = ngram_doc_frequency(ds, id_col, text_col, n=L, min_docs=min_docs)
+
+    def freq_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jkey": b["gram"],
+                "id": -1,
+                "pos": -1,
+                "is_freq": True,
+                "__part": [zlib.crc32(g.encode()) % _NUM_PARTS for g in b["gram"]],
+            }
+        )
+
+    def pos_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_id, out_p = [], [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            words = (t or "").split()
+            for p in range(len(words) - L + 1):
+                out_g.append(" ".join(words[p : p + L]))
+                out_id.append(i)
+                out_p.append(p)
+        return pd.DataFrame(
+            {
+                "jkey": out_g,
+                "id": out_id,
+                "pos": out_p,
+                "is_freq": False,
+                "__part": [zlib.crc32(g.encode()) % _NUM_PARTS for g in out_g],
+            }
+        )
+
+    def filter_hits(g: pd.DataFrame) -> pd.DataFrame:
+        freq_set = set(g.loc[g["is_freq"].to_numpy(), "jkey"])
+        hits = g[~g["is_freq"].to_numpy() & g["jkey"].isin(freq_set)]
+        out = hits[["id", "pos"]].copy()
+        out["__dpart"] = [zlib.crc32(str(i).encode()) % _NUM_PARTS for i in out["id"]]
+        return out
+
+    def merge_islands(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_s, out_e = [], [], []
+        for i, sub in g.groupby("id", sort=False):
+            positions = np.sort(sub["pos"].to_numpy())
+            start = prev = int(positions[0])
+            for p in positions[1:]:
+                p = int(p)
+                if p <= prev + L:  # windows [prev,prev+L) and [p,p+L) touch
+                    prev = p
+                else:
+                    out_id.append(i)
+                    out_s.append(start)
+                    out_e.append(prev + L)
+                    start = prev = p
+            out_id.append(i)
+            out_s.append(start)
+            out_e.append(prev + L)
+        df = pd.DataFrame({"id": out_id, "span_start": out_s, "span_end": out_e})
+        df["span_start"] = df["span_start"].astype("int64")
+        df["span_end"] = df["span_end"].astype("int64")
+        return df
+
+    joined = freq.map_batches(freq_rows, batch_format="pandas").union(
+        ds.map_batches(pos_rows, batch_format="pandas")
+    )
+    hits = joined.groupby("__part").map_groups(filter_hits, batch_format="pandas")
+    return hits.groupby("__dpart").map_groups(merge_islands, batch_format="pandas")

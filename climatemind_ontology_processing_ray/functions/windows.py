@@ -100,3 +100,69 @@ def sessionize(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def running_aggregate(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> Dataset:
+    """Per-key ORDERED cumulative aggregates (the window-function family
+    the engine lacked): running sum and row number of ``value_col`` over
+    rows ordered by (order_col, and any tie broken deterministically by
+    the full sort key).
+
+    One hash-partition shuffle on the key; inside each partition the
+    per-key sort + cumsum is vectorized pandas (groupby().cumsum()), not
+    one Ray group per key.  Output: all input columns + running_total
+    (float64), rn (int64).
+    """
+    import zlib
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            __part=[zlib.crc32(str(k).encode()) % 64 for k in b[key_col]]
+        )
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        g = g.assign(
+            running_total=g.groupby(key_col, sort=False)[value_col].cumsum(),
+            rn=g.groupby(key_col, sort=False).cumcount() + 1,
+        )
+        g["rn"] = g["rn"].astype("int64")
+        return g.drop(columns="__part")
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
+        cum, batch_format="pandas"
+    )
+
+
+def grouped_topk(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+) -> Dataset:
+    """Top-k rows per key by ``order_col`` (ties broken by the stable sort
+    on the remaining row order — callers wanting full determinism should
+    order on a unique column).  Same coarse-partition pattern as
+    :func:`running_aggregate`: one shuffle, vectorized per-partition
+    ``groupby().head(k)``.
+    """
+    import zlib
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            __part=[zlib.crc32(str(kk).encode()) % 64 for kk in b[key_col]]
+        )
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], ascending=[True, ascending], kind="mergesort")
+        return g.groupby(key_col, sort=False).head(k).drop(columns="__part")
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
+        head, batch_format="pandas"
+    )

@@ -982,6 +982,118 @@ FROM documents GROUP BY source ORDER BY domain
 """
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Substring-level exact dedup: maximal word spans covered by cross-
+    document 5-grams (Lee et al. semantics at word granularity); oracle =
+    gaps-and-islands window SQL."""
+    from ..functions.quality import duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_spans(ds, "doc_id", "text", L=5, min_docs=2).to_pandas()
+    out["id"] = out["id"].astype("int64")
+    return out.sort_values(["id", "span_start"]).reset_index(drop=True)
+
+
+SQL_DUP_SPANS = """
+WITH pos AS (
+  SELECT doc_id, i - 1 AS p,
+         STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+         STRING_SPLIT(text, ' ')[i+2] || ' ' || STRING_SPLIT(text, ' ')[i+3] || ' ' ||
+         STRING_SPLIT(text, ' ')[i+4] AS gram
+  FROM documents, UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 3, 1))) AS t(i)
+),
+freq AS (
+  SELECT gram FROM (SELECT gram, doc_id FROM pos GROUP BY gram, doc_id)
+  GROUP BY gram HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT p.doc_id, p.p FROM pos p JOIN freq f ON p.gram = f.gram
+),
+marked AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT doc_id AS id, MIN(p) AS span_start, MAX(p) + 5 AS span_end
+FROM islands GROUP BY doc_id, island
+ORDER BY id, span_start
+"""
+
+
+def q_running_totals(sf_dir: str):
+    """Per-user ordered cumulative window (running sum + row number over
+    event time) — the window-function family, one key-hash shuffle."""
+    from ..functions.windows import running_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        # integer cents: FP-association-proof running sums; composite order
+        # key (ts, event_id) makes tie order deterministic on both sides
+        cents = np.round(_round2(b["value"]) * 100).astype("int64")
+        return b.assign(cents=cents, __ord=list(zip(b["ts"], b["event_id"])))
+
+    out = running_aggregate(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", "__ord", "cents"
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["running_cents"] = out["running_total"].astype("int64")
+    return (
+        out[["event_id", "rn", "running_cents"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events ORDER BY event_id
+"""
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Top-3 events per user by value (grouped top-k; event_id breaks
+    value ties deterministically on both sides)."""
+    from ..functions.windows import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def order_key(b: pd.DataFrame) -> pd.DataFrame:
+        # unique composite order key: value desc then event_id asc
+        return b.assign(__ord=list(zip(-b["value"], b["event_id"])))
+
+    out = grouped_topk(
+        ds.map_batches(order_key, batch_format="pandas"),
+        "user_id",
+        "__ord",
+        k=3,
+        ascending=True,
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT event_id FROM (
+  SELECT event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3 ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # dedup family over documents (+ deterministic near-duplicate augmentation)
 # --------------------------------------------------------------------- #
@@ -1809,6 +1921,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DF),
     "remove_boilerplate": (q_remove_boilerplate, SQL_REMOVE_BOILER),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+    "top_events_per_user": (q_top_events_per_user, SQL_TOP_EVENTS_PER_USER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),

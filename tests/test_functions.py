@@ -587,3 +587,53 @@ def test_domain_stats(ray_session):
     assert out["a"]["n_docs"] == 2 and out["a"]["total_words"] == 5
     assert out["a"]["mean_words"] == 2.5 and out["a"]["n_langs"] == 2
     assert out["b"]["n_docs"] == 1 and out["b"]["n_langs"] == 1
+
+
+def test_duplicate_spans_islands(ray_session):
+    """Cross-doc 5-gram spans merge into maximal islands; within-doc-only
+    repeats don't count as duplicates."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.quality import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    docs = [
+        {"doc_id": 0, "text": f"intro words here {shared} outro tail"},
+        {"doc_id": 1, "text": f"{shared} completely different ending words"},
+        {"doc_id": 2, "text": "repeat me repeat me repeat me repeat me repeat me xx"},
+    ]
+    out = duplicate_spans(ray.data.from_items(docs), L=5, min_docs=2).take_all()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    # doc 0: shared occupies words [3, 12) -> one maximal island
+    assert spans[0] == [(3, 12)]
+    assert spans[1] == [(0, 9)]
+    # doc 2's internal repetition is in no other doc -> no spans
+    assert 2 not in spans
+
+
+def test_running_aggregate_and_grouped_topk(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        grouped_topk,
+        running_aggregate,
+    )
+
+    rows = [
+        {"k": "a", "t": 1, "v": 10},
+        {"k": "a", "t": 2, "v": 5},
+        {"k": "a", "t": 3, "v": 1},
+        {"k": "b", "t": 1, "v": 7},
+    ]
+    out = running_aggregate(ray.data.from_items(rows), "k", "t", "v").take_all()
+    got = {(r["k"], r["t"]): (r["rn"], r["running_total"]) for r in out}
+    assert got[("a", 1)] == (1, 10)
+    assert got[("a", 2)] == (2, 15)
+    assert got[("a", 3)] == (3, 16)
+    assert got[("b", 1)] == (1, 7)
+
+    top = grouped_topk(ray.data.from_items(rows), "k", "v", k=2).take_all()
+    kept = sorted((r["k"], r["v"]) for r in top)
+    assert kept == [("a", 5), ("a", 10), ("b", 7)]
