@@ -34,6 +34,11 @@ PAGES_PER_DOC = int(os.environ.get("GRAFT_PAGES_PER_DOC", "20"))
 # 4N evidence uses 4 and 16 by default
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+# scaling corpus multiplier: 40 -> 4M pages at sf0.1.  Long runs amortize
+# the fixed per-pipeline overhead (~1.5s of sort barriers + task ramp at
+# the hi leg) that otherwise dominates the efficiency ratio on short runs,
+# and single-host timing noise (+-20% on this VM) averages out.
+SCALE_MULT_DEFAULT = 40
 
 
 ROWS_PER_FILE = 5_000  # many small shards -> read parallelism (the parquet
@@ -42,18 +47,22 @@ ROWS_PER_FILE = 5_000  # many small shards -> read parallelism (the parquet
 
 def _pages_dir(n_pages: int, seed: int = 13) -> str:
     key = hashlib.sha1(
-        f"kgpages:{n_pages}:{seed}:{ROWS_PER_FILE}".encode()
+        f"kgpages:sharded:{n_pages}:{seed}:{ROWS_PER_FILE}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", f"kg_pages_{key}")
 
 
 def prepare_pages(n_pages: int) -> str:
-    """Generate (once) and cache the deterministic synthetic pages corpus."""
+    """Generate (once) and cache the deterministic synthetic pages corpus
+    (shard-parallel ray tasks when a session is up; the multi-million-page
+    scaling corpus materializes in seconds)."""
     from climatemind_ontology_processing_ray.ontology import build_fixture_snapshot
-    from climatemind_ontology_processing_ray.sources.pages import write_pages_parquet
+    from climatemind_ontology_processing_ray.sources.pages import (
+        write_pages_parquet_sharded,
+    )
 
     snap = build_fixture_snapshot()
-    return write_pages_parquet(
+    return write_pages_parquet_sharded(
         _pages_dir(n_pages), snap, n_pages, seed=13, rows_per_file=ROWS_PER_FILE
     )
 
@@ -96,12 +105,21 @@ def run_bench() -> dict:
     # min of N trials (single-host VM timing noise is ±30%; scaling runs use
     # 3 so the efficiency ratio isn't noise); block count is fixed (not
     # CPU-derived) so both scaling runs execute the same plan
-    n_trials = 3 if os.environ.get("GRAFT_HEADLINE_ONLY") else 2
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        n_trials = 3 if n_pages <= 1_500_000 else 2
+    else:
+        n_trials = 2
     kg_sec = float("inf")
     n_edges = n_triples = 0
+    # ~15.6k-row (~13 MB) blocks above 1M pages: fine enough granularity
+    # that no leg of the scaling run is wave-quantized, coarse enough that
+    # per-task fixed costs stay <5% (measured sweep in NOTES.md); capped
+    # so driver metadata stays small.  Fixed per corpus (not per-CPU) so
+    # both scaling legs execute the same plan.
+    n_blocks = 96 if n_pages <= 1_000_000 else min(1024, n_pages // 15_625)
     for _trial in range(n_trials):
         t0 = time.perf_counter()
-        pages = rd.read_parquet(pages_path, override_num_blocks=96)
+        pages = rd.read_parquet(pages_path, override_num_blocks=n_blocks)
         res = run_kg_pipeline(pages, snap, KGConfig(batch_size=4096))
         n_edges = 0
         n_triples = 0
@@ -165,7 +183,10 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
-            GRAFT_PAGES_PER_DOC=str(PAGES_PER_DOC * int(os.environ.get("GRAFT_SCALE_MULT", "8"))),
+            GRAFT_PAGES_PER_DOC=str(
+                PAGES_PER_DOC
+                * int(os.environ.get("GRAFT_SCALE_MULT", str(SCALE_MULT_DEFAULT)))
+            ),
             GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(

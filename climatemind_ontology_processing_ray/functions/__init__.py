@@ -16,6 +16,9 @@ from .join import bucketed_hash_join
 from .sample import deterministic_sample, stratified_sample
 from .windows import tumbling_window, sliding_window, sessionize
 from .ann import brute_force_topk, lsh_topk, ivf_topk, train_ivf_centroids
+from .graph_algo import degree_stats, distinct_edges, pagerank_fixed
+from .sketch import approx_distinct, exact_quantiles, heavy_hitters
+from .text import inverted_index
 
 __all__ = [
     "TextQualityScorer",
@@ -38,4 +41,11 @@ __all__ = [
     "tumbling_window",
     "sliding_window",
     "sessionize",
+    "degree_stats",
+    "distinct_edges",
+    "pagerank_fixed",
+    "approx_distinct",
+    "exact_quantiles",
+    "heavy_hitters",
+    "inverted_index",
 ]

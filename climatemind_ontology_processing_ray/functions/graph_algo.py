@@ -1,0 +1,178 @@
+"""Distributed graph analytics over edge tables (the KG back end's
+canonical edge Dataset, or any (src, dst) table).
+
+Complements the driver-side NetworkX enrichment (graph/enrich.py — the
+reference's ontology-sized recipe, ``process_new_ontology_file.py``)
+with operators that stay distributed over CORPUS-sized edge tables:
+
+- ``distinct_edges``    — exact (src, dst) dedup, coarse-partition shuffle
+- ``degree_stats``      — per-node in/out degree via partial counts
+- ``pagerank_fixed``    — fixed-iteration PageRank in INTEGER fixed-point
+  arithmetic, so results are bit-exact across partitionings, block
+  orders, and an independent SQL evaluation (no FP summation-order
+  drift).  Edges stream per iteration; only the node-sized rank vector
+  materializes.
+
+Partitioning assumptions (documented per the custom-operator rule):
+``pagerank_fixed`` holds the (node, out_degree, rank) vector on the
+driver and broadcasts it via ``ray.put`` each iteration — correct for
+ontology-aligned KGs whose canonical node set is schema-bounded (this
+engine's case: nodes are linked ontology entities).  For open-domain
+graphs with corpus-sized node sets, the rank vector itself must be a
+Dataset and the per-iteration contribution becomes a bucketed hash join
+(the ``dup_clusters`` label-propagation pattern, functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+_NUM_PARTS = 64
+
+
+def _part_of(values, num_parts: int = _NUM_PARTS) -> list[int]:
+    return [zlib.crc32(str(v).encode("utf-8", "ignore")) % num_parts for v in values]
+
+
+def distinct_edges(
+    edges: Dataset, src_col: str = "subject", dst_col: str = "object"
+) -> Dataset:
+    """Exact (src, dst) pair dedup: per-batch drop_duplicates (map-side
+    combine), coarse hash-partition groupby, vectorized in-partition
+    drop_duplicates (the exact_dedup pattern, functions/dedup.py)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[src_col, dst_col]].drop_duplicates()
+        out = out.assign(
+            __part=_part_of(out[src_col].astype(str) + "\x00" + out[dst_col].astype(str))
+        )
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[src_col, dst_col]].drop_duplicates()
+
+    return (
+        edges.map_batches(local, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def degree_stats(
+    edges: Dataset,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    assume_distinct: bool = False,
+) -> Dataset:
+    """Per-node out/in degree over the DISTINCT edge set.
+
+    Shuffle structure: one pass of per-batch partial counts (each batch
+    contributes <= one row per node per direction), then a single small
+    groupby-Sum keyed on node."""
+    ded = edges if assume_distinct else distinct_edges(edges, src_col, dst_col)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out_c = b.groupby(src_col, sort=False).size()
+        in_c = b.groupby(dst_col, sort=False).size()
+        df = pd.concat(
+            [
+                pd.DataFrame(
+                    {"node": out_c.index, "out_partial": out_c.values, "in_partial": 0}
+                ),
+                pd.DataFrame(
+                    {"node": in_c.index, "out_partial": 0, "in_partial": in_c.values}
+                ),
+            ]
+        )
+        return df
+
+    agg = (
+        ded.map_batches(partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(
+            Sum("out_partial", alias_name="out_degree"),
+            Sum("in_partial", alias_name="in_degree"),
+        )
+    )
+    return agg
+
+
+def pagerank_fixed(
+    edges: Dataset,
+    iters: int = 3,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "subject",
+    dst_col: str = "object",
+) -> pd.DataFrame:
+    """Fixed-iteration PageRank in integer fixed-point arithmetic.
+
+    Update rule (ALL integer ops, floor division, so the result is
+    bit-exact regardless of partitioning / summation order and exactly
+    reproducible by the SQL oracle)::
+
+        base      = (scale // n) * (den - num) // den
+        contrib_e = rank[src] // out_deg[src]           per distinct edge
+        dangling  = sum(rank[v] for v with out_deg==0)
+        rank'[v]  = base + num * (sum_in[v] + dangling // n) // den
+
+    Per iteration: ONE streaming map over the pinned edge Dataset emits
+    per-batch partial contribution sums keyed by dst (map-side combine),
+    then a node-sized groupby-Sum.  The edge Dataset is pinned once
+    (``pin_blocks``) so iterations do not re-execute upstream lineage.
+    """
+    from .dedup import pin_blocks
+
+    ded = pin_blocks(distinct_edges(edges, src_col, dst_col), target_blocks=64)
+
+    # node-sized state (see module docstring for the open-domain variant)
+    deg = degree_stats(ded, src_col, dst_col, assume_distinct=True).to_pandas()
+    if len(deg) == 0 or "node" not in deg.columns:
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "rank_scaled": pd.Series([], dtype="int64")})
+    nodes = sorted(deg["node"])
+    out_deg = dict(zip(deg["node"], deg["out_degree"]))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": [], "rank_scaled": []})
+    base = (scale // n) * (damping_den - damping_num) // damping_den
+    rank = {v: scale // n for v in nodes}
+
+    for _ in range(iters):
+        ref = ray.put({v: (rank[v], out_deg.get(v, 0)) for v in nodes})
+
+        def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            state = ray.get(_ref)
+            sums: dict[str, int] = {}
+            for s, d in zip(b[src_col], b[dst_col]):
+                r, od = state[s]
+                if od:
+                    sums[d] = sums.get(d, 0) + r // od
+            return pd.DataFrame(
+                {"node": list(sums), "contrib": list(sums.values())}
+            )
+
+        inc = (
+            ded.map_batches(partial, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("contrib", alias_name="sum_in"))
+            .to_pandas()
+        )
+        sum_in = dict(zip(inc["node"], inc["sum_in"].astype("int64")))
+        dangling = sum(r for v, r in rank.items() if not out_deg.get(v, 0))
+        rank = {
+            v: base
+            + damping_num * (sum_in.get(v, 0) + dangling // n) // damping_den
+            for v in nodes
+        }
+
+    return pd.DataFrame(
+        {"node": nodes, "rank_scaled": [int(rank[v]) for v in nodes]}
+    )

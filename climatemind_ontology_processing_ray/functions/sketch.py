@@ -93,3 +93,132 @@ def approx_distinct(
             batch_format="pandas",
         )
     return out
+
+
+# --------------------------------------------------------------------- #
+# Misra-Gries heavy hitters (two-pass exact)
+# --------------------------------------------------------------------- #
+
+
+def _mg_sketch(tokens, k: int) -> dict:
+    """Classic Misra-Gries with k counters: any item with frequency
+    > n/(k+1) in the stream is guaranteed to hold a counter at the end."""
+    counters: dict = {}
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def heavy_hitters(
+    ds: Dataset,
+    k: int,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """EXACT heavy hitters (tokens with count*(k+1) > total_tokens) via
+    the standard two-pass sketch-then-verify pattern:
+
+    1. **Sketch pass** — per-batch Misra-Gries with ``k`` counters; each
+       batch emits at most ``k`` candidate tokens.  Pigeonhole: a
+       globally-heavy token is locally heavy in >=1 batch, so the union
+       of per-batch candidates has NO false negatives.
+    2. **Verify pass** — candidates (<= k x #batches, driver-small) are
+       broadcast via ``ray.put``; a second streaming pass computes exact
+       candidate counts + the total token count as per-batch partials,
+       reduced by one small groupby-Sum.
+
+    Token rule matches the SQL oracle: lowercase whitespace split,
+    empty tokens dropped.  Only candidate-sized state ever leaves the
+    workers; the token stream itself is never shuffled.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [
+            t
+            for txt in b[text_col]
+            for t in (txt or "").lower().split(" ")
+            if t
+        ]
+        return pd.DataFrame({"token": list(_mg_sketch(toks, k))})
+
+    cands = set(r["token"] for r in ds.map_batches(sketch, batch_format="pandas").take_all())
+    cand_ref = ray.put(cands)
+
+    def count_pass(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        counts: dict = {}
+        total = 0
+        for txt in b[text_col]:
+            for t in (txt or "").lower().split(" "):
+                if t:
+                    total += 1
+                    if t in cs:
+                        counts[t] = counts.get(t, 0) + 1
+        counts["\x00total\x00"] = total
+        return pd.DataFrame({"token": list(counts), "n": list(counts.values())})
+
+    agg = (
+        ds.map_batches(count_pass, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(agg.loc[agg["token"] == "\x00total\x00", "n"].iloc[0])
+    out = agg[agg["token"] != "\x00total\x00"].copy()
+    out["n"] = out["n"].astype("int64")
+    out = out[out["n"] * (k + 1) > total]
+    return out.sort_values("token").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------- #
+# exact distributed quantiles (value-histogram two-phase)
+# --------------------------------------------------------------------- #
+
+
+def exact_quantiles(
+    ds: Dataset, col: str, qs: list[float]
+) -> pd.DataFrame:
+    """Exact discrete quantiles (DuckDB ``quantile_disc`` semantics:
+    the element at sorted index ``ceil(q*n) - 1``) without a global sort:
+    per-batch value counts (map-side combine) -> one groupby-Sum keyed on
+    value -> driver-side cumulative walk over the DISTINCT-VALUE
+    histogram.
+
+    Driver state is bounded by the column's distinct-value cardinality,
+    not the row count — appropriate for bounded/discretized measures
+    (cents, lengths, scores).  For unbounded continuous columns, compose
+    with a fixed-width binning pass first (bin -> histogram -> refine
+    inside the one candidate bin)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts()
+        return pd.DataFrame({col: vc.index, "cnt": vc.values})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    rows = []
+    for q in qs:
+        import math
+
+        target = max(1, math.ceil(q * n))  # 1-indexed rank
+        idx = int((cum >= target).idxmax())
+        rows.append({"q": float(q), "value": hist[col].iloc[idx]})
+    return pd.DataFrame(rows)

@@ -219,3 +219,48 @@ class LangIdScorer:
         batch["lang_pred"] = preds
         batch["lang_score"] = np.array(scores, dtype=np.float32)
         return batch
+
+
+def inverted_index(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """Build an inverted index: token -> (document frequency, posting
+    list).  Per-batch explode to DISTINCT (token, doc) pairs (map-side
+    dedup — a token repeated within a doc contributes once), then ONE
+    groupby keyed on token that materializes each posting list sorted by
+    doc id.
+
+    Postings are emitted as a comma-joined string (deterministic,
+    hash-comparable).  At web scale, posting lists for stop-tokens are
+    the skew hazard: shard hot tokens by (token, doc_id bucket) and
+    store bucketed postings instead of one giant row (same salting
+    pattern as stages/canonicalize.py)."""
+    import pandas as pd
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks, ids = [], []
+        for i, txt in zip(b[id_col], b[text_col]):
+            for t in set((txt or "").lower().split(" ")):
+                if t:
+                    toks.append(t)
+                    ids.append(int(i))
+        return pd.DataFrame({"token": toks, id_col: ids}).drop_duplicates()
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tok, grp in g.groupby("token", sort=False):
+            ids = sorted(set(grp[id_col]))
+            out.append(
+                {
+                    "token": tok,
+                    "df": len(ids),
+                    "postings": ",".join(str(i) for i in ids),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("token")
+        .map_groups(postings, batch_format="pandas")
+    )

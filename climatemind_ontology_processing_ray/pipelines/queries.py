@@ -1859,6 +1859,198 @@ def q_kg_adjacency(sf_dir: str):
     return adj[["subject", "degree", "n_edges"]].sort_values("subject").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------- #
+# graph analytics over the flagship canonical edges
+# --------------------------------------------------------------------- #
+
+_KG_EDGE_CACHE: dict[str, rd.Dataset] = {}
+
+
+def _kg_canonical_edge_ds(sf_dir: str) -> rd.Dataset:
+    """One flagship pipeline run per sf_dir, shared by the graph-analytics
+    queries (materialized canonical edge Dataset, object-store resident)."""
+    if sf_dir not in _KG_EDGE_CACHE:
+        from ..ontology.fixture import build_fixture_snapshot
+        from ..sources.pages import generate_pages
+        from .kg import KGConfig, run_kg_pipeline
+
+        snap = build_fixture_snapshot()
+        table, _ = generate_pages(snap, _fixture_pages_count(sf_dir), seed=13)
+        pages = rd.from_arrow(table).repartition(8)
+        res = run_kg_pipeline(pages, snap, KGConfig())
+        _KG_EDGE_CACHE[sf_dir] = res.canonical_edges.materialize()
+    return _KG_EDGE_CACHE[sf_dir]
+
+
+def q_kg_degree_stats(sf_dir: str):
+    """Per-node in/out degree of the KG edge set (distinct-edge dedup +
+    partial-count groupby, functions/graph_algo.py)."""
+    from ..functions.graph_algo import degree_stats
+
+    out = degree_stats(_kg_canonical_edge_ds(sf_dir)).to_pandas()
+    out["out_degree"] = out["out_degree"].astype("int64")
+    out["in_degree"] = out["in_degree"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_kg_degree_stats() -> str:
+    n = _fixture_pages_count(_KG_ORACLE_SF)
+    path = _kg_oracle_pages_path(n)
+    return f"""
+WITH {_kg_edges_cte(path)},
+e AS (SELECT DISTINCT subject AS src, object AS dst FROM linked),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+SELECT n.node,
+       CAST(COALESCE(o.d, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS in_degree
+FROM nodes n
+LEFT JOIN (SELECT src, COUNT(*) AS d FROM e GROUP BY src) o ON o.src = n.node
+LEFT JOIN (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst) i ON i.dst = n.node
+ORDER BY n.node
+"""
+
+
+_PR_ITERS = 3
+_PR_SCALE = 10**9
+
+
+def q_kg_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the KG edge set: bit-exact across
+    partitionings (all-integer update rule), edges stream per iteration
+    (functions/graph_algo.py:pagerank_fixed)."""
+    from ..functions.graph_algo import pagerank_fixed
+
+    out = pagerank_fixed(
+        _kg_canonical_edge_ds(sf_dir), iters=_PR_ITERS, scale=_PR_SCALE
+    )
+    out["rank_scaled"] = out["rank_scaled"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_kg_pagerank() -> str:
+    n = _fixture_pages_count(_KG_ORACLE_SF)
+    path = _kg_oracle_pages_path(n)
+    scale = _PR_SCALE
+    # the same all-integer update rule as pagerank_fixed, unrolled
+    iter_ctes = []
+    for k in range(1, _PR_ITERS + 1):
+        prev = f"r{k - 1}"
+        iter_ctes.append(
+            f"""r{k} AS (
+  SELECT nd.node,
+         ((({scale} // nc.c) * 15) // 100)
+         + ((85 * (COALESCE(inc.s, 0) + (dang.d // nc.c))) // 100) AS rank
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // o.d) AS s
+    FROM e
+    JOIN {prev} r ON r.node = e.src
+    JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = nd.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0) AS d
+    FROM {prev} r LEFT JOIN outd o ON o.src = r.node
+    WHERE o.src IS NULL
+  ) dang
+  CROSS JOIN nc
+)"""
+        )
+    return f"""
+WITH {_kg_edges_cte(path)},
+e AS (SELECT DISTINCT subject AS src, object AS dst FROM linked),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outd AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+nc AS (SELECT COUNT(*) AS c FROM nodes),
+r0 AS (SELECT node, {scale} // (SELECT c FROM nc) AS rank FROM nodes),
+{",".join(iter_ctes)}
+SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r{_PR_ITERS} ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------- #
+# sketch / index operators over documents + events
+# --------------------------------------------------------------------- #
+
+_HH_K = 29
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Two-pass exact heavy hitters (per-batch Misra-Gries sketch ->
+    broadcast candidates -> exact verify counts)."""
+    from ..functions.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, k=_HH_K)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM t)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY token
+HAVING COUNT(*) * {_HH_K + 1} > (SELECT n FROM tot)
+ORDER BY token
+"""
+
+_QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles without a global sort (value-histogram
+    two-phase; DuckDB quantile_disc semantics)."""
+    from ..functions.sketch import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": np.round(_round2(b["value"]) * 100).astype("int64")}
+        )
+
+    out = exact_quantiles(
+        ds.map_batches(to_cents, batch_format="pandas"), "cents", _QUANTILE_QS
+    )
+    out["value_cents"] = out["value"].astype("int64")
+    return out[["q", "value_cents"]]
+
+
+SQL_QUANTILES = "\nUNION ALL\n".join(
+    f"""SELECT {q} AS q,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS BIGINT)
+         AS value_cents FROM events"""
+    for q in _QUANTILE_QS
+)
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index: token -> (df, sorted posting list) via distinct
+    per-batch explode + one token-keyed groupby."""
+    from ..functions.text import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = inverted_index(ds).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX = """
+WITH td AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY token ORDER BY token
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> actor-pool feature
     extraction; content digest is SQL-checkable."""
@@ -1943,6 +2135,11 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_canonical_edges": (q_kg_canonical_edges, _sql_kg_canonical_edges),
     "kg_adjacency": (q_kg_adjacency, _sql_kg_adjacency),
+    "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),
+    "kg_pagerank": (q_kg_pagerank, _sql_kg_pagerank),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
 

@@ -282,3 +282,70 @@ def write_pages_parquet(
     with open(manifest, "w") as f:
         json.dump(key, f)
     return out_dir
+
+
+def write_pages_parquet_sharded(
+    out_dir: str,
+    snap: OntologySnapshot,
+    n_pages: int,
+    seed: int = 13,
+    rows_per_file: int = 25_000,
+) -> str:
+    """Shard-PARALLEL corpus writer: each parquet file is generated by an
+    independent Ray task from its own derived seed ``(seed, shard)``, so a
+    multi-million-page bench corpus materializes in seconds instead of
+    minutes.  Content differs from the sequential writer for the same
+    (n_pages, seed) — same distribution, different sample — so cache keys
+    must distinguish the two (bench.py appends a layout marker).
+
+    Statistical properties (golden-edge support scaling, head-surface
+    skew, lang mix, malformed fraction, traps) hold per shard, hence
+    corpus-wide.  Falls back to the sequential writer when Ray is not
+    initialized."""
+    import json
+    import os
+    import shutil
+
+    import ray as _ray
+
+    if not _ray.is_initialized():
+        return write_pages_parquet(out_dir, snap, n_pages, seed, rows_per_file)
+
+    manifest = os.path.join(out_dir, "_PAGES_MANIFEST.json")
+    key = {
+        "n_pages": n_pages,
+        "seed": seed,
+        "layout": f"sharded:{rows_per_file}",
+        "fixture": hashlib.sha256(snap.to_json().encode()).hexdigest()[:16],
+    }
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                if json.load(f) == key:
+                    return out_dir
+        except Exception:
+            pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    snap_json = snap.to_json()
+
+    @_ray.remote(num_cpus=1)
+    def _gen_shard(shard: int, rows: int, path: str) -> int:
+        import pyarrow.parquet as _pq
+
+        from ..ontology.schema import OntologySnapshot as _Snap
+
+        s = _Snap.from_json(snap_json)
+        table, _ = generate_pages(s, rows, seed=(seed, "shard", shard))
+        _pq.write_table(table, path)
+        return rows
+
+    futs = []
+    for shard, start in enumerate(range(0, n_pages, rows_per_file)):
+        rows = min(rows_per_file, n_pages - start)
+        path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+        futs.append(_gen_shard.remote(shard, rows, path))
+    _ray.get(futs)
+    with open(manifest, "w") as f:
+        json.dump(key, f)
+    return out_dir

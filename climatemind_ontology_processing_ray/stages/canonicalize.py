@@ -83,12 +83,43 @@ def _merge_partition(g: pd.DataFrame, keys: list[str], sources_cap: int) -> pd.D
     return out
 
 
+# streaming fan-in combine: bundle many small partial blocks into one
+# merge task (ray bundles input blocks up to batch_size rows), so the
+# sort-based groupby that follows sees FEW large blocks instead of one
+# tiny block per upstream task.  Merging is associative (support sum;
+# sources = 8 lexicographically-smallest urls, a top-k monoid), so this
+# is a correctness-preserving tree-reduce level.  At bench scale it cuts
+# the two sorts from 96 blocks (384 sub-ms SortMap/SortReduce tasks +
+# barrier bookkeeping) to ~1-2 blocks; at web scale it is one extra
+# linear streaming pass that never hurts the shuffle that follows.
+_FANIN_ROWS = 65_536
+
+
 def canonicalize_partials(
-    partials: Dataset, sources_cap: int = 8
+    partials: Dataset, sources_cap: int = 8, fanin_rows: int = _FANIN_ROWS
 ) -> Dataset:
-    """Shuffle phases over pre-combined partial rows: salted coarse
-    groupby then final coarse groupby (each hot key spread across its
-    salts first; per-key merging is vectorized inside each partition)."""
+    """Shuffle phases over pre-combined partial rows: streaming fan-in
+    combine, salted coarse groupby, fan-in, then final coarse groupby
+    (each hot key spread across its salts first; per-key merging is
+    vectorized inside each partition)."""
+
+    def combine_salted(b: pd.DataFrame) -> pd.DataFrame:
+        return _merge_partition(b, TRIPLE_KEY + ["salt"], sources_cap)
+
+    def combine_final(b: pd.DataFrame) -> pd.DataFrame:
+        return _merge_partition(b, TRIPLE_KEY, sources_cap)
+
+    if fanin_rows:
+        # num_cpus=0.5 keeps this stage UNFUSED from the upstream heavy
+        # map (fusion would bundle the extractor's inputs up to
+        # fanin_rows pages per task, wrecking its task granularity);
+        # the merge itself is a light pandas groupby over partial rows
+        partials = partials.map_batches(
+            combine_salted,
+            batch_format="pandas",
+            batch_size=fanin_rows,
+            num_cpus=0.5,
+        )
 
     def tag_salted(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -119,6 +150,12 @@ def canonicalize_partials(
         .groupby("__part")
         .map_groups(merge_salted, batch_format="pandas")
     )
+    if fanin_rows:
+        # cross-salt pre-merge (also associative) so the final sort sees
+        # ~distinct-key rows in O(1) blocks
+        salted = salted.map_batches(
+            combine_final, batch_format="pandas", batch_size=fanin_rows, num_cpus=0.5
+        )
     return (
         salted.map_batches(tag_final, batch_format="pandas")
         .groupby("__part")

@@ -1,0 +1,161 @@
+"""Graph analytics + sketch/index operators: semantics checks beyond the
+driver's oracle compare (guarantee properties, partitioning invariance,
+edge cases)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from climatemind_ontology_processing_ray.functions.graph_algo import (
+    degree_stats,
+    distinct_edges,
+    pagerank_fixed,
+)
+from climatemind_ontology_processing_ray.functions.sketch import (
+    _mg_sketch,
+    exact_quantiles,
+    heavy_hitters,
+)
+from climatemind_ontology_processing_ray.functions.text import inverted_index
+
+
+def _edges_ds(pairs, nparts=1):
+    df = pd.DataFrame(pairs, columns=["subject", "object"])
+    ds = rd.from_pandas(df)
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+class TestGraphAlgo:
+    PAIRS = [
+        ("a", "b"),
+        ("a", "b"),  # duplicate edge collapses
+        ("b", "c"),
+        ("c", "a"),
+        ("d", "a"),  # d is dangling-in only via out-edge; no in-edges to d
+    ]
+
+    def test_distinct_edges(self, ray_session):
+        out = distinct_edges(_edges_ds(self.PAIRS, 3)).to_pandas()
+        assert len(out) == 4
+        assert set(zip(out.subject, out.object)) == {
+            ("a", "b"),
+            ("b", "c"),
+            ("c", "a"),
+            ("d", "a"),
+        }
+
+    def test_degree_stats(self, ray_session):
+        out = (
+            degree_stats(_edges_ds(self.PAIRS, 2))
+            .to_pandas()
+            .set_index("node")
+            .sort_index()
+        )
+        assert out.loc["a", "out_degree"] == 1
+        assert out.loc["a", "in_degree"] == 2
+        assert out.loc["d", "out_degree"] == 1
+        assert out.loc["d", "in_degree"] == 0
+
+    def test_pagerank_partitioning_invariant_and_exact(self, ray_session):
+        """Integer fixed-point: result is bit-identical across block
+        layouts and matches a plain-python reference evaluation."""
+        r1 = pagerank_fixed(_edges_ds(self.PAIRS, 1), iters=3)
+        r5 = pagerank_fixed(_edges_ds(self.PAIRS, 5), iters=3)
+        pd.testing.assert_frame_equal(r1, r5)
+
+        # plain-python reference of the same integer rule
+        edges = {("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")}
+        nodes = sorted({x for e in edges for x in e})
+        out_deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+        n = len(nodes)
+        scale = 10**9
+        rank = {v: scale // n for v in nodes}
+        base = (scale // n) * 15 // 100
+        for _ in range(3):
+            sum_in = {v: 0 for v in nodes}
+            for s, d in edges:
+                sum_in[d] += rank[s] // out_deg[s]
+            dang = sum(r for v, r in rank.items() if not out_deg[v])
+            rank = {
+                v: base + 85 * (sum_in[v] + dang // n) // 100 for v in nodes
+            }
+        got = dict(zip(r1.node, r1.rank_scaled))
+        assert got == rank
+        # sanity: 'a' (two in-edges) outranks 'd' (no in-edges)
+        assert got["a"] > got["d"]
+
+    def test_pagerank_empty(self, ray_session):
+        out = pagerank_fixed(_edges_ds([("x", "y")]).filter(lambda r: False))
+        assert len(out) == 0
+
+
+class TestHeavyHitters:
+    def test_mg_guarantee(self):
+        # adversarial stream: heavy item interleaved with k distinct fillers
+        stream = []
+        for i in range(300):
+            stream.append("hot")
+            stream.append(f"cold{i % 40}")
+        sketch = _mg_sketch(stream, k=5)
+        assert "hot" in sketch  # freq 1/2 > n/(k+1)
+
+    def test_exact_vs_bruteforce(self, ray_session):
+        rng = np.random.default_rng(7)
+        toks = rng.choice(
+            ["x"] * 5 + ["y"] * 3 + list("abcdefghijklmnop"), size=2000
+        )
+        docs = [
+            " ".join(toks[i : i + 20]) for i in range(0, 2000, 20)
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(7)
+        k = 10
+        out = heavy_hitters(ds, k=k)
+        # brute force ground truth
+        from collections import Counter
+
+        c = Counter(t for d in docs for t in d.split(" ") if t)
+        n = sum(c.values())
+        want = sorted(t for t, v in c.items() if v * (k + 1) > n)
+        assert list(out.token) == want
+        assert all(
+            int(out.loc[out.token == t, "n"].iloc[0]) == c[t] for t in want
+        )
+
+
+class TestQuantiles:
+    def test_matches_sorted_rank(self, ray_session):
+        vals = list(range(1, 101))  # 1..100
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+        out = exact_quantiles(ds, "v", [0.0, 0.5, 0.9, 1.0])
+        got = dict(zip(out.q, out.value))
+        # ceil(q*n) rank, 1-indexed (DuckDB quantile_disc)
+        assert got[0.0] == 1
+        assert got[0.5] == 50
+        assert got[0.9] == 90
+        assert got[1.0] == 100
+
+    def test_duplicate_values(self, ray_session):
+        ds = rd.from_pandas(pd.DataFrame({"v": [1, 1, 1, 2, 3]}))
+        out = exact_quantiles(ds, "v", [0.5])
+        assert out.value.iloc[0] == 1
+
+
+class TestInvertedIndex:
+    def test_postings(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2],
+                "text": ["apple banana apple", "banana", "apple cherry"],
+            }
+        )
+        out = (
+            inverted_index(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .set_index("token")
+        )
+        assert out.loc["apple", "postings"] == "2,3"
+        assert out.loc["apple", "df"] == 2
+        assert out.loc["banana", "postings"] == "1,3"
+        assert out.loc["cherry", "postings"] == "2"

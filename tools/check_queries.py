@@ -107,7 +107,7 @@ def main():
             continue
         t0 = time.time()
         try:
-            sql_df = con.execute(sql).df()
+            sql_df = con.execute(sql() if callable(sql) else sql).df()
         except Exception as e:
             print(f"FAIL {name}: sql raised {type(e).__name__}: {e}")
             n_bad += 1
