@@ -165,6 +165,12 @@ class TextQualityScorer:
         safe_words = np.maximum(n_words, 1)
         batch = batch.copy()
         batch["n_words"] = n_words
+        # integer signal counts (exact-arithmetic surrogates for the float
+        # ratios below: SQL-reproducible without FP drift)
+        batch["n_chars"] = n_chars.to_numpy().astype(np.int64)
+        batch["n_uniq_words"] = n_uniq
+        batch["n_stop_words"] = n_stop
+        batch["n_alpha_chars"] = alpha
         batch["uniq_ratio"] = n_uniq / safe_words
         batch["stop_ratio"] = n_stop / safe_words
         batch["alpha_ratio"] = alpha / np.maximum(n_chars.to_numpy(), 1)

@@ -824,17 +824,87 @@ FROM walk GROUP BY bin, seq ORDER BY pack_id
 
 
 def q_quality_scores(sf_dir: str):
-    """Composite quality + lang-id scores (actor pools; float heuristics —
-    rows-only check)."""
+    """Composite quality + lang-id scores (actor pools).  Oracle-facing
+    outputs are EXACT: ``quality_milli`` is the composite score in an
+    integer common-denominator rational form (no FP summation drift), and
+    ``lang_pred`` is the trigram-profile argmax, which SQL reproduces as
+    40 literal ``contains`` checks with the same >=0.2 threshold and
+    first-profile-wins tie rule."""
     from ..functions.text import LangIdScorer, TextQualityScorer
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     scored = ds.map_batches(
         TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
     ).map_batches(LangIdScorer, batch_format="pandas", concurrency=2, num_cpus=0.5)
-    return scored.select_columns(
-        ["doc_id", "n_words", "stop_ratio", "quality", "lang_pred"]
-    ).to_pandas()
+
+    def exact_cols(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(b["n_words"].to_numpy(), 1)
+        c = np.maximum(b["n_chars"].to_numpy(), 1)
+        s = b["n_stop_words"].to_numpy()
+        u = b["n_uniq_words"].to_numpy()
+        a = b["n_alpha_chars"].to_numpy()
+        # quality = 0.4*min(4s/w,1) + 0.3*u/w + 0.3*a/c, scaled x1000 over
+        # the common denominator w*c, floored — all int64 ops
+        num = 400 * np.minimum(4 * s, w) * c + 300 * u * c + 300 * a * w
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_words": b["n_words"].astype("int64"),
+                "n_stop_words": s.astype("int64"),
+                "quality_milli": (num // (w * c)).astype("int64"),
+                "lang_pred": b["lang_pred"],
+            }
+        )
+
+    return scored.map_batches(exact_cols, batch_format="pandas").to_pandas()
+
+
+def _sql_quality_scores() -> str:
+    from ..functions.text import _STOPWORDS, LangIdScorer
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    lang_rows = []
+    for pri, (lang, prof) in enumerate(LangIdScorer.PROFILES.items()):
+        hits = " + ".join(
+            "CASE WHEN contains(low, '{}') THEN 1 ELSE 0 END".format(
+                g.replace("'", "''")
+            )
+            for g in prof
+        )
+        lang_rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, {pri} AS pri, ({hits}) AS m FROM lowdocs"
+        )
+    scores = " UNION ALL ".join(lang_rows)
+    return f"""
+WITH counts AS (
+  SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+')) AS n_words,
+         LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'))) AS n_uniq,
+         LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'),
+                         w -> w IN ({stop_list}))) AS n_stop,
+         LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]')) AS n_alpha,
+         LEN(text) AS n_chars
+  FROM documents
+),
+lowdocs AS (SELECT doc_id, SUBSTR(LOWER(text), 1, 2000) AS low FROM documents),
+lang_scores AS ({scores}),
+best AS (
+  SELECT doc_id, lang, m,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m DESC, pri ASC) AS rn
+  FROM lang_scores
+)
+SELECT c.doc_id,
+       CAST(c.n_words AS BIGINT) AS n_words,
+       CAST(c.n_stop AS BIGINT) AS n_stop_words,
+       CAST((400 * LEAST(4 * c.n_stop, GREATEST(c.n_words, 1)) * GREATEST(c.n_chars, 1)
+             + 300 * c.n_uniq * GREATEST(c.n_chars, 1)
+             + 300 * c.n_alpha * GREATEST(c.n_words, 1))
+            // (GREATEST(c.n_words, 1) * GREATEST(c.n_chars, 1)) AS BIGINT)
+         AS quality_milli,
+       CASE WHEN b.m >= 2 THEN b.lang ELSE 'unknown' END AS lang_pred
+FROM counts c JOIN best b ON b.doc_id = c.doc_id AND b.rn = 1
+ORDER BY c.doc_id
+"""
 
 
 # --------------------------------------------------------------------- #
@@ -2106,7 +2176,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "word_stats": (q_word_stats, SQL_WORD_STATS),
-    "quality_scores": (q_quality_scores, None),
+    "quality_scores": (q_quality_scores, _sql_quality_scores),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "pack_documents": (q_pack_documents, SQL_PACK_DOCUMENTS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION),
@@ -2153,11 +2223,10 @@ def oracle_sql() -> dict[str, str]:
     materialize a deterministic side input, e.g. the fixture corpus
     parquet the flagship SQL reads) — resolved here, at driver call time.
 
-    The single remaining no-oracle query is ``quality_scores``: its
-    lang-id component is a character-trigram profile argmax (an actor-pool
-    model-scoring stage) with no SQL equivalent; its arithmetic components
-    are hash-checked separately via ``word_stats`` / ``token_counts``.
-    """
+    Every registry entry has an oracle: the last holdout
+    (``quality_scores``) is covered by emitting exact-integer surrogate
+    columns (common-denominator rational composite, trigram-profile
+    argmax as literal ``contains`` checks)."""
     out: dict[str, str] = {}
     for name, (_, sql) in REGISTRY.items():
         if sql is None:

@@ -92,7 +92,11 @@ def _merge_partition(g: pd.DataFrame, keys: list[str], sources_cap: int) -> pd.D
 # the two sorts from 96 blocks (384 sub-ms SortMap/SortReduce tasks +
 # barrier bookkeeping) to ~1-2 blocks; at web scale it is one extra
 # linear streaming pass that never hurts the shuffle that follows.
-_FANIN_ROWS = 65_536
+# sized so several combine tasks stream DURING the extract stage instead
+# of one combine acting as a pseudo-barrier after it (measured: 65k rows
+# = 1 task waiting on ~all upstream blocks added ~1-2s of serial tail at
+# 16 cpus; 16k rows = ~4 overlapped tasks, sort still sees O(4) blocks)
+_FANIN_ROWS = 16_384
 
 
 def canonicalize_partials(

@@ -107,3 +107,31 @@ class CheckpointManager:
             return None
         with open(manifest_path) as f:
             return json.load(f)
+
+    def lineage(self) -> "list[dict]":
+        """Flat per-partition lineage/metrics table across all completed
+        stages under this root: one record per checkpointed parquet
+        partition (stage, run key, file, rows, md5, plus the stage's
+        elapsed seconds and throughput).  The queryable audit surface the
+        north_rule asks for — load with ``ray.data.from_items`` or pandas
+        to join against outputs."""
+        rows: list[dict] = []
+        if not self.root:
+            return rows
+        for stage in sorted(os.listdir(self.root)):
+            m = self.manifest(stage)
+            if not m:
+                continue
+            for f in m.get("files", []):
+                rows.append(
+                    {
+                        "stage": m["stage"],
+                        "run_key": m["key"],
+                        "file": f["path"],
+                        "rows": f["rows"],
+                        "md5": f.get("md5"),
+                        "stage_elapsed_sec": m.get("elapsed_sec"),
+                        "stage_rows_per_sec": m.get("rows_per_sec"),
+                    }
+                )
+        return rows

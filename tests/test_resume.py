@@ -48,6 +48,14 @@ def test_fresh_run_then_full_resume(ray_session, snapshot, table, tmp_path_facto
     assert mgr2.hits == STAGES and mgr2.misses == []
     assert out1 == out2  # byte-equivalent results without recompute
 
+    # flat per-partition lineage/metrics table across all stages
+    lineage = mgr2.lineage()
+    assert {r["stage"] for r in lineage} == set(STAGES)
+    for r in lineage:
+        assert r["md5"] and r["rows"] >= 0 and r["stage_elapsed_sec"] > 0
+    canon_rows = sum(r["rows"] for r in lineage if r["stage"] == "canonical_edges")
+    assert canon_rows == len(out1)
+
 
 def test_kill_mid_stage_recovers(ray_session, snapshot, table, tmp_path_factory):
     """A stage killed mid-write (manifest absent) is recomputed; earlier
