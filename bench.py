@@ -147,6 +147,10 @@ def run_bench() -> dict:
         "ann_topk",
         "token_counts",
         "quality_scores",
+        "heavy_hitters",
+        "quantiles",
+        "inverted_index",
+        "kg_pagerank",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

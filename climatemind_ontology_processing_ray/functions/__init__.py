@@ -12,7 +12,8 @@ from .dedup import (
     embedding_neardup_pairs,
     dup_clusters,
 )
-from .join import bucketed_hash_join
+from .join import bucketed_anti_join, bucketed_hash_join, bucketed_semi_join
+from .search import term_doc_frequencies, tfidf_topk
 from .sample import deterministic_sample, stratified_sample
 from .windows import tumbling_window, sliding_window, sessionize
 from .ann import brute_force_topk, lsh_topk, ivf_topk, train_ivf_centroids
@@ -36,6 +37,10 @@ __all__ = [
     "train_ivf_centroids",
     "dup_clusters",
     "bucketed_hash_join",
+    "bucketed_semi_join",
+    "bucketed_anti_join",
+    "tfidf_topk",
+    "term_doc_frequencies",
     "deterministic_sample",
     "stratified_sample",
     "tumbling_window",

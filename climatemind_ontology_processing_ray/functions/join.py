@@ -114,6 +114,62 @@ def bucketed_hash_join(
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def _bucketed_membership_join(
+    left: Dataset, right: Dataset, key: str, num_buckets: int, keep_matches: bool
+) -> Dataset:
+    """Shared core of semi/anti join: the right side is pruned to its key
+    column (per-batch distinct — membership needs nothing else), both
+    sides bucket by key hash, and one groupby(bucket) co-locates each
+    key; left rows are filtered by membership per bucket."""
+    l_map, _ = _plan_columns(list(left.schema().names), [key], key)
+    l_names = list(l_map.values())
+
+    def key_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {key: pc.unique(b.column(key))}
+        n = len(cols[key])
+        for name in l_names:
+            if name != key:
+                cols[name] = pa.nulls(n)
+        t = pa.table(cols).select(l_names)
+        return t
+
+    l_tagged = left.map_batches(
+        lambda b: _with_schema(b, "l", l_map, l_names, key, num_buckets),
+        batch_format="pyarrow",
+    )
+    r_tagged = right.select_columns([key]).map_batches(
+        lambda b: _with_schema(key_only(b), "r", {n: n for n in l_names}, l_names, key, num_buckets),
+        batch_format="pyarrow",
+    )
+    unioned = l_tagged.union(r_tagged)
+    l_other = [n for n in l_names if n != key]
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][[key] + l_other]
+        member = l[key].isin(set(g.loc[g["__side"] == "r", key]))
+        return l[member] if keep_matches else l[~member]
+
+    return unioned.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
+
+
+def bucketed_semi_join(
+    left: Dataset, right: Dataset, key: str, num_buckets: int = 32
+) -> Dataset:
+    """Left rows whose key EXISTS in right (big x big semi join: one
+    shuffle, right shipped as distinct keys only).  For ontology-sized
+    right sides prefer the broadcast lookup (SURVEY §2.4)."""
+    return _bucketed_membership_join(left, right, key, num_buckets, True)
+
+
+def bucketed_anti_join(
+    left: Dataset, right: Dataset, key: str, num_buckets: int = 32
+) -> Dataset:
+    """Left rows whose key does NOT exist in right (NOT EXISTS)."""
+    return _bucketed_membership_join(left, right, key, num_buckets, False)
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

@@ -2038,6 +2038,122 @@ SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r{_PR_ITERS} ORDER BY node
 """
 
 
+def q_kg_edge_timespan(sf_dir: str):
+    """Temporal provenance for KG edges: first/last crawl timestamp per
+    canonical edge.  Exercises the big x big ``bucketed_hash_join``
+    INSIDE the KG context — linked triple rows (corpus-sized) join the
+    pages (url, warc_ts) table on url, then a map-side min/max partial +
+    one small groupby produce the per-edge time span."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.join import bucketed_hash_join
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+    from .. import stages as S
+    from .kg import KGConfig, lang_filter
+
+    snap = build_fixture_snapshot()
+    table, _ = generate_pages(snap, _fixture_pages_count(sf_dir), seed=13)
+    pages = rd.from_arrow(table).repartition(8)
+    cfg = KGConfig()
+    extracted = lang_filter(
+        pages.map_batches(
+            S.extract_pages_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        cfg.keep_langs,
+    )
+    snapshot_json = snap.to_json()
+    linked = extracted.map_batches(
+        S.TripleExtractor,
+        fn_constructor_kwargs={"snapshot_json": snapshot_json},
+        batch_format="pyarrow",
+        concurrency=(2, 4),
+        num_cpus=0.5,
+    ).map_batches(
+        S.EntityLinker,
+        fn_constructor_kwargs={"snapshot_json": snapshot_json,
+                               "threshold": cfg.link_threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    ).select_columns(["subj_label", "obj_label", "predicate", "url"])
+
+    def ts_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "ts_us": pc.cast(b.column("warc_ts"), pa.int64()),
+            }
+        )
+
+    pages_ts = pages.select_columns(["url", "warc_ts"]).map_batches(
+        ts_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = bucketed_hash_join(linked, pages_ts, key="url", num_buckets=16)
+
+    def partial_span(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["subj_label", "obj_label", "predicate"], sort=False).agg(
+            first_p=("ts_us", "min"), last_p=("ts_us", "max")
+        )
+        return g.reset_index()
+
+    out = (
+        joined.map_batches(partial_span, batch_format="pandas")
+        .groupby(["subj_label", "obj_label", "predicate"])
+        .aggregate(
+            Min("first_p", alias_name="first_seen_us"),
+            Max("last_p", alias_name="last_seen_us"),
+        )
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={"subj_label": "subject", "obj_label": "object"}
+    )
+    out["first_seen_us"] = out["first_seen_us"].astype("int64")
+    out["last_seen_us"] = out["last_seen_us"].astype("int64")
+    return (
+        out[["subject", "object", "predicate", "first_seen_us", "last_seen_us"]]
+        .sort_values(["subject", "object", "predicate"])
+        .reset_index(drop=True)
+    )
+
+
+def _kg_oracle_pages_ts_path(n_pages: int) -> str:
+    """(url, warc_ts) side table for the temporal oracle; idempotent."""
+    import os
+
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    path = os.path.join(_KG_ORACLE_DIR, f"pages_ts_n{n_pages}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+        snap = build_fixture_snapshot()
+        table, _ = generate_pages(snap, n_pages, seed=13)
+        pq.write_table(table.select(["url", "warc_ts"]), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _sql_kg_edge_timespan() -> str:
+    n = _fixture_pages_count(_KG_ORACLE_SF)
+    path = _kg_oracle_pages_path(n)
+    ts_path = _kg_oracle_pages_ts_path(n)
+    return f"""
+WITH {_kg_edges_cte(path)},
+pts AS (
+  SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
+  FROM read_parquet('{ts_path}')
+)
+SELECT l.subject, l.object, l.predicate,
+       CAST(MIN(p.ts_us) AS BIGINT) AS first_seen_us,
+       CAST(MAX(p.ts_us) AS BIGINT) AS last_seen_us
+FROM linked l JOIN pts p ON p.url = l.url
+GROUP BY l.subject, l.object, l.predicate
+ORDER BY l.subject, l.object, l.predicate
+"""
+
+
 # --------------------------------------------------------------------- #
 # sketch / index operators over documents + events
 # --------------------------------------------------------------------- #
@@ -2118,6 +2234,124 @@ SELECT token,
        CAST(COUNT(*) AS BIGINT) AS df,
        STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM td GROUP BY token ORDER BY token
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no event activity: big x big ANTI join (one bucket
+    shuffle, right side shipped as distinct keys only —
+    functions/join.py; every customer HAS orders in this testdata, so
+    events is the non-degenerate right side)."""
+    from ..functions.join import bucketed_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    events = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = bucketed_anti_join(cust, events, key="c_custkey").to_pandas()
+    if "c_custkey" not in out.columns:  # typed-empty guard
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+_TFIDF_TERMS = ["join", "hash", "vector"]
+_TFIDF_K = 10
+
+
+def q_tfidf_search(sf_dir: str):
+    """Integer-rational TF-IDF top-k retrieval (broadcast term stats,
+    per-batch vectorized scoring, local-then-global top-k —
+    functions/search.py)."""
+    from ..functions.search import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, _TFIDF_TERMS, k=_TFIDF_K)
+
+
+def _sql_tfidf_search() -> str:
+    from ..functions.search import IDF_SCALE
+
+    tf_cols = []
+    score_terms = []
+    df_ctes = []
+    for i, t in enumerate(_TFIDF_TERMS):
+        esc = t.replace("'", "''")
+        tf_cols.append(
+            f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x = '{esc}')) AS tf{i}"
+        )
+        df_ctes.append(
+            f"df{i} AS (SELECT COUNT(*) AS d FROM scored WHERE tf{i} > 0)"
+        )
+        score_terms.append(
+            f"tf{i} * ((SELECT (SELECT c FROM n) * {IDF_SCALE} // d FROM df{i}))"
+        )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(tf_cols)} FROM documents
+),
+n AS (SELECT COUNT(*) AS c FROM documents),
+{", ".join(df_ctes)}
+SELECT doc_id, CAST({" + ".join(score_terms)} AS BIGINT) AS score
+FROM scored
+WHERE ({" + ".join(score_terms)}) > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {_TFIDF_K}
+"""
+
+
+def q_user_quantiles(sf_dir: str):
+    """Per-user exact quantiles (grouped percentile: one key-hash
+    shuffle, ceil-rank pick inside each group — quantile_disc rule)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "cents": np.round(_round2(b["value"]) * 100).astype("int64"),
+            }
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            v = np.sort(grp["cents"].to_numpy())
+            n = len(v)
+            out.append(
+                {
+                    "user_id": uid,
+                    "p50_cents": int(v[max(1, math.ceil(0.5 * n)) - 1]),
+                    "p90_cents": int(v[max(1, math.ceil(0.9 * n)) - 1]),
+                }
+            )
+        return pd.DataFrame(out)
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_QUANTILES = """
+SELECT user_id,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_cents
+FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -2207,9 +2441,13 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kg_adjacency": (q_kg_adjacency, _sql_kg_adjacency),
     "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),
     "kg_pagerank": (q_kg_pagerank, _sql_kg_pagerank),
+    "kg_edge_timespan": (q_kg_edge_timespan, _sql_kg_edge_timespan),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
+    "user_quantiles": (q_user_quantiles, SQL_USER_QUANTILES),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "tfidf_search": (q_tfidf_search, _sql_tfidf_search),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
 

@@ -159,3 +159,63 @@ class TestInvertedIndex:
         assert out.loc["apple", "df"] == 2
         assert out.loc["banana", "postings"] == "1,3"
         assert out.loc["cherry", "postings"] == "2"
+
+
+class TestMembershipJoins:
+    def test_semi_and_anti_partition(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.join import (
+            bucketed_anti_join,
+            bucketed_semi_join,
+        )
+
+        left = rd.from_pandas(
+            pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+        ).repartition(3)
+        right = rd.from_pandas(pd.DataFrame({"k": [2, 4, 4, 9]})).repartition(2)
+        semi = bucketed_semi_join(left, right, "k").to_pandas()
+        anti = bucketed_anti_join(left, right, "k").to_pandas()
+        assert sorted(semi.k) == [2, 4]
+        assert sorted(anti.k) == [1, 3, 5]
+        # semi + anti partition left exactly; non-key columns survive
+        assert sorted(list(semi.v) + list(anti.v)) == list("abcde")
+
+    def test_anti_join_empty_result(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.join import (
+            bucketed_anti_join,
+        )
+
+        left = rd.from_pandas(pd.DataFrame({"k": [1, 2]}))
+        right = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+        out = bucketed_anti_join(left, right, "k").to_pandas()
+        assert len(out) == 0
+
+
+class TestTfIdf:
+    def test_matches_bruteforce(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.search import (
+            IDF_SCALE,
+            tfidf_topk,
+        )
+
+        docs = [
+            "apple banana apple",
+            "banana cherry",
+            "apple apple apple",
+            "durian durian",
+            "cherry apple banana",
+        ]
+        df = pd.DataFrame({"doc_id": range(5), "text": docs})
+        out = tfidf_topk(rd.from_pandas(df).repartition(4), ["apple", "cherry"], k=3)
+
+        n = 5
+        dfs = {"apple": 3, "cherry": 2}
+        idf = {t: (n * IDF_SCALE) // d for t, d in dfs.items()}
+        scores = {
+            i: sum(d.split().count(t) * idf[t] for t in idf)
+            for i, d in enumerate(docs)
+        }
+        want = sorted(
+            ((i, s) for i, s in scores.items() if s > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        assert list(zip(out.doc_id, out.score)) == want
