@@ -31,7 +31,6 @@ import pandas as pd
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 _NUM_PARTS = 64
 
@@ -92,15 +91,19 @@ def degree_stats(
         )
         return df
 
-    agg = (
-        ded.map_batches(partial, batch_format="pandas")
-        .groupby("node")
-        .aggregate(
-            Sum("out_partial", alias_name="out_degree"),
-            Sum("in_partial", alias_name="in_degree"),
-        )
+    from .agg import grouped_sum
+
+    agg = grouped_sum(
+        ded.map_batches(partial, batch_format="pandas"),
+        ["node"],
+        ["out_partial", "in_partial"],
     )
-    return agg
+    return agg.map_batches(
+        lambda b: b.rename(
+            columns={"out_partial": "out_degree", "in_partial": "in_degree"}
+        ),
+        batch_format="pandas",
+    )
 
 
 def pagerank_fixed(
@@ -159,13 +162,12 @@ def pagerank_fixed(
                 {"node": list(sums), "contrib": list(sums.values())}
             )
 
-        inc = (
-            ded.map_batches(partial, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Sum("contrib", alias_name="sum_in"))
-            .to_pandas()
-        )
-        sum_in = dict(zip(inc["node"], inc["sum_in"].astype("int64")))
+        from .agg import grouped_sum
+
+        inc = grouped_sum(
+            ded.map_batches(partial, batch_format="pandas"), ["node"], ["contrib"]
+        ).to_pandas()
+        sum_in = dict(zip(inc["node"], inc["contrib"].astype("int64")))
         dangling = sum(r for v, r in rank.items() if not out_deg.get(v, 0))
         rank = {
             v: base

@@ -136,10 +136,13 @@ def heavy_hitters(
 
     Token rule matches the SQL oracle: lowercase whitespace split,
     empty tokens dropped.  Only candidate-sized state ever leaves the
-    workers; the token stream itself is never shuffled.
+    workers; the token stream itself is never shuffled.  The candidate
+    count reduction uses ``agg.grouped_sum`` (candidates can reach
+    k x #batches keys — too many for ray's per-key aggregate fold).
     """
     import ray
-    from ray.data.aggregate import Sum
+
+    from .agg import grouped_sum
 
     def sketch(b: pd.DataFrame) -> pd.DataFrame:
         toks = [
@@ -166,12 +169,9 @@ def heavy_hitters(
         counts["\x00total\x00"] = total
         return pd.DataFrame({"token": list(counts), "n": list(counts.values())})
 
-    agg = (
-        ds.map_batches(count_pass, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    agg = grouped_sum(
+        ds.map_batches(count_pass, batch_format="pandas"), ["token"], ["n"]
+    ).to_pandas()
     total = int(agg.loc[agg["token"] == "\x00total\x00", "n"].iloc[0])
     out = agg[agg["token"] != "\x00total\x00"].copy()
     out["n"] = out["n"].astype("int64")
@@ -197,17 +197,22 @@ def exact_quantiles(
     not the row count — appropriate for bounded/discretized measures
     (cents, lengths, scores).  For unbounded continuous columns, compose
     with a fixed-width binning pass first (bin -> histogram -> refine
-    inside the one candidate bin)."""
-    from ray.data.aggregate import Sum
+    inside the one candidate bin).
+
+    The value-keyed reduction uses ``agg.grouped_sum`` (coarse-partition
+    + vectorized in-partition merge): the distinct-value count is
+    typically in the tens of thousands, where ray's native per-key
+    aggregate fold is ~1000x slower (see agg.py)."""
+    from .agg import grouped_sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = b[col].value_counts()
         return pd.DataFrame({col: vc.index, "cnt": vc.values})
 
     hist = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(col)
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        grouped_sum(
+            ds.map_batches(partial, batch_format="pandas"), [col], ["cnt"]
+        )
         .to_pandas()
         .sort_values(col)
         .reset_index(drop=True)

@@ -20,7 +20,22 @@ from __future__ import annotations
 
 
 def configure_data_context() -> None:
+    import logging
+
     import ray.data
 
     ctx = ray.data.DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
+    # Two known-benign ray 2.49 log artifacts, silenced narrowly:
+    # - streaming_executor_state warns "RefBundle with a different schema"
+    #   whenever a sort/groupby partition is EMPTY (untyped empty block) —
+    #   routine for sparse keys, not a defect of this engine's operators.
+    # - transform_pyarrow warns "Failed to hash the schemas" when a block
+    #   schema carries dict-typed (map/struct) fields, e.g. adjacency
+    #   lists; hashing is only used for an internal dedup fast path.
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)

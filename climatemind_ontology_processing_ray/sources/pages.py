@@ -154,7 +154,7 @@ def generate_pages(
             plan[page].append(render(triple))
 
     # 2. trap pairs (false causal sentences, within the precision budget)
-    n_traps = max(1, int(trap_fraction * len(golden)))
+    n_traps = max(1, int(trap_fraction * len(golden))) if trap_fraction > 0 else 0
     golden_pairs = {(s, o) for s, o, _ in golden}
     attempts = 0
     while len(info.trap_triples) < n_traps and attempts < 50 * n_traps:
@@ -315,7 +315,7 @@ def write_pages_parquet_sharded(
     key = {
         "n_pages": n_pages,
         "seed": seed,
-        "layout": f"sharded:{rows_per_file}",
+        "layout": f"sharded-v2-shard0traps:{rows_per_file}",
         "fixture": hashlib.sha256(snap.to_json().encode()).hexdigest()[:16],
     }
     if os.path.exists(manifest):
@@ -336,7 +336,14 @@ def write_pages_parquet_sharded(
         from ..ontology.schema import OntologySnapshot as _Snap
 
         s = _Snap.from_json(snap_json)
-        table, _ = generate_pages(s, rows, seed=(seed, "shard", shard))
+        # traps (false causal sentences) only in shard 0: the trap budget
+        # is corpus-wide (<=2% of golden edges, precision-budget design);
+        # per-shard independent traps would UNION into ~2% x #shards
+        # distinct false edges and sink corpus precision
+        table, _ = generate_pages(
+            s, rows, seed=(seed, "shard", shard),
+            trap_fraction=0.02 if shard == 0 else 0.0,
+        )
         _pq.write_table(table, path)
         return rows
 

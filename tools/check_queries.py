@@ -79,6 +79,9 @@ def main():
     ray.init(
         address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
     )
+    from climatemind_ontology_processing_ray.runtime import configure_data_context
+
+    configure_data_context()
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
