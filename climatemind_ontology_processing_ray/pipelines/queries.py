@@ -404,7 +404,12 @@ def q_native_join(sf_dir: str):
         joined = orders.join(
             customer,
             join_type="inner",
-            num_partitions=16,
+            # sized to the data (sf-tier tables): each hash-shuffle
+            # partition spawns an aggregator actor; 16 actors on a
+            # session already carrying idle workers from earlier
+            # queries measured 2-4x slower than 4 (size to cluster
+            # width for production corpora)
+            num_partitions=4,
             on=("o_custkey",),
             right_on=("c_custkey",),
         )
@@ -677,10 +682,12 @@ def q_top_terms(sf_dir: str):
             }
         )
 
-    counts = (
-        ds.map_batches(explode_count, batch_format="pandas")
-        .groupby(["source", "term"])
-        .aggregate(Sum("n", alias_name="n"))
+    # grouped_sum, not the native per-key aggregate fold: (source, term)
+    # cardinality is vocabulary-sized at web scale (see functions/agg.py)
+    from ..functions.agg import grouped_sum
+
+    counts = grouped_sum(
+        ds.map_batches(explode_count, batch_format="pandas"), ["source", "term"], ["n"]
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
