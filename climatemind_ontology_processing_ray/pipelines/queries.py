@@ -2244,6 +2244,51 @@ FROM td GROUP BY token ORDER BY token
 """
 
 
+_ADJ_RANGE = ("c", "m")  # subject range probed by the partition lookup
+
+
+def q_adjacency_partition_lookup(sf_dir: str):
+    """Range-partitioned adjacency sink + manifest-pruned range read
+    (sinks/partitioned.py): canonical edges written as key-range
+    directories, then a subject-range probe reads ONLY the covering
+    partitions — the data-skipping layout an adjacency store needs at
+    corpus scale."""
+    import hashlib
+
+    from ..sinks import read_key_range, write_range_partitioned
+
+    edges = _kg_canonical_edge_ds(sf_dir).select_columns(
+        ["subject", "object", "predicate", "support"]
+    )
+    out_dir = os.path.join(
+        "/tmp/graft_adj_store",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    write_range_partitioned(edges, out_dir, "subject", num_partitions=8)
+    lo, hi = _ADJ_RANGE
+    out = read_key_range(out_dir, lo, hi).to_pandas()
+    out["support"] = out["support"].astype("int64")
+    return (
+        out[["subject", "object", "predicate", "support"]]
+        .sort_values(["subject", "object", "predicate"])
+        .reset_index(drop=True)
+    )
+
+
+def _sql_adjacency_partition_lookup() -> str:
+    n = _fixture_pages_count(_KG_ORACLE_SF)
+    path = _kg_oracle_pages_path(n)
+    lo, hi = _ADJ_RANGE
+    return f"""
+WITH {_kg_edges_cte(path)}
+SELECT subject, object, predicate, COUNT(*) AS support
+FROM linked
+WHERE subject >= '{lo}' AND subject <= '{hi}'
+GROUP BY subject, object, predicate
+ORDER BY subject, object, predicate
+"""
+
+
 def q_anti_join(sf_dir: str):
     """Customers with no event activity: big x big ANTI join (one bucket
     shuffle, right side shipped as distinct keys only —
@@ -2455,6 +2500,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "tfidf_search": (q_tfidf_search, _sql_tfidf_search),
+    "adjacency_partition_lookup": (
+        q_adjacency_partition_lookup,
+        _sql_adjacency_partition_lookup,
+    ),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
 
