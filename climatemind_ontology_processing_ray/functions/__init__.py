@@ -14,6 +14,8 @@ from .dedup import (
 )
 from .join import bucketed_anti_join, bucketed_hash_join, bucketed_semi_join
 from .search import term_doc_frequencies, tfidf_topk
+from .bloom import bloom_contains, build_bloom, incremental_new
+from .agg import grouped_sum
 from .sample import deterministic_sample, stratified_sample
 from .windows import tumbling_window, sliding_window, sessionize
 from .ann import brute_force_topk, lsh_topk, ivf_topk, train_ivf_centroids
@@ -41,6 +43,10 @@ __all__ = [
     "bucketed_anti_join",
     "tfidf_topk",
     "term_doc_frequencies",
+    "build_bloom",
+    "bloom_contains",
+    "incremental_new",
+    "grouped_sum",
     "deterministic_sample",
     "stratified_sample",
     "tumbling_window",

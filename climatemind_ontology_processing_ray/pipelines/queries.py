@@ -2407,6 +2407,38 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+_BLOOM_SEEN_BELOW = 300
+
+
+def q_bloom_incremental(sf_dir: str):
+    """Incremental ingest: which documents are new vs the already-seen
+    corpus (content-keyed)?  Bloom prefilter (built over the seen side,
+    OR-merged, broadcast) routes definite misses straight through; only
+    the maybe-seen tail pays the exact anti join — exact end-to-end
+    (functions/bloom.py)."""
+    from ..functions.bloom import incremental_new
+    from ..functions.text import add_fingerprints
+
+    docs = add_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    seen = docs.filter(
+        lambda r: r["doc_id"] < _BLOOM_SEEN_BELOW
+    ).select_columns(["fp_md5"])
+    out = incremental_new(
+        docs.select_columns(["doc_id", "fp_md5"]), seen, "fp_md5"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BLOOM_INCREMENTAL = f"""
+SELECT doc_id FROM documents
+WHERE MD5(text) NOT IN (
+  SELECT MD5(text) FROM documents WHERE doc_id < {_BLOOM_SEEN_BELOW}
+)
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> actor-pool feature
     extraction; content digest is SQL-checkable."""
@@ -2504,6 +2536,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_adjacency_partition_lookup,
         _sql_adjacency_partition_lookup,
     ),
+    "bloom_incremental": (q_bloom_incremental, SQL_BLOOM_INCREMENTAL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
 

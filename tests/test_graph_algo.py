@@ -219,3 +219,51 @@ class TestTfIdf:
             key=lambda x: (-x[1], x[0]),
         )[:3]
         assert list(zip(out.doc_id, out.score)) == want
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        from climatemind_ontology_processing_ray.functions.bloom import (
+            _hash_pair,
+            _set_bits,
+            bloom_contains,
+        )
+        import numpy as np
+
+        n_bits = 1 << 12
+        keys = [f"k{i}" for i in range(200)]
+        bits = np.zeros(n_bits // 8, np.uint8)
+        h1, h2 = _hash_pair(keys)
+        for i in range(7):
+            _set_bits(bits, ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64))
+        assert bloom_contains(bits, keys, n_bits).all()
+
+    def test_incremental_exact_even_with_tiny_filter(self, ray_session):
+        """A deliberately undersized filter (massive fp rate) must NOT
+        change the result — the verify join absorbs false positives."""
+        from climatemind_ontology_processing_ray.functions.bloom import (
+            incremental_new,
+        )
+
+        seen = rd.from_pandas(pd.DataFrame({"k": [f"s{i}" for i in range(50)]}))
+        incoming = rd.from_pandas(
+            pd.DataFrame(
+                {"k": [f"s{i}" for i in range(30)] + [f"n{i}" for i in range(40)],
+                 "payload": list(range(70))}
+            )
+        ).repartition(4)
+        out = incremental_new(incoming, seen, "k", n_bits=64, k=3).to_pandas()
+        assert sorted(out.k) == sorted(f"n{i}" for i in range(40))
+        # non-key columns survive the split/union
+        assert set(out.columns) == {"k", "payload"}
+
+    def test_merge_is_or(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.bloom import (
+            bloom_contains,
+            build_bloom,
+        )
+
+        a = rd.from_pandas(pd.DataFrame({"k": ["x", "y"]}))
+        b = rd.from_pandas(pd.DataFrame({"k": ["z"]}))
+        bits = build_bloom(a.union(b).repartition(3), "k", n_bits=1 << 12)
+        assert bloom_contains(bits, ["x", "y", "z"], 1 << 12).all()
