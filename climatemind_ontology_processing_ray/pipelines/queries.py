@@ -2165,6 +2165,44 @@ ORDER BY l.subject, l.object, l.predicate
 # sketch / index operators over documents + events
 # --------------------------------------------------------------------- #
 
+def q_kg_components(sf_dir: str):
+    """Weakly-connected components of the KG edge set: the
+    ``dup_clusters`` label-propagation operator (union-find /
+    pointer-doubling joins) applied to graph edges instead of duplicate
+    pairs — cluster id = lexicographic min node label."""
+    from ..functions.dedup import dup_clusters
+    from ..functions.graph_algo import distinct_edges
+
+    edges = distinct_edges(_kg_canonical_edge_ds(sf_dir))
+    pairs = edges.map_batches(
+        lambda b: b.rename(columns={"subject": "id_a", "object": "id_b"}),
+        batch_format="pandas",
+    )
+    out = dup_clusters(pairs).to_pandas()
+    return (
+        out.rename(columns={"id": "node", "cluster": "component"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_kg_components() -> str:
+    n = _fixture_pages_count(_KG_ORACLE_SF)
+    path = _kg_oracle_pages_path(n)
+    return f"""
+WITH RECURSIVE {_kg_edges_cte(path)},
+e0 AS (SELECT DISTINCT subject AS s, object AS d FROM linked),
+edges AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS node, LEAST(s, MIN(d)) AS component
+FROM reach GROUP BY s ORDER BY s
+"""
+
+
 _HH_K = 29
 
 
@@ -2526,6 +2564,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),
     "kg_pagerank": (q_kg_pagerank, _sql_kg_pagerank),
     "kg_edge_timespan": (q_kg_edge_timespan, _sql_kg_edge_timespan),
+    "kg_components": (q_kg_components, _sql_kg_components),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "user_quantiles": (q_user_quantiles, SQL_USER_QUANTILES),
