@@ -106,7 +106,10 @@ def run_bench() -> dict:
     # 3 so the efficiency ratio isn't noise); block count is fixed (not
     # CPU-derived) so both scaling runs execute the same plan
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
-        n_trials = 3 if n_pages <= 1_500_000 else 2
+        # the HIGH-cpu scaling leg is short (~20s), so a transient burst
+        # of external VM contention can inflate it 30%+ — give it an
+        # extra trial; the long low-cpu leg averages noise out by itself
+        n_trials = 3 if (n_pages <= 1_500_000 or NUM_CPUS >= SCALE_HI) else 2
     else:
         n_trials = 2
     kg_sec = float("inf")
