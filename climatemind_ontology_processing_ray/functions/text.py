@@ -228,19 +228,28 @@ class LangIdScorer:
 
 
 def inverted_index(
-    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_range: int | None = None,
 ) -> Dataset:
     """Build an inverted index: token -> (document frequency, posting
     list).  Per-batch explode to DISTINCT (token, doc) pairs (map-side
     dedup — a token repeated within a doc contributes once), then ONE
-    groupby keyed on token that materializes each posting list sorted by
-    doc id.
+    groupby that materializes each posting list sorted by doc id.
 
     Postings are emitted as a comma-joined string (deterministic,
-    hash-comparable).  At web scale, posting lists for stop-tokens are
-    the skew hazard: shard hot tokens by (token, doc_id bucket) and
-    store bucketed postings instead of one giant row (same salting
-    pattern as stages/canonicalize.py)."""
+    hash-comparable).
+
+    ``shard_range`` is the SKEW control for web scale, where a
+    stop-token's posting list is corpus-sized: rows are keyed by
+    ``(token, doc_id // shard_range)`` — the shard id is assigned at MAP
+    time (before any exchange), so a hot token's pairs spread over
+    ceil(id_space / shard_range) reducers and no single task ever holds
+    a full hot posting list.  Output gains a ``shard`` column; readers
+    re-concatenate shards in shard order (doc-id ranges are disjoint and
+    ordered).  With ``shard_range=None`` each token is one row (fine for
+    bounded vocabularies / partitioned id spaces)."""
     import pandas as pd
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -250,23 +259,40 @@ def inverted_index(
                 if t:
                     toks.append(t)
                     ids.append(int(i))
-        return pd.DataFrame({"token": toks, id_col: ids}).drop_duplicates()
+        out = pd.DataFrame({"token": toks, id_col: ids}).drop_duplicates()
+        if shard_range:
+            out["shard"] = (out[id_col] // shard_range).astype("int64")
+        # coarse partition (exact_dedup pattern): one ray group per
+        # partition id, vectorized per-key work inside — avoids ray's
+        # per-group scheduling cost at vocabulary-sized key counts
+        from .join import hash_bucket
+
+        key = out["token"] if not shard_range else (
+            out["token"] + "\x00" + out["shard"].astype(str)
+        )
+        out["__part"] = hash_bucket(key.to_numpy(), 64)
+        return out
+
+    group_keys = ["token", "shard"] if shard_range else ["token"]
 
     def postings(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for tok, grp in g.groupby("token", sort=False):
+        for key, grp in g.groupby(group_keys, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
             ids = sorted(set(grp[id_col]))
-            out.append(
-                {
-                    "token": tok,
-                    "df": len(ids),
-                    "postings": ",".join(str(i) for i in ids),
-                }
-            )
+            row = {
+                "token": key[0],
+                "df": len(ids),
+                "postings": ",".join(str(i) for i in ids),
+            }
+            if shard_range:
+                row["shard"] = int(key[1])
+            out.append(row)
         return pd.DataFrame(out)
 
     return (
         ds.map_batches(explode, batch_format="pandas")
-        .groupby("token")
+        .groupby("__part")
         .map_groups(postings, batch_format="pandas")
     )

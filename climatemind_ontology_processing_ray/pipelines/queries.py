@@ -2165,6 +2165,35 @@ ORDER BY l.subject, l.object, l.predicate
 # sketch / index operators over documents + events
 # --------------------------------------------------------------------- #
 
+def q_kg_incremental(sf_dir: str):
+    """Incremental ingest end-to-end: the fixture corpus processed as TWO
+    independent crawl batches whose canonical edge tables are merged
+    (`merge_canonical_edges`: support adds, source sets union) — the
+    result must hash-match the FULL-corpus oracle exactly, proving batch
+    decomposition is lossless."""
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+    from .api import merge_canonical_edges
+    from .kg import KGConfig, run_kg_pipeline
+
+    snap = build_fixture_snapshot()
+    table, _ = generate_pages(snap, _fixture_pages_count(sf_dir), seed=13)
+    half = table.num_rows // 2
+    batches = []
+    for part in (table.slice(0, half), table.slice(half)):
+        pages = rd.from_arrow(part).repartition(4)
+        res = run_kg_pipeline(pages, snap, KGConfig())
+        batches.append(res.canonical_edges)
+    merged = merge_canonical_edges(batches[0], batches[1])
+    out = merged.to_pandas()
+    out["support"] = out["support"].astype("int64")
+    return (
+        out[["subject", "object", "predicate", "support"]]
+        .sort_values(["subject", "object", "predicate"])
+        .reset_index(drop=True)
+    )
+
+
 def q_kg_components(sf_dir: str):
     """Weakly-connected components of the KG edge set: the
     ``dup_clusters`` label-propagation operator (union-find /
@@ -2279,6 +2308,40 @@ SELECT token,
        CAST(COUNT(*) AS BIGINT) AS df,
        STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM td GROUP BY token ORDER BY token
+"""
+
+_POSTING_SHARD_RANGE = 100
+
+
+def q_inverted_index_sharded(sf_dir: str):
+    """Skew-safe inverted index: rows keyed (token, doc_id//R) with the
+    shard assigned at MAP time, so a hot token's postings spread across
+    reducers and no task holds a corpus-sized list."""
+    from ..functions.text import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = inverted_index(ds, shard_range=_POSTING_SHARD_RANGE).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    out["shard"] = out["shard"].astype("int64")
+    return (
+        out[["token", "shard", "df", "postings"]]
+        .sort_values(["token", "shard"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_INVERTED_INDEX_SHARDED = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)
+SELECT token,
+       CAST(doc_id // {_POSTING_SHARD_RANGE} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY token, shard ORDER BY token, shard
 """
 
 
@@ -2565,6 +2628,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kg_pagerank": (q_kg_pagerank, _sql_kg_pagerank),
     "kg_edge_timespan": (q_kg_edge_timespan, _sql_kg_edge_timespan),
     "kg_components": (q_kg_components, _sql_kg_components),
+    "kg_incremental": (q_kg_incremental, _sql_kg_canonical_edges),
+    "inverted_index_sharded": (q_inverted_index_sharded, SQL_INVERTED_INDEX_SHARDED),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "user_quantiles": (q_user_quantiles, SQL_USER_QUANTILES),

@@ -267,3 +267,24 @@ class TestBloom:
         b = rd.from_pandas(pd.DataFrame({"k": ["z"]}))
         bits = build_bloom(a.union(b).repartition(3), "k", n_bits=1 << 12)
         assert bloom_contains(bits, ["x", "y", "z"], 1 << 12).all()
+
+
+class TestShardedInvertedIndex:
+    def test_shards_reconstruct_global(self, ray_session):
+        rng = np.random.default_rng(3)
+        # 'hot' appears in every doc (the stop-token skew case)
+        docs = [
+            "hot " + " ".join(rng.choice(list("abcdef"), size=5))
+            for _ in range(60)
+        ]
+        df = pd.DataFrame({"doc_id": range(60), "text": docs})
+        ds = rd.from_pandas(df).repartition(5)
+        flat = inverted_index(ds).to_pandas().set_index("token")
+        sharded = inverted_index(ds, shard_range=16).to_pandas()
+
+        hot = sharded[sharded.token == "hot"].sort_values("shard")
+        assert len(hot) == 4  # 60 ids / range 16 -> shards 0..3
+        # concatenating shards in shard order reproduces the flat list
+        joined = ",".join(hot.postings)
+        assert joined == flat.loc["hot", "postings"]
+        assert int(hot.df.sum()) == int(flat.loc["hot", "df"])
