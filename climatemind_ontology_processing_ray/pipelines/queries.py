@@ -1916,21 +1916,11 @@ FROM triples GROUP BY subject ORDER BY subject
 
 def q_kg_adjacency(sf_dir: str):
     """Adjacency-list partitions from the flagship canonical edges
-    (rows-only)."""
-    from ..ontology.fixture import build_fixture_snapshot
-    from ..sources.pages import generate_pages
+    (shared cached pipeline run; `kg_canonical_edges` separately
+    exercises the unfused actor-pool path)."""
     from ..stages.adjacency import build_adjacency
-    from .kg import KGConfig, run_kg_pipeline
 
-    snap = build_fixture_snapshot()
-    table, _ = generate_pages(snap, _fixture_pages_count(sf_dir), seed=13)
-    pages = rd.from_arrow(table).repartition(8)
-    res = run_kg_pipeline(
-        pages,
-        snap,
-        KGConfig(extractor_concurrency=(2, 4), linker_concurrency=(1, 2), actor_num_cpus=0.5),
-    )
-    adj = build_adjacency(res.canonical_edges).to_pandas()
+    adj = build_adjacency(_kg_canonical_edge_ds(sf_dir)).to_pandas()
     adj["degree"] = adj["degree"].astype("int64")
     adj["n_edges"] = adj["edges"].map(len).astype("int64")
     return adj[["subject", "degree", "n_edges"]].sort_values("subject").reset_index(drop=True)
