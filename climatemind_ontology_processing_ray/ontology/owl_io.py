@@ -21,13 +21,16 @@ not a dependency) into an :class:`OntologySnapshot`, and serializes a
 snapshot back to RDF/XML.  The round trip is exact up to edge-list order
 (tested against the fixture snapshot).
 
-**Reasoner caveat** (explicitly out of scope, documented per SURVEY §2.1):
-the reference optionally runs ``sync_reasoner()`` (HermiT,
-``make_graph_class.py:79-82``).  The snapshot's precomputed ancestor
-closure reproduces ``ancestors()`` over the *asserted* hierarchy; class
-memberships that only materialize through DL reasoning (equivalent-class
-axioms, property-domain inference) are NOT derived.  The reference
-pipeline's own edge set does not depend on them.
+**Reasoner caveat** (documented per SURVEY §2.1): the reference
+optionally runs ``sync_reasoner()`` (HermiT, ``make_graph_class.py:79-82``).
+The snapshot's precomputed ancestor closure reproduces ``ancestors()``
+over the asserted hierarchy, and ``owl:equivalentClass`` axioms between
+NAMED classes are normalized to mutual subsumption at parse time so the
+closure also yields the RDFS-entailed memberships (rules scm-eqc1/scm-sco;
+tested against a fixpoint oracle in ``tests/test_owl.py``).  Memberships
+that require full DL reasoning — anonymous class expressions in
+equivalences, property domain/range inference — are NOT derived; the
+reference pipeline's own edge set does not depend on them.
 """
 
 from __future__ import annotations
@@ -156,10 +159,16 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     class_parents: dict[str, tuple[str, ...]] = {}
     class_obj_edges: list[tuple[str, str, str]] = []
     class_individual_parents: list[tuple[str, str]] = []
+    equiv_pairs: list[tuple[str, str]] = []
 
     for iri, el in class_els:
         label = class_label[iri]
         parents: list[str] = []
+        for eq in el.findall(q(OWL, "equivalentClass")):
+            # named-class equivalence only (anonymous expressions need DL)
+            res = eq.get(_RESOURCE)
+            if res is not None and res in class_label:
+                equiv_pairs.append((label, class_label[res]))
         for sub in el.findall(q(RDFS, "subClassOf")):
             res = sub.get(_RESOURCE)
             if res is not None:
@@ -187,6 +196,15 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                     (label, prop_label[p_iri], indiv_label[v_iri])
                 )
         class_parents[label] = tuple(parents)
+
+    # owl:equivalentClass(a, b) between named classes ⇒ a ⊑ b and b ⊑ a
+    # (scm-eqc1); class_ancestors' visited-set walk then reproduces the
+    # RDFS-entailed memberships without special-casing the cycle.
+    for a, b in equiv_pairs:
+        if b not in class_parents.get(a, ()):
+            class_parents[a] = class_parents.get(a, ()) + (b,)
+        if a not in class_parents.get(b, ()):
+            class_parents[b] = class_parents.get(b, ()) + (a,)
 
     # ---- pass 2: individuals ------------------------------------------
     individuals: dict[str, dict] = {}

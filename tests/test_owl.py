@@ -124,6 +124,64 @@ def test_reasoner_inferences_not_derived():
     ]
 
 
+def test_equivalent_class_memberships_match_rdfs_fixpoint():
+    """owl:equivalentClass between NAMED classes is normalized to mutual
+    subsumption at parse time, so class_ancestors reproduces the
+    RDFS-entailed memberships (rules scm-eqc1 + scm-sco) that HermiT would
+    infer for this fragment (make_graph_class.py:79-82 sync_reasoner)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#A">
+    <rdfs:label>class a</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#B">
+    <rdfs:label>class b</rdfs:label>
+    <owl:equivalentClass rdf:resource="urn:x#A"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#C">
+    <rdfs:label>class c</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#B"/>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#n1">
+    <rdf:type rdf:resource="urn:x#C"/>
+    <rdfs:label>node one</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+
+    # fixpoint oracle over the raw axioms: seed sub⊑sup from subClassOf,
+    # add both directions for each equivalence (scm-eqc1), then close
+    # under transitivity (scm-sco) until no change.
+    sub = {
+        ("class a", "climate mind"),
+        ("class b", "class a"),
+        ("class a", "class b"),
+        ("class c", "class b"),
+    }
+    changed = True
+    while changed:
+        changed = False
+        for (x, y) in list(sub):
+            for (y2, z) in list(sub):
+                if y == y2 and (x, z) not in sub:
+                    sub.add((x, z))
+                    changed = True
+    for cls in ("class a", "class b", "class c", "climate mind"):
+        entailed = {cls} | {z for (x, z) in sub if x == cls}
+        assert snap.class_ancestors(cls) == entailed, cls
+
+    # membership projection: x ∈ C entails x ∈ B, A (climate mind removed)
+    assert snap.node_all_classes("node one") == ["class a", "class b", "class c"]
+
+    # round trip: equivalence survives as mutual subsumption
+    back = parse_owl(write_owl(snap))
+    assert back.class_ancestors("class c") == snap.class_ancestors("class c")
+
+
 def test_owl_file_feeds_pipeline(ray_session, tmp_path):
     """process surface: an .owl file path is accepted end-to-end
     (make_network.py:22-45 outputEdges parity via output_edges)."""
