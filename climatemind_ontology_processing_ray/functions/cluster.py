@@ -1,0 +1,144 @@
+"""Deterministic distributed k-means over an embedding column.
+
+The training-data use case is semantic sharding / domain balancing /
+cluster-based curation (pick per-cluster quotas, drop low-quality
+clusters): assign every vector to one of ``k`` centroids with a fixed
+number of Lloyd iterations.
+
+Determinism across partitionings (and vs the SQL oracle) is the hard
+part — float summation order varies with block boundaries.  The engine
+sidesteps floats entirely:
+
+- vectors are quantized to int64 at load (``floor(x * quant + 0.5)`` —
+  IEEE-double-exact, bit-identical in numpy and DuckDB),
+- per-cluster partial sums are int64 (order-independent),
+- centroid update is FLOOR division of the int sum by the count
+  (toward −∞ on both sides),
+- distances are exact int squared-L2; argmin ties break to the lowest
+  cluster index.
+
+Scale shape: each iteration is one ``map_batches`` pass emitting a
+k×d partial-sum block per batch (k·d ints, tiny), reduced on the
+driver — the classic mini-reduce whose reduce side is O(k·d·blocks),
+never O(rows).  Centroids are broadcast via ``ray.put`` once per
+iteration.  Init = the vectors of the k smallest ids (a per-batch
+top-k partial merge, no sort shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def quantize(vecs, quant: int) -> np.ndarray:
+    """float list-column → exact int64 matrix, floor(x*quant + 0.5)."""
+    x = np.asarray(vecs, dtype=np.float64)
+    return np.floor(x * quant + 0.5).astype(np.int64)
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str, quant: int) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # fixed-width list -> zero-copy reshape; ragged would raise
+    flat = col.values.to_numpy(zero_copy_only=False)
+    d = len(col[0])
+    return quantize(flat.reshape(len(col), d), quant)
+
+
+def _assign(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Exact int squared-L2 argmin; ties → lowest cluster index
+    (np.argmin returns the first minimum)."""
+    # (n,k) distances; values bounded by d*(2*quant_range)^2 — far from
+    # int64 overflow for any sane quant
+    d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def init_centroids(
+    ds: Dataset, id_col: str, vec_col: str, k: int, quant: int
+) -> np.ndarray:
+    """Vectors of the k smallest ids.  Per-batch partial top-k, merged on
+    the driver — no sort shuffle; the collected set is k rows per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:k]
+        x = _batch_matrix(batch, vec_col, quant)[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "__q": pa.array(list(x), pa.list_(pa.int64())),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.array([r["__q"] for r in rows[:k]], dtype=np.int64)
+
+
+def kmeans_assign(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+) -> Dataset:
+    """(id, cluster) after ``iters`` Lloyd iterations.  Fully
+    deterministic and partitioning-independent (see module docstring);
+    the DuckDB oracle is an unrolled CTE of the same integer recurrence
+    (``pipelines/queries.py:_sql_kmeans``)."""
+    centroids = init_centroids(ds, id_col, vec_col, k, quant)
+    d = centroids.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial_sums(batch: pa.Table, *, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            x = _batch_matrix(batch, vec_col, quant)
+            a = _assign(x, c)
+            # k rows per batch: count + per-dim int sum
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, x.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, x)
+            return pa.table(
+                {
+                    "cl": pa.array(np.arange(k), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        for r in parts:
+            counts[r["cl"]] += r["n"]
+            sums[r["cl"]] += np.asarray(r["s"], dtype=np.int64)
+        nonempty = counts > 0
+        new = centroids.copy()
+        # floor toward −∞, matching SQL FLOOR(sum/count); empty clusters
+        # keep their previous centroid
+        new[nonempty] = np.floor_divide(sums[nonempty], counts[nonempty, None])
+        centroids = new
+
+    cref = ray.put(centroids)
+
+    def final(batch: pa.Table, *, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        x = _batch_matrix(batch, vec_col, quant)
+        a = _assign(x, c)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")

@@ -296,3 +296,57 @@ def inverted_index(
         .groupby("__part")
         .map_groups(postings, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------- #
+# URL canonicalization
+# --------------------------------------------------------------------- #
+
+_URL_PARTS_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_DEFAULT_PORT = {"http": ":80", "https": ":443"}
+_TRACKING_PREFIX = "utm_"
+
+
+def canonicalize_url(url: str) -> str | None:
+    """One canonical form per logical resource: lowercase scheme+host,
+    strip the scheme's default port, strip the fragment, drop ``utm_*``
+    tracking params, sort the remaining query params (codepoint order,
+    matching DuckDB LIST_SORT on VARCHAR), strip the path's trailing
+    slashes ('' → '/').  Returns None for non-URL strings (caller
+    decides whether to keep them verbatim or drop them)."""
+    m = _URL_PARTS_RE.match(url)
+    if m is None:
+        return None
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower()
+    default = _DEFAULT_PORT.get(scheme)
+    if default and host.endswith(default):
+        host = host[: -len(default)]
+    path = (m.group("path") or "").rstrip("/") or "/"
+    query = m.group("query")
+    canon = f"{scheme}://{host}{path}"
+    if query:
+        params = sorted(
+            p for p in query.split("&") if p and not p.startswith(_TRACKING_PREFIX)
+        )
+        if params:
+            canon += "?" + "&".join(params)
+    return canon
+
+
+def add_canonical_url(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Append the canonical form of ``url_col``.  Per-row regex + string
+    ops (bounded by URL length, no corpus-sized state); at 100 TB this
+    stage is embarrassingly parallel and CPU-cheap relative to text
+    transforms — vectorizing the common no-query fast path via pyarrow
+    string kernels is possible but was not the bottleneck at bench scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        canon = [canonicalize_url(u) if u is not None else None for u in urls]
+        return batch.append_column(out_col, pa.array(canon, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

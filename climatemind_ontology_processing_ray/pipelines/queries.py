@@ -2558,6 +2558,223 @@ FROM documents
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 25 == 7 stand in for
+    a leaked eval set; flag corpus docs sharing ≥2 distinct word 3-grams
+    with it.  Broadcast-set membership (benchmark sides are small by
+    construction) — the corpus is never shuffled."""
+    from ..functions.decontam import benchmark_ngrams, decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            is_bench = pc.equal(
+                pc.subtract(
+                    b.column("doc_id"),
+                    pc.multiply(pc.divide(b.column("doc_id"), 25), 25),
+                ),
+                7,
+            )
+            return b.filter(is_bench if want_bench else pc.invert(is_bench))
+
+        return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    bench = split(True)
+    corpus = split(False)
+    ref = benchmark_ngrams(bench, "text", n=3)
+    out = decontaminate(corpus, ref, "doc_id", "text", n=3, min_hits=2)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = """
+WITH s AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') w FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+  FROM s
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 7)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 25 <> 7
+GROUP BY g.doc_id HAVING COUNT(DISTINCT g.gram) >= 2
+ORDER BY g.doc_id
+"""
+
+
+def q_kmeans(sf_dir: str):
+    """Deterministic distributed k-means over the embeddings table
+    (semantic sharding / cluster-balanced curation).  Integer-quantized
+    recurrence — exact, partitioning-independent; oracle = the same
+    recurrence unrolled as CTEs."""
+    from ..functions.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(ds, "vec_id", "embedding", k=8, iters=3, quant=1000)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_kmeans(k: int = 8, iters: int = 3, quant: int = 1000) -> str:
+    """Unrolled Lloyd CTE: assignment = exact-int squared-L2 argmin
+    (ROW_NUMBER ties → lowest cluster), update = FLOOR(sum/count)."""
+    ctes = [
+        f"""v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {quant} + 0.5) AS BIGINT) AS x
+  FROM embeddings)""",
+        f"""ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT DISTINCT vec_id FROM embeddings) ORDER BY vec_id LIMIT {k})""",
+        """c0 AS (
+  SELECT ids.cl, v.dim, v.x AS cx FROM v JOIN ids USING (vec_id))""",
+    ]
+    prev = "c0"
+    for t in range(iters):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
+  FROM v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d{t}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+  SELECT a.cl, v.dim,
+         CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(DISTINCT a.vec_id)) AS BIGINT) AS cx
+  FROM a{t} a JOIN v USING (vec_id) GROUP BY 1, 2
+  UNION ALL
+  SELECT cl, dim, cx FROM {prev}
+  WHERE cl NOT IN (SELECT DISTINCT cl FROM a{t}))"""
+        )
+        prev = f"c{t + 1}"
+    ctes.append(
+        f"""df AS (
+  SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
+  FROM v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT vec_id, cl AS cluster FROM (
+  SELECT vec_id, cl,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM df) WHERE rn = 1 ORDER BY vec_id"""
+    )
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + canonical-key dedup (crawl frontier/page
+    store hygiene): documents get deterministic messy-variant urls; the
+    generic canonicalizer (case, default ports, utm_* params, param
+    order, fragments, trailing slashes) collapses them; keep
+    (canonical_url, min doc_id, dup count) via the coarse-partition
+    grouped merge."""
+    from ..functions.join import hash_bucket
+    from ..functions.text import add_canonical_url
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        urls = []
+        for i in b.doc_id:
+            p = i // 2
+            if i % 10 == 9:
+                urls.append(f"https://www.example.org/path/{i}?c={i}")
+            elif i % 4 == 0:
+                urls.append(f"https://www.example.org/path/{p}")
+            elif i % 4 == 1:
+                urls.append(f"HTTPS://WWW.EXAMPLE.ORG:443/path/{p}/#top")
+            elif i % 4 == 2:
+                urls.append(
+                    f"https://www.example.org/path/{p}?b=2&a=1&utm_source=feed#sec"
+                )
+            else:
+                urls.append(
+                    f"https://www.example.org:443/path/{p}/?a=1&b=2&utm_campaign=x"
+                )
+        return b.assign(url=urls)
+
+    canon = add_canonical_url(ds.map_batches(synth, batch_format="pandas"))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = hash_bucket(b["canonical_url"].to_numpy(), 64)
+        return b
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("canonical_url", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    out = (
+        canon.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("canonical_url").reset_index(drop=True)
+
+
+SQL_URL_CANON = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 9 THEN
+           'https://www.example.org/path/' || doc_id || '?c=' || doc_id
+         WHEN doc_id % 4 = 0 THEN
+           'https://www.example.org/path/' || (doc_id // 2)
+         WHEN doc_id % 4 = 1 THEN
+           'HTTPS://WWW.EXAMPLE.ORG:443/path/' || (doc_id // 2) || '/#top'
+         WHEN doc_id % 4 = 2 THEN
+           'https://www.example.org/path/' || (doc_id // 2)
+             || '?b=2&a=1&utm_source=feed#sec'
+         ELSE
+           'https://www.example.org:443/path/' || (doc_id // 2)
+             || '/?a=1&b=2&utm_campaign=x'
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    LOWER(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?', 1)) AS scheme,
+    LOWER(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?', 2)) AS host,
+    regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?', 3) AS path,
+    regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?', 4) AS query
+  FROM urls),
+canon AS (
+  SELECT doc_id,
+    scheme || '://'
+      || CASE WHEN scheme = 'https' AND host LIKE '%:443'
+                THEN LEFT(host, LEN(host) - 4)
+              WHEN scheme = 'http' AND host LIKE '%:80'
+                THEN LEFT(host, LEN(host) - 3)
+              ELSE host END
+      || COALESCE(NULLIF(RTRIM(path, '/'), ''), '/')
+      || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical_url
+  FROM (
+    SELECT *, ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STR_SPLIT(query, '&'),
+        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q2
+    FROM parts))
+SELECT canonical_url, MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY 1 ORDER BY canonical_url
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -2632,6 +2849,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "bloom_incremental": (q_bloom_incremental, SQL_BLOOM_INCREMENTAL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "kmeans_clusters": (q_kmeans, _sql_kmeans),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
 }
 
 

@@ -637,3 +637,93 @@ def test_running_aggregate_and_grouped_topk(ray_session):
     top = grouped_topk(ray.data.from_items(rows), "k", "v", k=2).take_all()
     kept = sorted((r["k"], r["v"]) for r in top)
     assert kept == [("a", 5), ("a", 10), ("b", 7)]
+
+
+def test_kmeans_deterministic_and_partition_invariant(ray_session):
+    """kmeans_assign: exact integer recurrence — identical assignments
+    regardless of block structure, clusters cover all ids, centroids of
+    a well-separated corpus split it correctly."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.cluster import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    # two tight, well-separated blobs
+    a = rng.normal(0.0, 0.01, size=(30, 8)) + 1.0
+    b = rng.normal(0.0, 0.01, size=(30, 8)) - 1.0
+    vecs = np.vstack([a, b])
+    rows = [
+        {"vec_id": i, "embedding": [float(v) for v in vecs[i]]}
+        for i in range(len(vecs))
+    ]
+
+    def run(nblocks):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        out = kmeans_assign(ds, "vec_id", "embedding", k=2, iters=4).take_all()
+        return {r["vec_id"]: r["cluster"] for r in out}
+
+    m1, m2 = run(1), run(7)
+    assert m1 == m2  # partitioning-independent
+    blob_a = {m1[i] for i in range(30)}
+    blob_b = {m1[i] for i in range(30, 60)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """k > distinct points: surplus clusters go empty and keep their
+    init centroid rather than dividing by zero."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.cluster import kmeans_assign
+
+    rows = [{"vec_id": i, "embedding": [float(i % 2), 0.0]} for i in range(10)]
+    out = kmeans_assign(
+        ray.data.from_items(rows), "vec_id", "embedding", k=4, iters=3
+    ).take_all()
+    assert len(out) == 10
+    assert len({r["cluster"] for r in out}) == 2
+
+
+def test_decontaminate_broadcast_overlap(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    bench = ray.data.from_items(
+        [{"doc_id": 100, "text": "the capital of france is paris"}]
+    )
+    corpus = ray.data.from_items(
+        [
+            # shares "the capital of", "capital of france", "of france is"
+            {"doc_id": 0, "text": "we know the capital of france is large"},
+            {"doc_id": 1, "text": "nothing in common here at all"},
+            # single shared 3-gram only ("capital of france")
+            {"doc_id": 2, "text": "a capital of france tour"},
+        ]
+    )
+    ref = benchmark_ngrams(bench, "text", n=3)
+    out = decontaminate(corpus, ref, "doc_id", "text", n=3, min_hits=2).take_all()
+    got = {r["doc_id"]: r["n_hits"] for r in out}
+    assert got == {0: 3}
+
+    out1 = decontaminate(corpus, ref, "doc_id", "text", n=3, min_hits=1).take_all()
+    assert {r["doc_id"] for r in out1} == {0, 2}
+
+
+def test_canonicalize_url_rules():
+    from climatemind_ontology_processing_ray.functions.text import canonicalize_url
+
+    c = canonicalize_url
+    base = "https://www.ex.org/p/1"
+    assert c("HTTPS://WWW.EX.ORG:443/p/1/#frag") == base
+    assert c("https://www.ex.org/p/1?utm_source=x") == base
+    assert c("https://www.ex.org/p/1?b=2&a=1") == base + "?a=1&b=2"
+    assert c("http://h.io:80/") == "http://h.io/"
+    assert c("http://h.io:8080/x") == "http://h.io:8080/x"  # non-default kept
+    assert c("https://h.io") == "https://h.io/"
+    # path case is significant (RFC 3986); host case is not
+    assert c("https://h.io/A") != c("https://h.io/a")
+    assert c("not a url") is None
