@@ -154,6 +154,9 @@ def run_bench() -> dict:
         "quantiles",
         "inverted_index",
         "kg_pagerank",
+        "decontaminate",
+        "kmeans_clusters",
+        "url_canonical_dedup",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

@@ -93,6 +93,11 @@ def kmeans_assign(
     deterministic and partitioning-independent (see module docstring);
     the DuckDB oracle is an unrolled CTE of the same integer recurrence
     (``pipelines/queries.py:_sql_kmeans``)."""
+    # Each Lloyd pass re-executes the lazy upstream otherwise (iters+2
+    # full re-reads).  The projected (id, vec) set IS the algorithm's
+    # working set — pin it in the object store once (spillable); at fleet
+    # scale the same role is played by a checkpointed parquet projection.
+    ds = ds.select_columns([id_col, vec_col]).materialize()
     centroids = init_centroids(ds, id_col, vec_col, k, quant)
     d = centroids.shape[1]
 

@@ -47,3 +47,30 @@ def stratified_sample(
         return g.drop(columns="__h")
 
     return ds.groupby(key_col).map_groups(head_per_key, batch_format="pandas")
+
+
+def mixture_sample(
+    ds: Dataset,
+    key_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+) -> Dataset:
+    """Per-key acceptance-rate resampling (domain mixture reweighting, the
+    DoReMi/Pile-style curation knob): keep a row iff the md5 prefix of its
+    id falls under its key's rate cutoff.  ``rates`` is a SMALL mixture
+    table (one weight per domain/source) shipped inside the task closure —
+    at fleet scale it would be ``ray.put`` once; either way no shuffle and
+    the sample is identical at any parallelism."""
+    cuts = {k: format(int(r * 16**8), "08x") for k, r in rates.items()}
+    dflt = format(int(default * 16**8), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        keep = [
+            _md5_prefix(i) < cuts.get(k, dflt) for k, i in zip(keys, ids)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

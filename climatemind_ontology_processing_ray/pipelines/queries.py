@@ -2775,6 +2775,59 @@ FROM canon GROUP BY 1 ORDER BY canonical_url
 """
 
 
+def q_cluster_quota_sample(sf_dir: str):
+    """Cluster-balanced curation (SemDeDup-style): k-means semantic
+    clusters, then a deterministic per-cluster quota (md5-ordered) so no
+    cluster dominates the curated set.  Composition of two oracled
+    operators — kmeans_assign → stratified_sample on the cluster id."""
+    from ..functions.cluster import kmeans_assign
+    from ..functions.sample import stratified_sample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign = kmeans_assign(ds, "vec_id", "embedding", k=8, iters=3, quant=1000)
+    out = stratified_sample(assign, "cluster", "vec_id", per_key=20).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
+
+
+def _sql_cluster_quota() -> str:
+    return f"""
+WITH assign AS ({_sql_kmeans()})
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+         ) AS rn
+  FROM assign
+) WHERE rn <= 20 ORDER BY cluster, vec_id"""
+
+
+def q_domain_mixture(sf_dir: str):
+    """Domain mixture reweighting: per-source acceptance rates (a small
+    mixture table — sources whose trailing digit is even keep 60%, odd
+    keep 25%), applied as a content-addressed filter.  No shuffle; the
+    mixture table is the broadcast small side."""
+    from ..functions.sample import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    # derive the mixture table from the (small) distinct-source set
+    sources = [r["source"] for r in ds.groupby("source").count().take_all()]
+    rates = {s: 0.6 if int(s[-1]) % 2 == 0 else 0.25 for s in sources}
+    out = mixture_sample(ds, "source", "doc_id", rates).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOMAIN_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN CAST(RIGHT(source, 1) AS INT) % 2 = 0
+           THEN '99999999' ELSE '40000000' END
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -2852,6 +2905,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "kmeans_clusters": (q_kmeans, _sql_kmeans),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
+    "cluster_quota_sample": (q_cluster_quota_sample, _sql_cluster_quota),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
 }
 
 

@@ -727,3 +727,26 @@ def test_canonicalize_url_rules():
     # path case is significant (RFC 3986); host case is not
     assert c("https://h.io/A") != c("https://h.io/a")
     assert c("not a url") is None
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import mixture_sample
+
+    rows = [{"k": "a" if i % 2 == 0 else "b", "id": i} for i in range(2000)]
+    ds = ray.data.from_items(rows)
+    out = mixture_sample(ds, "k", "id", {"a": 0.5, "b": 0.1}).take_all()
+    by_key = {"a": 0, "b": 0}
+    for r in out:
+        by_key[r["k"]] += 1
+    assert abs(by_key["a"] / 1000 - 0.5) < 0.08
+    assert abs(by_key["b"] / 1000 - 0.1) < 0.05
+    # parallelism-independent: same ids at different block structure
+    out2 = mixture_sample(
+        ds.repartition(13), "k", "id", {"a": 0.5, "b": 0.1}
+    ).take_all()
+    assert sorted(r["id"] for r in out) == sorted(r["id"] for r in out2)
+    # default rate 0.0 drops unknown keys
+    none = mixture_sample(ds, "k", "id", {"a": 0.5}).take_all()
+    assert all(r["k"] == "a" for r in none)
