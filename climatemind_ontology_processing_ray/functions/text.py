@@ -350,3 +350,71 @@ def add_canonical_url(ds, url_col: str = "url", out_col: str = "canonical_url"):
         return batch.append_column(out_col, pa.array(canon, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------- #
+# normalization + chunking
+# --------------------------------------------------------------------- #
+
+# explicit ASCII classes so Python re and RE2-style SQL regexps agree
+# (Python \s is unicode-aware; DuckDB's is not)
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_WS_RUN_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
+    """Standard pre-tokenization cleanup: strip ASCII control chars,
+    collapse whitespace runs to single spaces, trim.  Stateless
+    vectorized map; mirrors REGEXP_REPLACE SQL exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = [
+            _WS_RUN_RE.sub(" ", _CTRL_RE.sub("", t or "")).strip()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 50,
+    overlap: int = 10,
+):
+    """Split documents into overlapping fixed-size word windows (training
+    context-window chunking).  Flat-map shape: each input row expands to
+    ``max(1, ceil((L - chunk_words)/stride) + 1)`` rows with columns
+    (id, chunk_id, chunk_text, n_words).  Pure per-row expansion — no
+    shuffle, output block sizes stay bounded because map_batches splits
+    oversized outputs."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be < chunk_words")
+    stride = chunk_words - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, cids, texts, nw = [], [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            w = (t or "").split(" ")
+            L = len(w)
+            n = 1 if L <= chunk_words else -(-(L - chunk_words) // stride) + 1
+            for c in range(n):
+                piece = w[c * stride : c * stride + chunk_words]
+                ids.append(i)
+                cids.append(c)
+                texts.append(" ".join(piece))
+                nw.append(len(piece))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+                "n_words": pa.array(nw, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2828,6 +2828,86 @@ ORDER BY doc_id
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Whitespace/control-char normalization (pre-tokenization cleanup),
+    plus before/after char counts."""
+    from ..functions.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(ds).to_pandas()
+    out["n_before"] = out["text"].str.len().astype("int64")
+    out["n_after"] = out["norm_text"].str.len().astype("int64")
+    return (
+        out[["doc_id", "norm_text", "n_before", "n_after"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_NORMALIZE = r"""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(
+         REGEXP_REPLACE(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+         '[ \t\n\r\f]+', ' ', 'g')) AS norm_text,
+       CAST(LENGTH(text) AS BIGINT) AS n_before,
+       CAST(LENGTH(TRIM(REGEXP_REPLACE(
+         REGEXP_REPLACE(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+         '[ \t\n\r\f]+', ' ', 'g'))) AS BIGINT) AS n_after
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: overlapping 50-word windows, stride 40
+    (flat-map expansion, no shuffle)."""
+    from ..functions.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, chunk_words=50, overlap=10).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+SQL_CHUNKS = """
+WITH s AS (SELECT doc_id, STRING_SPLIT(text, ' ') w FROM documents),
+n AS (
+  SELECT doc_id, w, LEN(w) AS L,
+         CASE WHEN LEN(w) <= 50 THEN 1
+              ELSE CAST(CEIL(CAST(LEN(w) - 50 AS DOUBLE) / 40) AS BIGINT) + 1
+         END AS n_chunks
+  FROM s),
+c AS (SELECT doc_id, w, L, UNNEST(RANGE(0, n_chunks)) AS chunk_id FROM n)
+SELECT doc_id, chunk_id,
+       ARRAY_TO_STRING(w[chunk_id * 40 + 1 : LEAST(chunk_id * 40 + 50, L)], ' ')
+         AS chunk_text,
+       CAST(LEAST(chunk_id * 40 + 50, L) - chunk_id * 40 AS BIGINT) AS n_words
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_quality_threshold(sf_dir: str):
+    """Percentile-gated curation: keep documents at or above the global
+    P40 of n_chars.  The threshold comes from the exact distributed
+    quantile (value-histogram reduction), broadcast as a scalar into a
+    vectorized filter — the corpus itself is never shuffled."""
+    from ..functions.sketch import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    thr = int(exact_quantiles(ds, "n_chars", [0.4])["value"].iloc[0])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("n_chars"), thr))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUALITY_THRESHOLD = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.4) FROM documents)
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -2907,6 +2987,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
     "cluster_quota_sample": (q_cluster_quota_sample, _sql_cluster_quota),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
+    "quality_threshold": (q_quality_threshold, SQL_QUALITY_THRESHOLD),
 }
 
 

@@ -750,3 +750,46 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     # default rate 0.0 drops unknown keys
     none = mixture_sample(ds, "k", "id", {"a": 0.5}).take_all()
     assert all(r["k"] == "a" for r in none)
+
+
+def test_chunk_documents_boundaries(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import chunk_documents
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [
+        {"doc_id": 0, "text": words(5)},    # shorter than window -> 1 chunk
+        {"doc_id": 1, "text": words(10)},   # exactly one window
+        {"doc_id": 2, "text": words(11)},   # one word past -> 2 chunks
+        {"doc_id": 3, "text": words(26)},   # stride 8: starts 0,8,16 -> 3 chunks
+        {"doc_id": 4, "text": ""},
+    ]
+    out = chunk_documents(
+        ray.data.from_items(rows), chunk_words=10, overlap=2
+    ).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [len(by_doc[i]) for i in range(5)] == [1, 1, 2, 3, 1]
+    # overlap: chunk c starts at word c*stride; consecutive chunks share
+    # `overlap` words
+    c0, c1 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert c0["chunk_text"].split()[8:] == c1["chunk_text"].split()[:2]
+    # full coverage, no word lost
+    assert by_doc[3][-1]["chunk_text"].split()[-1] == "w25"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(ray.data.from_items(rows), chunk_words=5, overlap=5)
+
+
+def test_normalize_text_rules(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import normalize_text
+
+    rows = [{"doc_id": 0, "text": "  a\t\tb\x07c\n\nd  "}]
+    out = normalize_text(ray.data.from_items(rows)).take_all()
+    # control char removed, runs collapsed, trimmed
+    assert out[0]["norm_text"] == "a bc d"
