@@ -88,6 +88,7 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 3,
     quant: int = 1000,
+    include_dist: bool = False,
 ) -> Dataset:
     """(id, cluster) after ``iters`` Lloyd iterations.  Fully
     deterministic and partitioning-independent (see module docstring);
@@ -138,12 +139,16 @@ def kmeans_assign(
     def final(batch: pa.Table, *, _cref=cref) -> pa.Table:
         c = ray.get(_cref)
         x = _batch_matrix(batch, vec_col, quant)
-        a = _assign(x, c)
-        return pa.table(
-            {
-                id_col: batch.column(id_col).cast(pa.int64()),
-                "cluster": pa.array(a, pa.int64()),
-            }
-        )
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        cols = {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+        }
+        if include_dist:
+            # exact int squared-L2 to the assigned centroid (quantized
+            # units) — the semantic-outlier signal
+            cols["dist2"] = pa.array(d2[np.arange(len(a)), a], pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(final, batch_format="pyarrow")

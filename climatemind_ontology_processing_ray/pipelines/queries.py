@@ -2616,7 +2616,9 @@ def q_kmeans(sf_dir: str):
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
-def _sql_kmeans(k: int = 8, iters: int = 3, quant: int = 1000) -> str:
+def _sql_kmeans(
+    k: int = 8, iters: int = 3, quant: int = 1000, with_dist: bool = False
+) -> str:
     """Unrolled Lloyd CTE: assignment = exact-int squared-L2 argmin
     (ROW_NUMBER ties → lowest cluster), update = FLOOR(sum/count)."""
     ctes = [
@@ -2659,12 +2661,13 @@ def _sql_kmeans(k: int = 8, iters: int = 3, quant: int = 1000) -> str:
   SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
   FROM v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
     )
+    dist_col = ", dist AS dist2" if with_dist else ""
     return (
         "WITH "
         + ",\n".join(ctes)
-        + """
-SELECT vec_id, cl AS cluster FROM (
-  SELECT vec_id, cl,
+        + f"""
+SELECT vec_id, cl AS cluster{dist_col} FROM (
+  SELECT vec_id, cl, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
   FROM df) WHERE rn = 1 ORDER BY vec_id"""
     )
@@ -2826,6 +2829,28 @@ WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) <
            THEN '99999999' ELSE '40000000' END
 ORDER BY doc_id
 """
+
+
+def q_semantic_outliers(sf_dir: str):
+    """Embedding-space noise pruning: vectors whose exact squared
+    distance to their assigned k-means centroid exceeds a fixed cutoff
+    (quantized-integer units — both sides compute the identical int, so
+    the threshold needs no float gap)."""
+    from ..functions.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(
+        ds, "vec_id", "embedding", k=8, iters=3, quant=1000, include_dist=True
+    ).to_pandas()
+    out = out[out["dist2"] >= 968000]
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_semantic_outliers() -> str:
+    return (
+        f"SELECT * FROM ({_sql_kmeans(with_dist=True)}) "
+        "WHERE dist2 >= 968000 ORDER BY vec_id"
+    )
 
 
 def q_normalize_text(sf_dir: str):
@@ -2990,6 +3015,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE),
     "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
     "quality_threshold": (q_quality_threshold, SQL_QUALITY_THRESHOLD),
+    "semantic_outliers": (q_semantic_outliers, _sql_semantic_outliers),
 }
 
 

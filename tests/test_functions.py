@@ -793,3 +793,44 @@ def test_normalize_text_rules(ray_session):
     out = normalize_text(ray.data.from_items(rows)).take_all()
     # control char removed, runs collapsed, trimmed
     assert out[0]["norm_text"] == "a bc d"
+
+
+def test_kmeans_include_dist_exact(ray_session):
+    """dist2 matches an independent driver-side numpy implementation of
+    the same integer Lloyd recurrence, and is partitioning-invariant."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.cluster import (
+        kmeans_assign,
+        quantize,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 0.2, size=(40, 6))
+    rows = [
+        {"vec_id": i, "embedding": [float(v) for v in vecs[i]]} for i in range(40)
+    ]
+    ds = ray.data.from_items(rows)
+    k, iters = 3, 2
+    out = kmeans_assign(ds, k=k, iters=iters, include_dist=True).take_all()
+
+    # independent reference recurrence
+    x = quantize(vecs, 1000)
+    c = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = np.floor_divide(x[a == j].sum(axis=0), (a == j).sum())
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    expect = {i: (int(a[i]), int(d2[i, a[i]])) for i in range(40)}
+    got = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in out}
+    assert got == expect
+
+    # determinism across partitioning, including the dist column
+    out2 = kmeans_assign(
+        ds.repartition(5), k=k, iters=iters, include_dist=True
+    ).take_all()
+    assert {r["vec_id"]: (r["cluster"], r["dist2"]) for r in out2} == expect
