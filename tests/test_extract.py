@@ -147,3 +147,46 @@ def test_vectorized_path_byte_identical_fuzz():
     expected = [extract_text(h) for h in htmls]
     assert got == expected
     assert all(out.column("extract_ok").to_pylist())
+
+
+def test_jsonl_pages_source_matches_parquet_path(ray_session, tmp_path):
+    """NDJSON crawl export -> pages contract: schema coerced (string ts ->
+    timestamp[us], html str -> binary, missing lang -> nulls) and the
+    extract stage produces the same text as the parquet-born path."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.sources.jsonl import (
+        PAGES_SCHEMA,
+        read_pages_jsonl,
+    )
+    from climatemind_ontology_processing_ray.stages.extract import (
+        extract_pages_batch,
+    )
+
+    p = tmp_path / "pages.jsonl"
+    rows = [
+        {
+            "url": f"https://ex.org/{i}",
+            "warc_ts": "2024-01-02T03:04:05",
+            "html": f"<html><body><p>doc {i} text</p></body></html>",
+            "text": "",
+        }
+        for i in range(6)
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    ds = read_pages_jsonl(str(p))
+    tbl = pa.Table.from_pylist(ds.take_all())
+    got_schema = ds.schema()
+    assert got_schema.names == PAGES_SCHEMA.names
+    assert str(got_schema.types[1]) == "timestamp[us]"
+    assert str(got_schema.types[2]) == "binary"
+    assert tbl.column("lang").null_count == 6  # absent field -> nulls
+
+    ext = ds.map_batches(extract_pages_batch, batch_format="pyarrow")
+    out = {r["url"]: r["extracted_text"] for r in ext.take_all()}
+    assert out["https://ex.org/3"] == "doc 3 text"
