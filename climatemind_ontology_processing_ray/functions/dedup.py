@@ -434,6 +434,41 @@ def ngram_jaccard_pairs(
     ).map_groups(per_block, batch_format="pandas")
 
 
+def ngram_containment_pairs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    block_cols: list[str],
+    ngram: int = 3,
+    threshold: float = 0.9,
+) -> Dataset:
+    """Asymmetric near-dup detection: containment(a in b) =
+    |grams(a) ∩ grams(b)| / |grams(a)| — catches quotes/subset documents
+    that symmetric Jaccard misses (Broder's containment measure).
+    Output: id_a (contained), id_b (container), one row per direction
+    that clears the threshold.  Same blocking-bounded O(k²) shape as
+    ``ngram_jaccard_pairs``."""
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g[id_col], g[text_col]))
+        out_a, out_b = [], []
+        grams = [(i, _word_ngrams(t or "", ngram)) for i, t in recs]
+        for (ia, ga), (ib, gb) in combinations(grams, 2):
+            inter = len(ga & gb)
+            if ga and inter / len(ga) >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+            if gb and inter / len(gb) >= threshold:
+                out_a.append(ib)
+                out_b.append(ia)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return ds.select_columns([id_col, text_col] + block_cols).groupby(
+        block_cols
+    ).map_groups(per_block, batch_format="pandas")
+
+
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #

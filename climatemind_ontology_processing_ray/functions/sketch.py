@@ -227,3 +227,47 @@ def exact_quantiles(
         idx = int((cum >= target).idxmax())
         rows.append({"q": float(q), "value": hist[col].iloc[idx]})
     return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------- #
+# Count-min sketch
+# --------------------------------------------------------------------- #
+
+
+def _cms_col(row: int, value, width: int) -> int:
+    h = hashlib.md5(f"{row}|{value}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % width
+
+
+def count_min_sketch(
+    ds: Dataset, key_col: str, depth: int = 4, width: int = 256
+) -> np.ndarray:
+    """Mergeable count-min sketch of key frequencies: each batch emits one
+    depth x width int64 partial matrix; the merge is elementwise SUM
+    (associative/commutative -> block-layout independent).  The exchange
+    is blocks x depth x width ints, never O(rows) — same shape as the HLL
+    partial-sketch pattern above.
+
+    Deterministic guarantee (any hash choice): ``estimate(k) >= true(k)``.
+    The usual ``<= true + eps*N`` bound is probabilistic over hash draws;
+    with these fixed md5 rows it is checked empirically by the caller
+    (the `approx_counts` query's within-bound contract)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.zeros((depth, width), dtype=np.int64)
+        vc = b[key_col].value_counts()
+        for v, c in vc.items():
+            for r in range(depth):
+                mat[r, _cms_col(r, v, width)] += int(c)
+        return pd.DataFrame({"r": range(depth), "cells": list(mat)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for row in parts:
+        mat[row["r"]] += np.asarray(row["cells"], dtype=np.int64)
+    return mat
+
+
+def cms_estimate(mat: np.ndarray, value, width: int | None = None) -> int:
+    w = width or mat.shape[1]
+    return int(min(mat[r, _cms_col(r, value, w)] for r in range(mat.shape[0])))

@@ -2933,6 +2933,79 @@ ORDER BY doc_id
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric containment dedup over the augmented corpus: the
+    perturbed copies fully contain their originals' grams, so
+    (orig → dup) clears the 0.9 bar even where symmetric Jaccard sits
+    lower."""
+    from ..functions.dedup import ngram_containment_pairs
+
+    docs = _augmented_docs(sf_dir, min_chars=20)
+    pairs = ngram_containment_pairs(
+        docs, "doc_id", "text", block_cols=["source", "lang"], ngram=3, threshold=0.9
+    )
+    out = pairs.to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_CONTAINMENT = f"""
+WITH docs AS ({SQL_AUG}),
+grams AS (
+  SELECT doc_id, source, lang,
+         LIST_DISTINCT(
+           CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3 THEN
+             LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) - 1),
+               i -> STRING_SPLIT(LOWER(text), ' ')[i] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+1] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+2])
+           ELSE [LOWER(text)] END) AS g
+  FROM docs WHERE LENGTH(text) >= 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM grams a JOIN grams b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE LEN(a.g) > 0
+  AND CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE) / LEN(a.g) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_approx_counts(sf_dir: str):
+    """Count-min frequency sketch vs exact counts (within-bound contract,
+    like approx_distinct): the sketch never undercounts, and the
+    overcount stays within the generous N/16 slack."""
+    from ..functions.sketch import cms_estimate, count_min_sketch
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    mat = count_min_sketch(ev, "event_type", depth=4, width=256)
+    exact = (
+        ev.groupby("event_type").count().to_pandas().rename(columns={"count()": "n"})
+    )
+    n_total = int(exact["n"].sum())
+    rows = []
+    for _, r in exact.iterrows():
+        est = cms_estimate(mat, r["event_type"])
+        ok = est >= int(r["n"]) and est - int(r["n"]) <= n_total // 16
+        rows.append(
+            {
+                "event_type": r["event_type"],
+                "exact_count": int(r["n"]),
+                "within_bound": bool(ok),
+            }
+        )
+    return (
+        pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    )
+
+
+SQL_APPROX_COUNTS = """
+SELECT event_type, COUNT(*) AS exact_count, TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3016,6 +3089,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
     "quality_threshold": (q_quality_threshold, SQL_QUALITY_THRESHOLD),
     "semantic_outliers": (q_semantic_outliers, _sql_semantic_outliers),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
+    "approx_counts": (q_approx_counts, SQL_APPROX_COUNTS),
 }
 
 

@@ -834,3 +834,51 @@ def test_kmeans_include_dist_exact(ray_session):
         ds.repartition(5), k=k, iters=iters, include_dist=True
     ).take_all()
     assert {r["vec_id"]: (r["cluster"], r["dist2"]) for r in out2} == expect
+
+
+def test_containment_asymmetric(ray_session):
+    """A quote (subset doc) is contained in its source even when
+    symmetric Jaccard is far below threshold — and only in that
+    direction."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    long = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(10, 18))  # 8 words inside long
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": long, "block": 0},
+            {"doc_id": 1, "text": quote, "block": 0},
+            {"doc_id": 2, "text": "totally different words entirely here", "block": 0},
+        ]
+    )
+    pairs = ngram_containment_pairs(
+        ds, "doc_id", block_cols=["block"], ngram=3, threshold=0.9
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 0)}  # quote contained in long; never the reverse
+
+
+def test_count_min_never_undercounts_and_merges(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [{"k": f"key{i % 37}"} for i in range(3000)]
+    ds = ray.data.from_items(rows)
+    mat = count_min_sketch(ds, "k", depth=4, width=64)
+    true = 3000 // 37 + (1 if 0 < 3000 % 37 else 0)
+    for i in range(37):
+        t = len([r for r in rows if r["k"] == f"key{i}"])
+        est = cms_estimate(mat, f"key{i}")
+        assert est >= t  # deterministic one-sided guarantee
+        assert est <= t + 3000  # sanity ceiling
+    # partial-sum merge is block-layout independent
+    mat2 = count_min_sketch(ds.repartition(11), "k", depth=4, width=64)
+    assert (mat == mat2).all()
