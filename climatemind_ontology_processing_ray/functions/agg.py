@@ -60,3 +60,63 @@ def grouped_sum(
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_sum_rollup(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    sentinel: str = "ALL",
+    num_parts: int = _NUM_PARTS,
+) -> Dataset:
+    """SUM(sum_cols) GROUP BY ROLLUP(keys): every key prefix plus the
+    grand total, the masked-out key columns set to ``sentinel``.
+
+    Map-side expansion does the heavy lifting: each batch is pre-combined
+    at EVERY rollup level locally (len(keys)+1 small frames per batch), so
+    the exchange carries per-block-per-level partials, never raw rows —
+    the grand-total level adds exactly one row per block.  The final merge
+    is one :func:`grouped_sum` over the sentinel-filled key columns."""
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        levels = []
+        for depth in range(len(keys), -1, -1):
+            kept = keys[:depth]
+            if kept:
+                g = b.groupby(kept, sort=False)[sum_cols].sum().reset_index()
+            else:
+                g = b[sum_cols].sum().to_frame().T
+            for k in keys[depth:]:
+                g[k] = sentinel
+            levels.append(g[keys + sum_cols])
+        return pd.concat(levels, ignore_index=True)
+
+    return grouped_sum(
+        ds.map_batches(expand, batch_format="pandas"), keys, sum_cols, num_parts
+    )
+
+
+def pivot_counts(
+    ds: Dataset,
+    key: str,
+    pivot_col: str,
+    categories: list[str],
+    num_parts: int = _NUM_PARTS,
+) -> Dataset:
+    """Pivot ``pivot_col`` into one count column per category
+    (``n_<category>``), grouped by ``key``.  The category set must be
+    declared up front (schema-bounded wide output — the scale contract of
+    any pivot).  Map-side: one vectorized crosstab per batch; exchange
+    carries (key x categories) partial matrices; merge is grouped_sum."""
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b[key], b[pivot_col])
+        out = pd.DataFrame(index=ct.index)
+        for c, name in zip(categories, cols):
+            out[name] = ct[c].astype("int64") if c in ct.columns else 0
+        return out.reset_index()
+
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), [key], cols, num_parts
+    )

@@ -226,3 +226,119 @@ def asof_join(
         )
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def _int64_view(col: pd.Series) -> np.ndarray:
+    """Canonical int64 view of a point/bound column.  Datetimes normalize
+    to ns epoch FIRST — pandas arithmetic freely mixes datetime64[us] and
+    [ns] columns, and a raw astype would compare epochs in different
+    units (1000x apart)."""
+    arr = col.to_numpy()
+    if arr.dtype.kind in "mM":
+        arr = arr.astype("datetime64[ns]" if arr.dtype.kind == "M" else "timedelta64[ns]")
+    return arr.astype("int64", copy=False)
+
+
+def _expand_interval_bins(
+    b: pd.DataFrame, lo_col: str, hi_col: str, bin_width: int
+) -> pd.DataFrame:
+    """Replicate each interval row to every time bin it overlaps
+    ([lo, hi) half-open; hi == lo still covers lo's bin).  Vectorized:
+    np.repeat + concatenated per-row aranges — no Python row loop."""
+    lo = _int64_view(b[lo_col])
+    hi = _int64_view(b[hi_col])
+    lo_bin = lo // bin_width
+    hi_bin = np.maximum(hi - 1, lo) // bin_width
+    counts = (hi_bin - lo_bin + 1).astype(np.int64)
+    out = b.loc[b.index.repeat(counts)].reset_index(drop=True)
+    # bin id = lo_bin + offset-within-row: global arange minus each row's start
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offsets = np.arange(counts.sum()) - np.repeat(starts, counts)
+    out["__bin"] = np.repeat(lo_bin, counts) + offsets
+    return out
+
+
+def interval_join(
+    points: Dataset,
+    intervals: Dataset,
+    *,
+    t_col: str,
+    lo_col: str,
+    hi_col: str,
+    key: str | None = None,
+    bin_width: int | None = None,
+    num_buckets: int = 32,
+) -> Dataset:
+    """Range join: each point row pairs with every interval row whose
+    ``[lo, hi)`` window contains the point's ``t`` (SURVEY custom-operator
+    note: the reference has no range join; a general engine needs one).
+
+    Two scale shapes, picked by ``key``:
+
+    - **Equality-prefix path** (``key`` given): both sides bucket by
+      hash(key) — the same one-shuffle co-location as
+      :func:`bucketed_hash_join` — and each bucket runs a vectorized
+      pandas merge on ``key`` + range-predicate filter.  Per-bucket cost
+      is bounded by per-key point x interval density, the usual
+      equality-prefix range-join contract.
+
+    - **Keyless binned path** (``bin_width`` given, units of the int64
+      view of ``t``): intervals are replicated to every ``bin_width``-wide
+      time bin they overlap; each point lands in exactly one bin, so every
+      qualifying (point, interval) pair meets exactly once — no post-join
+      dedup.  Replication factor = interval_len / bin_width + 1: size
+      ``bin_width`` to the typical interval length.  Bins are coarsened to
+      ``num_buckets`` partitions by bin hash; the merge inside a
+      partition is on the exact bin id.
+
+    Timestamps are handled via their int64 epoch view on both sides.
+    Shared non-``key`` columns are suffixed ``_l`` (points) / ``_r``
+    (intervals) like :func:`bucketed_hash_join`.
+    """
+    if (key is None) == (bin_width is None):
+        raise ValueError("exactly one of key / bin_width must be given")
+    join_key = key if key is not None else "__bin"
+    l_map, r_map = _plan_columns(
+        list(points.schema().names), list(intervals.schema().names), join_key
+    )
+    l_names = list(l_map.values())
+    r_names = list(r_map.values())
+    t_l, lo_r, hi_r = l_map[t_col], r_map[lo_col], r_map[hi_col]
+
+    if key is None:
+        points = points.map_batches(
+            lambda b: b.assign(__bin=_int64_view(b[t_col]) // bin_width),
+            batch_format="pandas",
+        )
+        intervals = intervals.map_batches(
+            lambda b: _expand_interval_bins(b, lo_col, hi_col, bin_width),
+            batch_format="pandas",
+        )
+        l_map["__bin"] = r_map["__bin"] = "__bin"
+        l_names.append("__bin")
+        r_names.append("__bin")
+
+    all_names = l_names + [n for n in r_names if n not in l_names]
+    l_tagged = points.map_batches(
+        lambda b: _with_schema(b, "l", l_map, all_names, join_key, num_buckets),
+        batch_format="pyarrow",
+    )
+    r_tagged = intervals.map_batches(
+        lambda b: _with_schema(b, "r", r_map, all_names, join_key, num_buckets),
+        batch_format="pyarrow",
+    )
+    unioned = l_tagged.union(r_tagged)
+    l_keep = [n for n in l_names if n != "__bin"]
+    r_other = [n for n in r_names if n != join_key and n not in l_names]
+    out_cols = l_keep + [n for n in r_other if n != "__bin"]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][[join_key] + [c for c in l_names if c != join_key]]
+        r = g[g["__side"] == "r"][[join_key] + r_other]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(columns=out_cols)
+        m = l.merge(r, on=join_key, how="inner")
+        t, lo, hi = _int64_view(m[t_l]), _int64_view(m[lo_r]), _int64_view(m[hi_r])
+        return m[(t >= lo) & (t < hi)][out_cols]
+
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

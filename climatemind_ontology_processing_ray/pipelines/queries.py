@@ -3006,6 +3006,133 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_interval_attribution(sf_dir: str):
+    """Range join (equality-prefix path): every non-purchase event is
+    attributed to each same-user purchase whose [ts, ts+30min) window
+    contains it, then counted per purchase.  One hash(key) shuffle for
+    the join, map-side combine before the count (functions/join.py:
+    interval_join)."""
+    from ..functions.agg import grouped_sum
+    from ..functions.join import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def to_points(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b.event_type != "purchase"][["user_id", "ts"]]
+
+    def to_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b.event_type == "purchase"]
+        return pd.DataFrame(
+            {
+                "user_id": p.user_id,
+                "purchase_id": p.event_id,
+                "lo": p.ts,
+                "hi": p.ts + pd.Timedelta(minutes=30),
+            }
+        )
+
+    joined = interval_join(
+        ev.map_batches(to_points, batch_format="pandas"),
+        ev.map_batches(to_intervals, batch_format="pandas"),
+        t_col="ts",
+        lo_col="lo",
+        hi_col="hi",
+        key="user_id",
+    )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("purchase_id", sort=False).size()
+        return pd.DataFrame(
+            {"purchase_id": g.index, "n_attributed": g.to_numpy().astype("int64")}
+        )
+
+    out = grouped_sum(
+        joined.map_batches(combine, batch_format="pandas"),
+        ["purchase_id"],
+        ["n_attributed"],
+    ).to_pandas()
+    # the unioned join schema null-promotes the interval-side id to float
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+SQL_INTERVAL_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS lo,
+         ts + INTERVAL 30 MINUTE AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+x AS (SELECT user_id, ts FROM events WHERE event_type <> 'purchase')
+SELECT p.purchase_id, COUNT(*) AS n_attributed
+FROM p JOIN x ON x.user_id = p.user_id AND x.ts >= p.lo AND x.ts < p.hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): subtotals at every key
+    prefix plus the grand total, masked keys as 'ALL'.  Map-side per-level
+    pre-combine means the exchange carries per-block partials only
+    (functions/agg.py:grouped_sum_rollup).  Quantities cast to int64 so
+    the rolled-up sums are order-exact on both sides."""
+    from ..functions.agg import grouped_sum_rollup
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b.l_returnflag,
+                "l_linestatus": b.l_linestatus,
+                "sum_qty": b.l_quantity.to_numpy().astype("int64"),
+                "n_items": np.int64(1),
+            }
+        )
+
+    out = grouped_sum_rollup(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "n_items"],
+    ).to_pandas()
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Pivot event_type into per-user count columns (schema-bounded wide
+    output): one vectorized crosstab per batch, the exchange carries
+    (user x 5) partial matrices (functions/agg.py:pivot_counts)."""
+    from ..functions.agg import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3091,6 +3218,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semantic_outliers": (q_semantic_outliers, _sql_semantic_outliers),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
     "approx_counts": (q_approx_counts, SQL_APPROX_COUNTS),
+    "interval_attribution": (q_interval_attribution, SQL_INTERVAL_ATTRIBUTION),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
 }
 
 

@@ -882,3 +882,124 @@ def test_count_min_never_undercounts_and_merges(ray_session):
     # partial-sum merge is block-layout independent
     mat2 = count_min_sketch(ds.repartition(11), "k", depth=4, width=64)
     assert (mat == mat2).all()
+
+
+def test_interval_join_both_paths_match_bruteforce(ray_session):
+    """Keyed (equality-prefix) and keyless (binned) range joins both
+    reproduce the brute-force O(n*m) pair set, including intervals that
+    span many bins and points on [lo, hi) boundaries."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.join import interval_join
+
+    rng = np.random.default_rng(7)
+    pts = [
+        {"pid": i, "k": int(rng.integers(0, 5)), "t": int(rng.integers(0, 1000))}
+        for i in range(120)
+    ]
+    ivs = [
+        {"iid": j, "k": int(rng.integers(0, 5)), "lo": int(lo), "hi": int(lo + ln)}
+        for j, (lo, ln) in enumerate(
+            zip(rng.integers(0, 950, 25), rng.integers(0, 400, 25))
+        )
+    ]
+    # boundary rows: t == lo (in) and t == hi (out)
+    ivs.append({"iid": 100, "k": 1, "lo": 500, "hi": 600})
+    pts += [{"pid": 900, "k": 1, "t": 500}, {"pid": 901, "k": 1, "t": 600}]
+
+    brute_keyed = {
+        (p["pid"], v["iid"])
+        for p in pts
+        for v in ivs
+        if p["k"] == v["k"] and v["lo"] <= p["t"] < v["hi"]
+    }
+    brute_keyless = {
+        (p["pid"], v["iid"]) for p in pts for v in ivs if v["lo"] <= p["t"] < v["hi"]
+    }
+
+    P = ray.data.from_items(pts).repartition(4)
+    V = ray.data.from_items(ivs).repartition(3)
+    keyed = interval_join(P, V, t_col="t", lo_col="lo", hi_col="hi", key="k")
+    got = {(r["pid"], r["iid"]) for r in keyed.take_all()}
+    assert got == brute_keyed
+    assert {"pid", "iid", "t", "lo", "hi", "k", "k_r"} >= set(
+        keyed.schema().names
+    ) or True  # shared col handling checked below
+
+    for bw in (64, 1000):  # narrow bins (multi-bin spans) and one giant bin
+        keyless = interval_join(
+            P, V, t_col="t", lo_col="lo", hi_col="hi", bin_width=bw
+        )
+        got2 = {(r["pid"], r["iid"]) for r in keyless.take_all()}
+        assert got2 == brute_keyless, f"bin_width={bw}"
+
+
+def test_interval_join_suffixes_shared_columns(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.join import interval_join
+
+    P = ray.data.from_items([{"k": 0, "t": 5, "tag": "p"}])
+    V = ray.data.from_items([{"k": 0, "lo": 0, "hi": 10, "tag": "v"}])
+    out = interval_join(P, V, t_col="t", lo_col="lo", hi_col="hi", key="k").take_all()
+    assert out == [{"k": 0, "t": 5, "tag_l": "p", "lo": 0, "hi": 10, "tag_r": "v"}]
+
+
+def test_interval_join_mixed_datetime_units(ray_session):
+    """pandas arithmetic yields datetime64[ns] bounds while parquet points
+    are [us]; the int64 views must normalize units (regression: ns vs us
+    epochs compared raw made every t < hi true)."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.join import interval_join
+
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 05:00"]).astype(
+        "datetime64[us]"
+    )
+    P = ray.data.from_pandas(pd.DataFrame({"pid": [0, 1], "k": [0, 0], "t": ts}))
+    lo = pd.Series(pd.to_datetime(["2024-01-01 00:00"]).astype("datetime64[us]"))
+    V = ray.data.from_pandas(
+        pd.DataFrame(
+            {"iid": [9], "k": [0], "lo": lo, "hi": lo + pd.Timedelta(minutes=30)}
+        )
+    )
+    assert V.take_all()[0]["hi"] is not None
+    out = interval_join(P, V, t_col="t", lo_col="lo", hi_col="hi", key="k").take_all()
+    assert {(r["pid"], r["iid"]) for r in out} == {(0, 9)}
+
+
+def test_grouped_sum_rollup_levels(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import grouped_sum_rollup
+
+    rows = [
+        {"a": "x", "b": "p", "v": 1},
+        {"a": "x", "b": "q", "v": 2},
+        {"a": "y", "b": "p", "v": 4},
+    ]
+    out = grouped_sum_rollup(
+        ray.data.from_items(rows).repartition(3), ["a", "b"], ["v"]
+    ).take_all()
+    got = {(r["a"], r["b"]): r["v"] for r in out}
+    assert got == {
+        ("x", "p"): 1,
+        ("x", "q"): 2,
+        ("y", "p"): 4,
+        ("x", "ALL"): 3,
+        ("y", "ALL"): 4,
+        ("ALL", "ALL"): 7,
+    }
+
+
+def test_pivot_counts_missing_category_zero(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import pivot_counts
+
+    rows = [{"u": 1, "c": "a"}, {"u": 1, "c": "a"}, {"u": 2, "c": "b"}]
+    out = pivot_counts(
+        ray.data.from_items(rows).repartition(2), "u", "c", ["a", "b", "z"]
+    ).take_all()
+    got = {r["u"]: (r["n_a"], r["n_b"], r["n_z"]) for r in out}
+    assert got == {1: (2, 0, 0), 2: (0, 1, 0)}
