@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
+
 import pandas as pd
 
 import ray
@@ -178,3 +180,97 @@ def pagerank_fixed(
     return pd.DataFrame(
         {"node": nodes, "rank_scaled": [int(rank[v]) for v in nodes]}
     )
+
+
+def triangle_count(
+    edges: Dataset, src_col: str = "subject", dst_col: str = "object"
+) -> int:
+    """Exact triangle count of the UNDIRECTED simple graph underlying an
+    edge table, via the degree-oriented wedge-join algorithm (the
+    MapReduce-classic shape; wedge volume is O(m^1.5) instead of
+    sum(deg^2) because every edge points from the (degree, node)-smaller
+    endpoint to the larger):
+
+    1. normalize + dedup edges (coarse-partition exact dedup),
+    2. per-node degrees (map-side partial counts + grouped_sum),
+    3. two bucketed hash joins attach endpoint degrees, orienting each
+       edge low->high,
+    4. wedges: groupby(oriented source) emits neighbor pairs — each
+       triangle yields EXACTLY ONE wedge (at its order-minimal corner),
+    5. a bucketed semi join of wedges against the edge set on the
+       normalized pair key closes the count.
+
+    All exchanges are hash-partition shuffles over edge/wedge-sized data;
+    nothing node- or corpus-sized touches the driver."""
+    from itertools import combinations
+
+    from .agg import grouped_sum
+    from .join import bucketed_hash_join, bucketed_semi_join
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str)
+        c = b[dst_col].astype(str)
+        lo, hi = a.where(a < c, c), c.where(a < c, a)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out.u != out.v]
+
+    e = distinct_edges(
+        edges.map_batches(norm, batch_format="pandas"), "u", "v"
+    ).materialize()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([b.u, b.v], ignore_index=True)
+        g = nodes.value_counts()
+        return pd.DataFrame({"node": g.index, "d": g.to_numpy().astype("int64")})
+
+    deg = grouped_sum(e.map_batches(explode, batch_format="pandas"), ["node"], ["d"])
+
+    with_du = bucketed_hash_join(
+        e, deg.map_batches(
+            lambda b: b.rename(columns={"node": "u", "d": "du"}), batch_format="pandas"
+        ), "u",
+    )
+    with_dv = bucketed_hash_join(
+        with_du, deg.map_batches(
+            lambda b: b.rename(columns={"node": "v", "d": "dv"}), batch_format="pandas"
+        ), "v",
+    )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u_first = (b.du < b.dv) | ((b.du == b.dv) & (b.u < b.v))
+        return pd.DataFrame(
+            {
+                "s": b.u.where(u_first, b.v),
+                "t": b.v.where(u_first, b.u),
+            }
+        )
+
+    oriented = with_dv.map_batches(orient, batch_format="pandas").materialize()
+
+    # pair key separator: \x1f, NOT \x00 — numpy fixed-width unicode
+    # arrays (what pandas blocks can hold for string columns) use NUL as
+    # padding and silently drop embedded NULs on concat.
+    def wedges(g: pd.DataFrame):
+        import pyarrow as pa
+
+        nbrs = sorted(g.t)
+        # Arrow output keeps empty blocks typed (string, not object) —
+        # pandas object columns of size 0 trip ray's block-size estimator
+        return pa.table(
+            {"pq": pa.array(
+                [f"{p}\x1f{q}" for p, q in combinations(nbrs, 2)], pa.string()
+            )}
+        )
+
+    w = oriented.groupby("s").map_groups(wedges, batch_format="pandas")
+    ekeys = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "pq": np.where(
+                    b.s < b.t, b.s + "\x1f" + b.t, b.t + "\x1f" + b.s
+                )
+            }
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_semi_join(w, ekeys, "pq").count()

@@ -22,11 +22,23 @@ canonicalize.py) when a key's row count exceeds a worker's heap.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
+
+def _quiet_size_estimator() -> None:
+    """Empty join/filter buckets are routine (one-sided keys); ray's
+    sampling size estimator warns on every SIZE-0 object column it meets
+    ("Error calculating size for column ..." — np.vectorize rejects empty
+    input).  Workers re-run their logging dictConfig per task, so a
+    module-level setLevel does not stick — each bucket UDF calls this
+    instead (the block build that triggers the estimator runs in the same
+    task, after the UDF returns)."""
+    logging.getLogger("ray.data._internal.pandas_block").setLevel(logging.ERROR)
 
 
 def hash_bucket(values, num_buckets: int) -> np.ndarray:
@@ -107,6 +119,7 @@ def bucketed_hash_join(
     r_other = [n for n in r_names if n != key and n not in l_names]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _quiet_size_estimator()
         l = g[g["__side"] == "l"][[key] + l_other]
         r = g[g["__side"] == "r"][[key] + r_other]
         return l.merge(r, on=key, how="inner")
@@ -147,6 +160,7 @@ def _bucketed_membership_join(
     l_other = [n for n in l_names if n != key]
 
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _quiet_size_estimator()
         l = g[g["__side"] == "l"][[key] + l_other]
         member = l[key].isin(set(g.loc[g["__side"] == "r", key]))
         return l[member] if keep_matches else l[~member]
@@ -211,6 +225,7 @@ def asof_join(
     r_other = [n for n in r_names if n != key and n not in l_names]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _quiet_size_estimator()
         l = g[g["__side"] == "l"][l_names].sort_values(ts_l, kind="mergesort")
         r = g[g["__side"] == "r"][[key, ts_r] + [c for c in r_other if c != ts_r]]
         r = r.sort_values(ts_r, kind="mergesort")
@@ -333,6 +348,7 @@ def interval_join(
     out_cols = l_keep + [n for n in r_other if n != "__bin"]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _quiet_size_estimator()
         l = g[g["__side"] == "l"][[join_key] + [c for c in l_names if c != join_key]]
         r = g[g["__side"] == "r"][[join_key] + r_other]
         if len(l) == 0 or len(r) == 0:

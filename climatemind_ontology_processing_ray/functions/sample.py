@@ -74,3 +74,31 @@ def mixture_sample(
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def disjoint_split(
+    ds: Dataset,
+    group_col: str,
+    train_frac: float = 0.8,
+    labels: tuple[str, str] = ("train", "val"),
+    out_col: str = "split",
+) -> Dataset:
+    """Leakage-guarded train/val split: EVERY row of a group (e.g. a
+    source domain) lands in the same split, decided by the group value's
+    md5 prefix — content-addressed like :func:`deterministic_sample`, so
+    the assignment is parallelism- and run-independent and needs no
+    shuffle (a row-level random split leaks near-duplicate documents from
+    one domain across the boundary)."""
+    cut = format(int(train_frac * 16**8), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lab = pa.array(
+            [
+                labels[0] if _md5_prefix(v) < cut else labels[1]
+                for v in batch.column(group_col).to_pylist()
+            ],
+            pa.string(),
+        )
+        return batch.append_column(out_col, lab)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

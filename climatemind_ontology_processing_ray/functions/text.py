@@ -418,3 +418,58 @@ def chunk_documents(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_vocab(ds: Dataset, text_col: str, size: int) -> list[str]:
+    """Global top-``size`` terms by frequency (ties broken
+    lexicographically): per-batch explode+count, scale-safe
+    :func:`~..functions.agg.grouped_sum` over terms, then each partition
+    ships only its LOCAL top-``size`` candidates to the driver (<= size
+    rows per partition — the global top-k must be among them), where the
+    final merge runs on a candidates-sized frame."""
+    from .agg import grouped_sum
+
+    def explode_count(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b[text_col]:
+            for w in (t or "").lower().split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame({"term": list(counts), "n": list(counts.values())})
+
+    grouped = grouped_sum(
+        ds.map_batches(explode_count, batch_format="pandas"), ["term"], ["n"]
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "term"], ascending=[False, True]).head(size)
+
+    cand = grouped.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["n", "term"], ascending=[False, True]).head(size)
+    return cand["term"].tolist()
+
+
+def oov_stats(
+    ds: Dataset, vocab: list[str], text_col: str = "text"
+) -> Dataset:
+    """Per-document token/OOV counts against a broadcast vocabulary
+    (exact integers — no float coverage ratio crosses the compare
+    boundary).  The vocab set ships once via ``ray.put``; each batch does
+    a vectorized set-membership pass."""
+    import ray
+
+    ref = ray.put(frozenset(vocab))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        vs = ray.get(ref)
+        n_tok, n_oov = [], []
+        for t in b[text_col]:
+            words = [w for w in (t or "").lower().split(" ") if w]
+            n_tok.append(len(words))
+            n_oov.append(sum(1 for w in words if w not in vs))
+        b = b.copy()
+        b["n_tokens"] = np.asarray(n_tok, dtype=np.int64)
+        b["n_oov"] = np.asarray(n_oov, dtype=np.int64)
+        return b
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -3133,6 +3133,114 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Domain-disjoint train/val split: every document of a source domain
+    lands in the same split (content-addressed md5 cutoff, no shuffle) —
+    the leakage guard a random row split lacks
+    (functions/sample.py:disjoint_split)."""
+    from ..functions.sample import disjoint_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = disjoint_split(ds, "source", 0.8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LEAKAGE_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN SUBSTR(MD5(source), 1, 8) < 'cccccccc'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+_VOCAB_SIZE = 50
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Two-stage vocabulary pipeline: global top-50 terms (scale-safe
+    grouped_sum + per-partition local top-k candidates), broadcast once,
+    then a per-doc OOV counting pass — exact integers on both sides
+    (functions/text.py:build_vocab/oov_stats)."""
+    from ..functions.text import build_vocab, oov_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = build_vocab(ds, "text", _VOCAB_SIZE)
+    out = (
+        oov_stats(ds, vocab)
+        .select_columns(["doc_id", "n_tokens", "n_oov"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents
+),
+toks2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS n FROM toks2 GROUP BY w)
+  ORDER BY n DESC, w ASC LIMIT {_VOCAB_SIZE}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+  FROM toks2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_doc_similarity_triangles(sf_dir: str):
+    """Triangle count of the document-similarity graph (same source,
+    |n_chars| within 5): blocked self-join builds the edge table (O(k²)
+    bounded by the source block, the ngram_jaccard contract), then the
+    degree-oriented distributed wedge-join counts triangles
+    (functions/graph_algo.py:triangle_count)."""
+    from itertools import combinations
+
+    from ..functions.graph_algo import triangle_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g.doc_id, g.n_chars))
+        u, v = [], []
+        for (ia, ca), (ib, cb) in combinations(recs, 2):
+            if abs(int(ca) - int(cb)) <= 5:
+                u.append(ia)
+                v.append(ib)
+        return pd.DataFrame({"subject": u, "object": v})
+
+    edges = docs.groupby("source").map_groups(pairs, batch_format="pandas")
+    edges = edges.materialize()
+    n_edges = edges.count()
+    n_tri = triangle_count(edges)
+    return pd.DataFrame(
+        {"n_edges": [np.int64(n_edges)], "n_triangles": [np.int64(n_tri)]}
+    )
+
+
+SQL_DOC_TRIANGLES = """
+WITH e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND ABS(a.n_chars - b.n_chars) <= 5
+   AND a.doc_id < b.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM e e1 JOIN e e2 ON e2.u = e1.v
+                       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+         AS n_triangles
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3221,6 +3329,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "interval_attribution": (q_interval_attribution, SQL_INTERVAL_ATTRIBUTION),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SPLIT),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "doc_similarity_triangles": (q_doc_similarity_triangles, SQL_DOC_TRIANGLES),
 }
 
 

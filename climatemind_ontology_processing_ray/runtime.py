@@ -39,3 +39,10 @@ def configure_data_context() -> None:
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow"
     ).setLevel(logging.ERROR)
+    # - pandas_block warns "Error calculating size for column" when a
+    #   SIZE-0 object column hits the sampling size estimator
+    #   (np.vectorize rejects empty input) — empty join/filter buckets
+    #   are routine; the block's true size is 0 anyway.
+    logging.getLogger("ray.data._internal.pandas_block").setLevel(
+        logging.ERROR
+    )

@@ -1003,3 +1003,63 @@ def test_pivot_counts_missing_category_zero(ray_session):
     ).take_all()
     got = {r["u"]: (r["n_a"], r["n_b"], r["n_z"]) for r in out}
     assert got == {1: (2, 0, 0), 2: (0, 1, 0)}
+
+
+def test_triangle_count_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(11)
+    G = nx.gnp_random_graph(40, 0.15, seed=3)
+    expect = sum(nx.triangles(G).values()) // 3
+    rows = [{"subject": f"n{a}", "object": f"n{b}"} for a, b in G.edges()]
+    # noise: duplicates, reversed copies, self loops — all must be ignored
+    rows += rows[:7]
+    rows += [{"subject": r["object"], "object": r["subject"]} for r in rows[:5]]
+    rows += [{"subject": "n1", "object": "n1"}]
+    rng.shuffle(rows)
+    ds = ray.data.from_items(rows).repartition(5)
+    assert triangle_count(ds) == expect and expect > 0
+
+
+def test_disjoint_split_no_group_straddles(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import disjoint_split
+
+    rows = [{"i": i, "dom": f"d{i % 13}"} for i in range(200)]
+    out = disjoint_split(
+        ray.data.from_items(rows).repartition(6), "dom", 0.6
+    ).take_all()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_dom.values())
+    assert {s for v in by_dom.values() for s in v} == {"train", "val"}
+    # parallelism-independent
+    out2 = disjoint_split(ray.data.from_items(rows), "dom", 0.6).take_all()
+    assert {(r["i"], r["split"]) for r in out2} == {(r["i"], r["split"]) for r in out}
+
+
+def test_vocab_and_oov(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        build_vocab,
+        oov_stats,
+    )
+
+    docs = [
+        {"doc_id": 0, "text": "a a a b b c"},
+        {"doc_id": 1, "text": "a b x y"},
+        {"doc_id": 2, "text": ""},
+    ]
+    ds = ray.data.from_items(docs).repartition(3)
+    vocab = build_vocab(ds, "text", 2)
+    assert vocab == ["a", "b"]  # by frequency, tie-broken lexically
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in oov_stats(ds, vocab).take_all()}
+    assert out == {0: (6, 1), 1: (4, 2), 2: (0, 0)}
