@@ -166,3 +166,91 @@ def grouped_topk(
     return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
         head, batch_format="pandas"
     )
+
+
+def lead_lag(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    target_col: str,
+    tiebreak_cols: list[str] | None = None,
+    num_parts: int = 64,
+) -> Dataset:
+    """Per-key LEAD/LAG of ``target_col`` over rows ordered by
+    (order_col, tiebreak...): adds ``prev_<target>`` / ``next_<target>``
+    (null at the partition edges).  Same shape as
+    :func:`running_aggregate`: one hash-partition shuffle on the key,
+    vectorized per-partition sort + ``groupby().shift(±1)`` — never one
+    Ray group per key."""
+    from .join import hash_bucket
+
+    order = [key_col, order_col] + (tiebreak_cols or [])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[target_col]
+        g = g.assign(**{
+            f"prev_{target_col}": grp.shift(1),
+            f"next_{target_col}": grp.shift(-1),
+        })
+        return g.drop(columns="__part")
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
+        shift, batch_format="pandas"
+    )
+
+
+def funnel_counts(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> pd.DataFrame:
+    """Ordered-funnel analysis: a key reaches step i when a ``steps[i]``
+    event occurs AT/AFTER the timestamp at which it reached step i-1
+    (first-touch semantics — each step anchors on the EARLIEST qualifying
+    event).  Returns the cumulative per-step key counts as a small
+    (len(steps))-row frame: step label ``<i>_<name>``, n_keys.
+
+    One groupby shuffle co-locates a key's events; per-key depth is a
+    short vectorized scan; depth counts pre-combine per block before a
+    (<= len(steps))-key native aggregate — driver state is steps-sized."""
+
+    def depth_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        t = None
+        depth = 0
+        for step in steps:
+            m = g[(g[type_col] == step)]
+            if t is not None:
+                m = m[m[ts_col] >= t]
+            if len(m) == 0:
+                break
+            t = m[ts_col].iloc[0]
+            depth += 1
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "depth": [depth]})
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["depth"].value_counts()
+        return pd.DataFrame(
+            {"depth": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+        )
+
+    counts = (
+        ds.groupby(key_col)
+        .map_groups(depth_of, batch_format="pandas")
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("depth")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    by_depth = dict(zip(counts["depth"], counts["n"]))
+    rows = []
+    for i, name in enumerate(steps, start=1):
+        n = sum(v for d, v in by_depth.items() if d >= i)
+        rows.append({"step": f"{i}_{name}", "n_keys": int(n)})
+    return pd.DataFrame(rows)

@@ -3241,6 +3241,85 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 """
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-arrival gaps: LEAD(ts) over (user, ts, event_id)
+    as exact microsecond integers; the last event per user (no
+    successor) is dropped on both sides
+    (functions/windows.py:lead_lag)."""
+    from ..functions.windows import lead_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = lead_lag(ev, "user_id", "ts", "ts", tiebreak_cols=["event_id"])
+
+    def gaps(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.next_ts.notna()]
+        t = b.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        nt = b.next_ts.to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": b.event_id.astype("int64"),
+                "user_id": b.user_id.astype("int64"),
+                "gap_us": nt - t,
+            }
+        )
+
+    df = out.map_batches(gaps, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id, gap_us FROM (
+  SELECT event_id, user_id,
+         CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts) AS BIGINT) AS gap_us
+  FROM events
+) WHERE gap_us IS NOT NULL
+ORDER BY event_id
+"""
+
+
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_funnel_conversion(sf_dir: str):
+    """First-touch ordered funnel signup -> view -> purchase: a user
+    reaches step i when a matching event occurs at/after the timestamp
+    that completed step i-1; cumulative user counts per step
+    (functions/windows.py:funnel_counts)."""
+    from ..functions.windows import funnel_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_counts(ev, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out.sort_values("step").reset_index(drop=True)
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '1_signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s1
+  UNION ALL
+  SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+) ORDER BY step
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3332,6 +3411,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SPLIT),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "doc_similarity_triangles": (q_doc_similarity_triangles, SQL_DOC_TRIANGLES),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
 }
 
 

@@ -1063,3 +1063,59 @@ def test_vocab_and_oov(ray_session):
     assert vocab == ["a", "b"]  # by frequency, tie-broken lexically
     out = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in oov_stats(ds, vocab).take_all()}
     assert out == {0: (6, 1), 1: (4, 2), 2: (0, 0)}
+
+
+def test_lead_lag_partition_edges(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import lead_lag
+
+    rows = [
+        {"k": "a", "o": 1, "v": 10},
+        {"k": "a", "o": 3, "v": 30},
+        {"k": "a", "o": 2, "v": 20},
+        {"k": "b", "o": 5, "v": 50},
+    ]
+    out = lead_lag(
+        ray.data.from_items(rows).repartition(3), "k", "o", "v"
+    ).take_all()
+    def nn(x):  # numeric shift nulls surface as NaN
+        return None if x is None or (isinstance(x, float) and np.isnan(x)) else x
+
+    got = {(r["k"], r["o"]): (nn(r["prev_v"]), nn(r["next_v"])) for r in out}
+    assert got == {
+        ("a", 1): (None, 20.0),
+        ("a", 2): (10.0, 30.0),
+        ("a", 3): (20.0, None),
+        ("b", 5): (None, None),
+    }
+
+
+def test_funnel_counts_first_touch(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import funnel_counts
+
+    t = pd.to_datetime
+    rows = [
+        # u1 completes in order
+        {"u": 1, "ts": t("2024-01-01"), "et": "signup"},
+        {"u": 1, "ts": t("2024-01-02"), "et": "view"},
+        {"u": 1, "ts": t("2024-01-03"), "et": "purchase"},
+        # u2: purchase BEFORE view -> stops at view
+        {"u": 2, "ts": t("2024-01-01"), "et": "signup"},
+        {"u": 2, "ts": t("2024-01-03"), "et": "view"},
+        {"u": 2, "ts": t("2024-01-02"), "et": "purchase"},
+        # u3: no signup -> depth 0 even with later steps present
+        {"u": 3, "ts": t("2024-01-01"), "et": "view"},
+        {"u": 3, "ts": t("2024-01-02"), "et": "purchase"},
+    ]
+    out = funnel_counts(
+        ray.data.from_items(rows).repartition(4),
+        "u",
+        "ts",
+        "et",
+        ["signup", "view", "purchase"],
+    )
+    got = {r["step"]: r["n_keys"] for _, r in out.iterrows()}
+    assert got == {"1_signup": 2, "2_view": 2, "3_purchase": 1}
