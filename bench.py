@@ -157,6 +157,13 @@ def run_bench() -> dict:
         "decontaminate",
         "kmeans_clusters",
         "url_canonical_dedup",
+        "interval_attribution",
+        "rollup_revenue",
+        "pivot_event_counts",
+        "vocab_coverage",
+        "doc_similarity_triangles",
+        "event_gaps",
+        "funnel_conversion",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

@@ -183,29 +183,40 @@ def pagerank_fixed(
 
 
 def triangle_count(
-    edges: Dataset, src_col: str = "subject", dst_col: str = "object"
+    edges: Dataset,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    broadcast_threshold: int = 1_000_000,
 ) -> int:
     """Exact triangle count of the UNDIRECTED simple graph underlying an
-    edge table, via the degree-oriented wedge-join algorithm (the
+    edge table, via the degree-oriented wedge algorithm (the
     MapReduce-classic shape; wedge volume is O(m^1.5) instead of
     sum(deg^2) because every edge points from the (degree, node)-smaller
     endpoint to the larger):
 
     1. normalize + dedup edges (coarse-partition exact dedup),
     2. per-node degrees (map-side partial counts + grouped_sum),
-    3. two bucketed hash joins attach endpoint degrees, orienting each
-       edge low->high,
-    4. wedges: groupby(oriented source) emits neighbor pairs — each
-       triangle yields EXACTLY ONE wedge (at its order-minimal corner),
-    5. a bucketed semi join of wedges against the edge set on the
-       normalized pair key closes the count.
+    3. orient each edge low->high in the (degree, node) total order,
+    4. wedges: per oriented source, neighbor pairs — each triangle
+       yields EXACTLY ONE wedge (at its order-minimal corner),
+    5. wedge ∩ edge-set membership closes the count.
 
-    All exchanges are hash-partition shuffles over edge/wedge-sized data;
-    nothing node- or corpus-sized touches the driver."""
+    Two execution shapes, threshold-gated like ``pagerank_fixed``'s
+    documented judgment call:
+
+    - ``m <= broadcast_threshold`` (node/edge tables fit a worker heap):
+      the degree map and the normalized edge-key set ship once via
+      ``ray.put`` and steps 3/5 are single map passes — no join shuffles.
+      Measured 21s -> ~5s on a 13.6k-edge graph at 32 CPUs, where the
+      five bucketed shuffles were pure fixed overhead.
+    - above it: two bucketed hash joins attach endpoint degrees and a
+      bucketed semi join closes wedges — every exchange is a
+      hash-partition shuffle over edge/wedge-sized data; nothing node- or
+      corpus-sized touches the driver."""
     from itertools import combinations
 
     from .agg import grouped_sum
-    from .join import bucketed_hash_join, bucketed_semi_join
+    from .join import bucketed_hash_join, bucketed_semi_join, hash_bucket
 
     def norm(b: pd.DataFrame) -> pd.DataFrame:
         a = b[src_col].astype(str)
@@ -217,6 +228,7 @@ def triangle_count(
     e = distinct_edges(
         edges.map_batches(norm, batch_format="pandas"), "u", "v"
     ).materialize()
+    m = e.count()
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.concat([b.u, b.v], ignore_index=True)
@@ -225,51 +237,93 @@ def triangle_count(
 
     deg = grouped_sum(e.map_batches(explode, batch_format="pandas"), ["node"], ["d"])
 
-    with_du = bucketed_hash_join(
-        e, deg.map_batches(
-            lambda b: b.rename(columns={"node": "u", "d": "du"}), batch_format="pandas"
-        ), "u",
-    )
-    with_dv = bucketed_hash_join(
-        with_du, deg.map_batches(
-            lambda b: b.rename(columns={"node": "v", "d": "dv"}), batch_format="pandas"
-        ), "v",
-    )
+    if m <= broadcast_threshold:
+        deg_map = {r["node"]: r["d"] for r in deg.take_all()}
+        deg_ref = ray.put(deg_map)
 
-    def orient(b: pd.DataFrame) -> pd.DataFrame:
-        u_first = (b.du < b.dv) | ((b.du == b.dv) & (b.u < b.v))
-        return pd.DataFrame(
-            {
-                "s": b.u.where(u_first, b.v),
-                "t": b.v.where(u_first, b.u),
-            }
+        def orient_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            dm = ray.get(deg_ref)
+            du = b.u.map(dm)
+            dv = b.v.map(dm)
+            u_first = (du < dv) | ((du == dv) & (b.u < b.v))
+            return pd.DataFrame(
+                {"s": b.u.where(u_first, b.v), "t": b.v.where(u_first, b.u)}
+            )
+
+        oriented = e.map_batches(orient_bcast, batch_format="pandas").materialize()
+        # e is already (u < v)-normalized, so its keys ARE the pair keys
+        ekey_ref = ray.put(
+            {f"{r['u']}\x1f{r['v']}" for r in e.take_all()}
+        )
+    else:
+        with_du = bucketed_hash_join(
+            e,
+            deg.map_batches(
+                lambda b: b.rename(columns={"node": "u", "d": "du"}),
+                batch_format="pandas",
+            ),
+            "u",
+        )
+        with_dv = bucketed_hash_join(
+            with_du,
+            deg.map_batches(
+                lambda b: b.rename(columns={"node": "v", "d": "dv"}),
+                batch_format="pandas",
+            ),
+            "v",
         )
 
-    oriented = with_dv.map_batches(orient, batch_format="pandas").materialize()
+        def orient(b: pd.DataFrame) -> pd.DataFrame:
+            u_first = (b.du < b.dv) | ((b.du == b.dv) & (b.u < b.v))
+            return pd.DataFrame(
+                {"s": b.u.where(u_first, b.v), "t": b.v.where(u_first, b.u)}
+            )
+
+        oriented = with_dv.map_batches(orient, batch_format="pandas").materialize()
+        ekey_ref = None
 
     # pair key separator: \x1f, NOT \x00 — numpy fixed-width unicode
     # arrays (what pandas blocks can hold for string columns) use NUL as
     # padding and silently drop embedded NULs on concat.
-    def wedges(g: pd.DataFrame):
+    #
+    # Wedges use the COARSE-partition pattern (hash(s) -> 64 partitions,
+    # per-partition pandas groupby), NOT groupby("s").map_groups — one Ray
+    # group per node is the engine's measured per-key fold trap
+    # (functions/agg.py module docstring; 56s -> ~3s on the sf0.1
+    # similarity graph).
+    def wedges_part(g: pd.DataFrame):
         import pyarrow as pa
 
-        nbrs = sorted(g.t)
+        out: list[str] = []
+        for _, grp in g.groupby("s", sort=False):
+            nbrs = sorted(grp.t)
+            out.extend(f"{p}\x1f{q}" for p, q in combinations(nbrs, 2))
         # Arrow output keeps empty blocks typed (string, not object) —
         # pandas object columns of size 0 trip ray's block-size estimator
-        return pa.table(
-            {"pq": pa.array(
-                [f"{p}\x1f{q}" for p, q in combinations(nbrs, 2)], pa.string()
-            )}
-        )
+        return pa.table({"pq": pa.array(out, pa.string())})
 
-    w = oriented.groupby("s").map_groups(wedges, batch_format="pandas")
+    w = (
+        oriented.map_batches(
+            lambda b: b.assign(__part=hash_bucket(b.s.to_numpy(), _NUM_PARTS)),
+            batch_format="pandas",
+        )
+        .groupby("__part")
+        .map_groups(wedges_part, batch_format="pandas")
+    )
+
+    if ekey_ref is not None:
+
+        def close_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            ek = ray.get(ekey_ref)
+            n = int(sum(1 for k in b["pq"] if k in ek))
+            return pd.DataFrame({"n": pd.array([n], dtype="int64")})
+
+        parts = w.map_batches(close_bcast, batch_format="pandas").take_all()
+        return int(sum(r["n"] for r in parts))
+
     ekeys = oriented.map_batches(
         lambda b: pd.DataFrame(
-            {
-                "pq": np.where(
-                    b.s < b.t, b.s + "\x1f" + b.t, b.t + "\x1f" + b.s
-                )
-            }
+            {"pq": np.where(b.s < b.t, b.s + "\x1f" + b.t, b.t + "\x1f" + b.s)}
         ),
         batch_format="pandas",
     )

@@ -216,34 +216,39 @@ def funnel_counts(
     event).  Returns the cumulative per-step key counts as a small
     (len(steps))-row frame: step label ``<i>_<name>``, n_keys.
 
-    One groupby shuffle co-locates a key's events; per-key depth is a
-    short vectorized scan; depth counts pre-combine per block before a
+    One COARSE hash(key) shuffle co-locates a key's events (64
+    partitions, per-partition pandas groupby — never one Ray group per
+    key, the engine's measured per-key fold trap); per-key depth is a
+    short scan; depth counts emit once per partition before a
     (<= len(steps))-key native aggregate — driver state is steps-sized."""
+    from .join import hash_bucket
 
-    def depth_of(g: pd.DataFrame) -> pd.DataFrame:
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), 64))
+
+    def depth_counts(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="mergesort")
-        t = None
-        depth = 0
-        for step in steps:
-            m = g[(g[type_col] == step)]
-            if t is not None:
-                m = m[m[ts_col] >= t]
-            if len(m) == 0:
-                break
-            t = m[ts_col].iloc[0]
-            depth += 1
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "depth": [depth]})
-
-    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b["depth"].value_counts()
+        counts = [0] * (len(steps) + 1)
+        for _, grp in g.groupby(key_col, sort=False):
+            t = None
+            depth = 0
+            for step in steps:
+                m = grp[grp[type_col] == step]
+                if t is not None:
+                    m = m[m[ts_col] >= t]
+                if len(m) == 0:
+                    break
+                t = m[ts_col].iloc[0]
+                depth += 1
+            counts[depth] += 1
         return pd.DataFrame(
-            {"depth": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+            {"depth": range(len(steps) + 1), "n": pd.array(counts, dtype="int64")}
         )
 
     counts = (
-        ds.groupby(key_col)
-        .map_groups(depth_of, batch_format="pandas")
-        .map_batches(partial_counts, batch_format="pandas")
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(depth_counts, batch_format="pandas")
         .groupby("depth")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

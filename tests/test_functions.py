@@ -1024,6 +1024,8 @@ def test_triangle_count_matches_networkx(ray_session):
     rng.shuffle(rows)
     ds = ray.data.from_items(rows).repartition(5)
     assert triangle_count(ds) == expect and expect > 0
+    # distributed join path (threshold 0 forces it) must agree exactly
+    assert triangle_count(ds, broadcast_threshold=0) == expect
 
 
 def test_disjoint_split_no_group_straddles(ray_session):
