@@ -2661,7 +2661,9 @@ def _sql_kmeans(
   SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
   FROM v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
     )
-    dist_col = ", dist AS dist2" if with_dist else ""
+    # SUM(BIGINT) is HUGEINT in DuckDB -> float64 in pandas; CAST keeps
+    # the stringified compare integer-identical to the engine's int64.
+    dist_col = ", CAST(dist AS BIGINT) AS dist2" if with_dist else ""
     return (
         "WITH "
         + ",\n".join(ctes)
