@@ -102,3 +102,28 @@ def disjoint_split(
         return batch.append_column(out_col, lab)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: Dataset, id_col: str, weight_col: str, cap: int
+) -> Dataset:
+    """Per-ROW acceptance sampling with probability ``min(1, w/cap)`` —
+    the length/quality-proportional curation knob (upweight long or
+    high-scoring documents without a shuffle).  Content-addressed like
+    :func:`deterministic_sample`, and EXACT-integer: keep a row iff its
+    weight meets the cap, or the md5 8-hex prefix of its id falls below
+    ``floor(w * 16^8 / cap)`` — all-integer arithmetic, so an oracle can
+    reproduce the sample bit-for-bit and the result is identical at any
+    parallelism.  (``mixture_sample`` is the per-KEY variant with a small
+    rate table; this one reads the weight off each row.)"""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        keep = [
+            w >= cap or _md5_prefix(i) < format(int(w) * 16**8 // cap, "08x")
+            for i, w in zip(ids, ws)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -259,3 +259,52 @@ def funnel_counts(
         n = sum(v for d, v in by_depth.items() if d >= i)
         rows.append({"step": f"{i}_{name}", "n_keys": int(n)})
     return pd.DataFrame(rows)
+
+
+def window_rank(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+    ascending: bool = True,
+    num_parts: int = 64,
+) -> Dataset:
+    """Per-key ranking window functions in one pass: adds
+
+    - ``rn``   — ROW_NUMBER() over (order_col, tiebreak...) — unique,
+      deterministic only if the tiebreak makes the order total,
+    - ``rnk``  — RANK() over ``order_col`` alone (ties share the rank,
+      gaps after tie runs),
+    - ``drnk`` — DENSE_RANK() over ``order_col`` alone (no gaps).
+
+    Same shape as :func:`lead_lag`: one coarse hash(key) shuffle
+    (``num_parts`` partitions), then a vectorized per-partition sort +
+    ``groupby().cumcount()/rank()`` — never one Ray group per key (the
+    engine's measured per-key fold trap, functions/agg.py).  Rank state
+    never leaves a partition, so the result is identical at any
+    parallelism."""
+    from .join import hash_bucket
+
+    order = [key_col, order_col] + (tiebreak_cols or [])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        asc = [True] + [ascending] * (len(order) - 1)
+        g = g.sort_values(order, ascending=asc, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        g = g.assign(
+            rn=(grp.cumcount() + 1).astype("int64"),
+            rnk=grp[order_col]
+            .rank(method="min", ascending=ascending)
+            .astype("int64"),
+            drnk=grp[order_col]
+            .rank(method="dense", ascending=ascending)
+            .astype("int64"),
+        )
+        return g.drop(columns="__part")
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
+        ranks, batch_format="pandas"
+    )

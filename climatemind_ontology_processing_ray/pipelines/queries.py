@@ -3322,6 +3322,64 @@ SELECT * FROM (
 """
 
 
+def q_order_ranks(sf_dir: str):
+    """Per-customer ranking windows over order dates: ROW_NUMBER (total
+    order via the o_orderkey tiebreak), RANK and DENSE_RANK (date ties
+    share a rank) in one coarse-partition pass
+    (functions/windows.py:window_rank)."""
+    from ..functions.windows import window_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = window_rank(ds, "o_custkey", "o_orderdate", tiebreak_cols=["o_orderkey"])
+    df = out.select_columns(["o_orderkey", "o_custkey", "rn", "rnk", "drnk"]).to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDER_RANKS = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+       CAST(RANK()       OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate) AS BIGINT)            AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate) AS BIGINT)            AS drnk
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+_WSAMPLE_CAP = 80
+
+
+def q_weighted_sample(sf_dir: str):
+    """Length-proportional document sampling: keep each doc with
+    probability min(1, n_tokens/80), content-addressed (md5 of doc_id)
+    and exact-integer so the sample is bit-reproducible in SQL and
+    identical at any parallelism (functions/sample.py:weighted_sample)."""
+    from ..functions.sample import weighted_sample
+    from ..functions.text import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = add_token_counts(ds).select_columns(["doc_id", "n_tokens_ws"])
+    out = weighted_sample(ds, "doc_id", "n_tokens_ws", _WSAMPLE_CAP).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens_ws"] = out["n_tokens_ws"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens_ws
+  FROM documents
+)
+SELECT doc_id, n_tokens_ws FROM t
+WHERE n_tokens_ws >= {_WSAMPLE_CAP}
+   OR SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < PRINTF('%08x', (n_tokens_ws * 4294967296) // {_WSAMPLE_CAP})
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3415,6 +3473,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_similarity_triangles": (q_doc_similarity_triangles, SQL_DOC_TRIANGLES),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+    "order_ranks": (q_order_ranks, SQL_ORDER_RANKS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }
 
 

@@ -1121,3 +1121,66 @@ def test_funnel_counts_first_touch(ray_session):
     )
     got = {r["step"]: r["n_keys"] for _, r in out.iterrows()}
     assert got == {"1_signup": 2, "2_view": 2, "3_purchase": 1}
+
+
+def test_window_rank_matches_pandas(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import window_rank
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(400),
+            "k": rng.integers(0, 12, 400),
+            # few distinct order values per key => plenty of ties
+            "v": rng.integers(0, 5, 400),
+        }
+    )
+    out = (
+        window_rank(
+            ray.data.from_pandas(df).repartition(7), "k", "v", tiebreak_cols=["id"]
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "v", "id"], kind="mergesort")
+    grp = exp.groupby("k", sort=False)
+    exp = exp.assign(
+        rn=(grp.cumcount() + 1).astype("int64"),
+        rnk=grp["v"].rank(method="min").astype("int64"),
+        drnk=grp["v"].rank(method="dense").astype("int64"),
+    ).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["id", "k", "v", "rn", "rnk", "drnk"]], exp)
+    # ties actually exercised: somewhere rank differs from row_number
+    assert (out.rn != out.rnk).any()
+
+
+def test_weighted_sample_deterministic_and_monotone(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import weighted_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"id": np.arange(600), "w": rng.integers(0, 120, 600)})
+    df.loc[:49, "w"] = 0          # never kept
+    df.loc[50:99, "w"] = 100      # >= cap: always kept
+    a = (
+        weighted_sample(ray.data.from_pandas(df).repartition(3), "id", "w", 100)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    b = (
+        weighted_sample(ray.data.from_pandas(df).repartition(11), "id", "w", 100)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # parallelism-invariant
+    kept = set(a.id)
+    assert not kept & set(range(50))            # zero-weight rows dropped
+    assert set(range(50, 100)) <= kept          # at-cap rows all kept
+    # acceptance is monotone in weight for a FIXED id: raising every
+    # weight to the cap keeps a superset
+    full = weighted_sample(
+        ray.data.from_pandas(df.assign(w=100)), "id", "w", 100
+    ).to_pandas()
+    assert kept <= set(full.id)
