@@ -26,17 +26,13 @@ from .join import hash_bucket
 _NUM_PARTS = 64
 
 
-def grouped_sum(
+def _grouped_reduce(
     ds: Dataset,
     keys: list[str],
-    sum_cols: list[str],
-    num_parts: int = _NUM_PARTS,
+    cols: list[str],
+    how: str,
+    num_parts: int,
 ) -> Dataset:
-    """SUM(sum_cols) GROUP BY keys, scale-safe at any key cardinality.
-
-    Input should already be map-side combined (each block contributing
-    few rows per key) — this runs the exchange + final merge."""
-
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         if len(keys) == 1:
@@ -49,8 +45,8 @@ def grouped_sum(
         return b
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, sort=False)[sum_cols].sum().reset_index()
-        for c in sum_cols:
+        out = g.groupby(keys, sort=False)[cols].agg(how).reset_index()
+        for c in cols:
             if out[c].dtype.kind in "iu":
                 out[c] = out[c].astype("int64")
         return out
@@ -60,6 +56,31 @@ def grouped_sum(
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def grouped_sum(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    num_parts: int = _NUM_PARTS,
+) -> Dataset:
+    """SUM(sum_cols) GROUP BY keys, scale-safe at any key cardinality.
+
+    Input should already be map-side combined (each block contributing
+    few rows per key) — this runs the exchange + final merge."""
+    return _grouped_reduce(ds, keys, sum_cols, "sum", num_parts)
+
+
+def grouped_min(
+    ds: Dataset,
+    keys: list[str],
+    min_cols: list[str],
+    num_parts: int = _NUM_PARTS,
+) -> Dataset:
+    """MIN(min_cols) GROUP BY keys — same coarse-partition exchange as
+    :func:`grouped_sum` (min is associative/commutative, so map-side
+    pre-combined partials merge exactly)."""
+    return _grouped_reduce(ds, keys, min_cols, "min", num_parts)
 
 
 def grouped_sum_rollup(

@@ -568,16 +568,22 @@ def simhash_buckets(
 
 @ray.remote
 def _concat_pandas_blocks(*dfs):
+    # blocks in one dataset can mix pandas and (empty) arrow — a groupby
+    # partition with no rows comes back as an arrow table even when the
+    # populated partitions are pandas; coerce before concat
     import pandas as _pd
+    import pyarrow as _pa
 
-    return _pd.concat(list(dfs), ignore_index=True)
+    frames = [
+        d.to_pandas() if isinstance(d, _pa.Table) else d for d in dfs
+    ]
+    frames = [f for f in frames if len(f)] or frames[:1]
+    return _pd.concat(frames, ignore_index=True)
 
 
 @ray.remote
-def _concat_arrow_blocks(*tables):
-    import pyarrow as _pa
-
-    return _pa.concat_tables(list(tables), promote_options="permissive")
+def _block_is_pandas(block) -> bool:
+    return isinstance(block, pd.DataFrame)
 
 
 def pin_blocks(ds: Dataset, target_blocks: int = 64) -> Dataset:
@@ -590,6 +596,12 @@ def pin_blocks(ds: Dataset, target_blocks: int = 64) -> Dataset:
     ``union``) and (b) doubles the block count every round (sort preserves
     input block count) — both make round cost grow geometrically.
     Rebuilding from refs cuts the lineage; the concat bounds block count.
+
+    One dataset can MIX pandas and arrow blocks (a groupby partition
+    with no rows comes back as an empty arrow table even when the
+    populated partitions are pandas), so the rebuilt dataset is always
+    pandas-typed — type checks and coercion run in remote tasks on the
+    workers; the driver only ever sees booleans and refs.
     """
     mat = ds.materialize()
     refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
@@ -597,15 +609,10 @@ def pin_blocks(ds: Dataset, target_blocks: int = 64) -> Dataset:
         return mat
     if len(refs) > target_blocks:
         chunks = [refs[i::target_blocks] for i in range(target_blocks)]
-        peek = ray.get(refs[0])
-        concat = (
-            _concat_pandas_blocks if isinstance(peek, pd.DataFrame) else _concat_arrow_blocks
-        )
-        refs = [concat.remote(*c) for c in chunks if c]
-    peek = ray.get(refs[0])
-    if isinstance(peek, pd.DataFrame):
-        return ray.data.from_pandas_refs(refs)
-    return ray.data.from_arrow_refs(refs)
+        refs = [_concat_pandas_blocks.remote(*c) for c in chunks if c]
+    elif not all(ray.get([_block_is_pandas.remote(r) for r in refs])):
+        refs = [_concat_pandas_blocks.remote(r) for r in refs]
+    return ray.data.from_pandas_refs(refs)
 
 
 def dup_clusters(

@@ -328,3 +328,161 @@ def triangle_count(
         batch_format="pandas",
     )
     return bucketed_semi_join(w, ekeys, "pq").count()
+
+
+def _undirected_distinct(
+    edges: Dataset, src_col: str, dst_col: str
+) -> Dataset:
+    """Both directions of the normalized simple graph as (node, nbr)."""
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str)
+        c = b[dst_col].astype(str)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"u": np.minimum(a, c), "v": np.maximum(a, c)})
+
+    e = distinct_edges(edges.map_batches(norm, batch_format="pandas"), "u", "v")
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([b.u, b.v], ignore_index=True),
+                "nbr": pd.concat([b.v, b.u], ignore_index=True),
+            }
+        )
+
+    return e.map_batches(both, batch_format="pandas")
+
+
+def bfs_levels(
+    edges: Dataset,
+    sources: Dataset,
+    max_depth: int,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    node_col: str = "node",
+) -> Dataset:
+    """Multi-source BFS hop distance over the UNDIRECTED simple graph:
+    (node, dist) for every node within ``max_depth`` hops of any source
+    (sources themselves at dist 0, including isolated ones).
+
+    Bounded-depth Bellman-Ford relaxation: each round expands only the
+    newest frontier through one bucketed hash join against the edge
+    table, then folds with a coarse-partition grouped MIN — distances
+    are integers and min is exact, so the result is unique regardless of
+    partitioning or round interleave.  Per-round state (label and
+    frontier tables) is node-sized and stays distributed; the loop
+    rebuilds from pinned block refs (:func:`~..functions.dedup.pin_blocks`)
+    so lineage does not re-execute geometrically.  Rounds = min(diameter,
+    max_depth) with an early exit on an empty frontier."""
+    from .agg import grouped_min
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join
+
+    ue = _undirected_distinct(edges, src_col, dst_col).materialize()
+
+    def as_label(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b[node_col].astype(str), "dist": np.int64(0)}
+        )
+
+    labels = pin_blocks(sources.map_batches(as_label, batch_format="pandas"), 16)
+    frontier = labels
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        hops = bucketed_hash_join(
+            frontier.select_columns(["node"]), ue, "node"
+        ).map_batches(
+            lambda b, d=depth: pd.DataFrame(
+                {"node": b.nbr, "dist": np.int64(d)}
+            ),
+            batch_format="pandas",
+        )
+        new_labels = pin_blocks(
+            grouped_min(labels.union(hops), ["node"], ["dist"]), 16
+        )
+        # the new frontier: nodes whose (minimal) dist is this round's —
+        # they were first reached now and are the only rows worth expanding
+        frontier = new_labels.filter(lambda r, d=depth: r["dist"] == d)
+        labels = new_labels
+    return labels
+
+
+def k_core(
+    edges: Dataset,
+    k: int,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    max_rounds: int = 50,
+) -> Dataset:
+    """The k-core of the UNDIRECTED simple graph — the maximal subgraph
+    in which every node has degree >= k — as (node, core_degree) rows.
+
+    Distributed peeling: each round computes per-node degrees (map-side
+    partial counts + grouped_sum) and drops every edge touching a
+    node of degree < k via two bucketed semi joins (endpoint membership
+    against the surviving-node table).  The fixpoint is unique (the
+    k-core is well-defined), so the number of rounds only affects cost,
+    never the answer; convergence is detected by an unchanged edge count
+    and over-running ``max_rounds`` RAISES rather than silently returning
+    a superset (the dup_clusters non-convergence contract).  All state
+    (edge and node tables) stays distributed; the driver sees only
+    counts."""
+    from .agg import grouped_sum
+    from .dedup import pin_blocks
+    from .join import bucketed_semi_join
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str)
+        c = b[dst_col].astype(str)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"u": np.minimum(a, c), "v": np.maximum(a, c)})
+
+    e = pin_blocks(
+        distinct_edges(edges.map_batches(norm, batch_format="pandas"), "u", "v"), 16
+    )
+    m = e.count()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([b.u, b.v], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame({"node": vc.index, "d": vc.to_numpy().astype("int64")})
+
+    for _ in range(max_rounds):
+        if m == 0:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype=str),
+                        "core_degree": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+        deg = grouped_sum(e.map_batches(explode, batch_format="pandas"), ["node"], ["d"])
+        alive = deg.filter(lambda r: r["d"] >= k)
+        e2 = bucketed_semi_join(
+            e, alive.map_batches(lambda b: b.rename(columns={"node": "u"}),
+                                 batch_format="pandas"), "u"
+        )
+        e2 = bucketed_semi_join(
+            e2, alive.map_batches(lambda b: b.rename(columns={"node": "v"}),
+                                  batch_format="pandas"), "v"
+        )
+        e2 = pin_blocks(e2, 16)
+        m2 = e2.count()
+        if m2 == m:
+            out = grouped_sum(
+                e.map_batches(explode, batch_format="pandas"), ["node"], ["d"]
+            )
+            return out.map_batches(
+                lambda b: b.rename(columns={"d": "core_degree"}),
+                batch_format="pandas",
+            )
+        e, m = e2, m2
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} peel rounds — raise max_rounds"
+    )

@@ -3380,6 +3380,157 @@ ORDER BY doc_id
 """
 
 
+_SIM_BAND = 30  # |n_chars| window for the document-similarity graph
+
+
+def _doc_sim_edges(sf_dir: str, band: int = _SIM_BAND):
+    """Blocked self-join edge table: docs from the same source whose
+    n_chars differ by <= band (the ngram_jaccard blocking contract —
+    O(k^2) bounded by the source block)."""
+    from itertools import combinations
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g.doc_id, g.n_chars))
+        u, v = [], []
+        for (ia, ca), (ib, cb) in combinations(recs, 2):
+            if abs(int(ca) - int(cb)) <= band:
+                u.append(ia)
+                v.append(ib)
+        return pd.DataFrame({"subject": u, "object": v})
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+_SIM_EDGES_SQL = f"""e0 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND ABS(a.n_chars - b.n_chars) <= {_SIM_BAND}
+   AND a.doc_id < b.doc_id
+)"""
+
+_KCORE_K = 4
+_KCORE_SQL_ROUNDS = 8  # fixture needs 4; extra rounds are no-ops (monotone)
+
+
+def q_doc_graph_kcore(sf_dir: str):
+    """k-core of the document-similarity graph (distributed peeling:
+    per-round grouped degrees + two bucketed endpoint semi joins,
+    functions/graph_algo.py:k_core).  The fixpoint is unique, so the
+    unrolled-SQL oracle peels a fixed round count with slack."""
+    from ..functions.graph_algo import k_core
+
+    out = k_core(_doc_sim_edges(sf_dir), _KCORE_K).to_pandas()
+    out["core_degree"] = out["core_degree"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_doc_graph_kcore() -> str:
+    # every CTE is AS MATERIALIZED: the unrolled rounds reference their
+    # predecessor several times, and inlined re-evaluation re-scans the
+    # parquet exponentially (observed as fd exhaustion at 8 rounds)
+    ctes = [_SIM_EDGES_SQL.replace("e0 AS (", "e0 AS MATERIALIZED (", 1)]
+    prev = "e0"
+    for r in range(1, _KCORE_SQL_ROUNDS + 1):
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY node HAVING COUNT(*) >= {_KCORE_K})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM n{r}) AND v IN (SELECT node FROM n{r}))"""
+        )
+        prev = f"e{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(node AS VARCHAR) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node ORDER BY node
+"""
+    )
+
+
+_BFS_DEPTH = 3
+
+
+def q_doc_graph_bfs(sf_dir: str):
+    """Multi-source BFS hop distances (<= 3) from every doc_id % 50 == 0
+    seed over the document-similarity graph — bounded-depth Bellman-Ford
+    relaxation, one bucketed join + grouped MIN per round
+    (functions/graph_algo.py:bfs_levels).  Isolated seeds appear at
+    dist 0."""
+    from ..functions.graph_algo import bfs_levels
+
+    sources = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .filter(lambda r: r["doc_id"] % 50 == 0)
+        .map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}), batch_format="pandas"
+        )
+    )
+    out = bfs_levels(_doc_sim_edges(sf_dir), sources, _BFS_DEPTH).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_DOC_GRAPH_BFS = f"""
+WITH RECURSIVE {_SIM_EDGES_SQL},
+ue AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+src AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+walk(node, dist) AS (
+  SELECT node, 0 FROM src
+  UNION
+  SELECT ue.v, walk.dist + 1 FROM walk JOIN ue ON ue.u = walk.node
+  WHERE walk.dist < {_BFS_DEPTH}
+)
+SELECT CAST(node AS VARCHAR) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+def q_similarity_join(sf_dir: str):
+    """EXACT all-pairs Jaccard >= 0.6 over 3-gram shingle sets via
+    prefix filtering (All-Pairs/PPJoin; functions/simjoin.py) — no
+    blocking key, no LSH approximation; the oracle is the brute-force
+    SQL self-join.  Output is exact-integer (n_inter, n_union)."""
+    from ..functions.simjoin import similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = similarity_join(
+        ds, "doc_id", ngram=3, threshold_num=6, threshold_den=10
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_SIMILARITY_JOIN = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+  FROM words, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS s(i)
+),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE n_inter * 10 >= 6 * (sa.n + sb.n - n_inter)
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3475,6 +3626,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "order_ranks": (q_order_ranks, SQL_ORDER_RANKS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "doc_graph_kcore": (q_doc_graph_kcore, _sql_doc_graph_kcore),
+    "doc_graph_bfs": (q_doc_graph_bfs, SQL_DOC_GRAPH_BFS),
+    "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
 }
 
 

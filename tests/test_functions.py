@@ -1184,3 +1184,105 @@ def test_weighted_sample_deterministic_and_monotone(ray_session):
         ray.data.from_pandas(df.assign(w=100)), "id", "w", 100
     ).to_pandas()
     assert kept <= set(full.id)
+
+
+def test_bfs_levels_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import bfs_levels
+
+    rng = np.random.default_rng(7)
+    G = nx.gnm_random_graph(60, 120, seed=3)
+    rows = [
+        {"subject": str(u), "object": str(v)} for u, v in G.edges()
+    ]
+    rng.shuffle(rows)
+    edges = ray.data.from_items(rows).repartition(5)
+    srcs = [0, 17, 41, 59]
+    sources = ray.data.from_items([{"node": str(s)} for s in srcs])
+    out = (
+        bfs_levels(edges, sources, max_depth=4)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    exp = nx.multi_source_dijkstra_path_length(G, srcs, cutoff=4, weight=None)
+    exp = {str(n): int(d) for n, d in exp.items()}
+    assert out == exp
+
+
+def test_k_core_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import k_core
+
+    G = nx.gnm_random_graph(80, 300, seed=9)
+    rows = [{"subject": str(u), "object": str(v)} for u, v in G.edges()]
+    edges = ray.data.from_items(rows).repartition(7)
+    for k in (3, 5):
+        core = nx.k_core(G, k)
+        got = k_core(edges, k).to_pandas()
+        assert set(got.node) == {str(n) for n in core.nodes()}
+        exp_deg = {str(n): d for n, d in core.degree()}
+        assert got.set_index("node")["core_degree"].to_dict() == exp_deg
+    # a k beyond the graph's degeneracy: empty core, empty frame
+    assert len(k_core(edges, 50).to_pandas()) == 0
+
+
+def test_similarity_join_exact_vs_bruteforce(ray_session):
+    import ray.data
+    from itertools import combinations
+
+    from climatemind_ontology_processing_ray.functions.simjoin import (
+        _sql_style_shingles,
+        similarity_join,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    for d in range(60):
+        texts[d] = " ".join(rng.choice(vocab, size=rng.integers(8, 20)))
+    # inject near-dups: copies with a word changed, plus exact copies
+    for d in range(60, 70):
+        base = texts[d - 60].split(" ")
+        if d % 2:
+            base[rng.integers(0, len(base))] = "CHANGED"
+        texts[d] = " ".join(base)
+
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    ds = ray.data.from_items(rows).repartition(6)
+    got = (
+        similarity_join(ds, "doc_id", ngram=3, threshold_num=6, threshold_den=10)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    sets = {d: set(_sql_style_shingles(t, 3)) for d, t in texts.items()}
+    exp = []
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * 10 >= 6 * union:
+            exp.append((a, b, inter, union))
+    exp_df = pd.DataFrame(
+        exp, columns=["id_a", "id_b", "n_inter", "n_union"]
+    ).astype("int64")
+    assert len(exp_df) > 0  # the injected dups must actually collide
+    pd.testing.assert_frame_equal(got, exp_df)
+
+    # parallelism invariance
+    got2 = (
+        similarity_join(
+            ray.data.from_items(rows).repartition(13),
+            "doc_id", ngram=3, threshold_num=6, threshold_den=10,
+        )
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
