@@ -102,3 +102,82 @@ def tfidf_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# BM25 (k1 = 12/10, b = 3/4) in exact integer-rational form.  Each
+# term's contribution is
+#     idf_int * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = total_tokens/N substituted and every constant a ratio of
+# small integers, which collapses to the single integer expression
+#     (idf_int * tf * 88 * total) // (40*tf*total + 12*total + 36*dl*N)
+# floored PER TERM — bit-identical in Python big-ints and in SQL (DuckDB
+# promotes intermediates to HUGEINT; Python ints are unbounded, so the
+# two sides agree even past int64).
+BM25_K1_NUM, BM25_K1_DEN = 12, 10
+BM25_B_NUM, BM25_B_DEN = 3, 4
+
+
+def bm25_topk(
+    ds: Dataset,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Top-k documents under integer-rational BM25; same distributed
+    shape as :func:`tfidf_topk` (broadcast term stats + corpus-level
+    (N, total token) scalars, per-batch scoring, local-then-global
+    top-k; the corpus is never shuffled).  Ties break ascending id;
+    zero scores never surface."""
+    # one streaming pass for N and total token count (pre-combined per
+    # batch: two ints per block cross the wire)
+    def len_partial(b: pd.DataFrame) -> pd.DataFrame:
+        dls = [len(_tokens(t)) for t in b[text_col]]
+        return pd.DataFrame({"n_p": [len(dls)], "tot_p": [sum(dls)]})
+
+    stats = (
+        ds.map_batches(len_partial, batch_format="pandas")
+        .sum(["n_p", "tot_p"])
+    )
+    n_docs, total = int(stats["sum(n_p)"]), int(stats["sum(tot_p)"])
+
+    dfs = term_doc_frequencies(ds, terms, text_col)
+    idf = {t: (n_docs * IDF_SCALE) // df for t, df in dfs.items() if df > 0}
+    idf_ref = ray.put(idf)
+
+    # scale numerator and denominator by k1_den*b_den*total = 40*total:
+    # denominator pieces: 40*tf*total + 12*total + 36*dl*N
+    d_tf = BM25_K1_DEN * BM25_B_DEN                       # 40
+    d_const = BM25_K1_NUM * (BM25_B_DEN - BM25_B_NUM)     # 12
+    d_dl = BM25_K1_NUM * BM25_B_NUM                       # 36
+    # numerator: (k1+1)*40 = (22/10)*40 = 88
+    s_num = (BM25_K1_NUM + BM25_K1_DEN) * d_tf // BM25_K1_DEN  # 88
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(idf_ref)
+        ids, scores = [], []
+        for i, txt in zip(b[id_col], b[text_col]):
+            toks = _tokens(txt)
+            dl = len(toks)
+            s = 0
+            for t, weight in w.items():
+                tf = toks.count(t)
+                if tf:
+                    num = weight * tf * s_num * total
+                    den = d_tf * tf * total + d_const * total + d_dl * dl * n_docs
+                    s += num // den
+            if s > 0:
+                ids.append(int(i))
+                scores.append(s)
+        out = pd.DataFrame({id_col: ids, "score": scores})
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand["score"] = cand["score"].astype("int64")
+    return (
+        cand.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

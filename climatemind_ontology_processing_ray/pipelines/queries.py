@@ -3531,6 +3531,57 @@ ORDER BY id_a, id_b
 """
 
 
+def q_bm25_search(sf_dir: str):
+    """Integer-rational BM25 top-k retrieval (k1=1.2, b=0.75 as exact
+    ratios; per-term floor division is bit-identical in Python big-ints
+    and DuckDB HUGEINT — functions/search.py:bm25_topk)."""
+    from ..functions.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _TFIDF_TERMS, k=_TFIDF_K)
+
+
+def _sql_bm25_search() -> str:
+    from ..functions.search import IDF_SCALE
+
+    tf_cols = []
+    df_ctes = []
+    score_terms = []
+    for i, t in enumerate(_TFIDF_TERMS):
+        esc = t.replace("'", "''")
+        tf_cols.append(
+            f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x = '{esc}')) AS tf{i}"
+        )
+        df_ctes.append(
+            f"df{i} AS (SELECT COUNT(*) AS d FROM scored WHERE tf{i} > 0)"
+        )
+        idf = f"((SELECT c FROM n) * {IDF_SCALE} // (SELECT d FROM df{i}))"
+        num = f"{idf} * tf{i} * 88 * (SELECT s FROM tot)"
+        den = (
+            f"(40 * tf{i} * (SELECT s FROM tot)"
+            f" + 12 * (SELECT s FROM tot)"
+            f" + 36 * dl * (SELECT c FROM n))"
+        )
+        score_terms.append(f"CASE WHEN tf{i} > 0 THEN ({num}) // {den} ELSE 0 END")
+    score = " + ".join(score_terms)
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id,
+         LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) AS dl,
+         {", ".join(tf_cols)}
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS c FROM scored),
+tot AS (SELECT SUM(dl) AS s FROM scored),
+{", ".join(df_ctes)}
+SELECT doc_id, CAST({score} AS BIGINT) AS score
+FROM scored
+WHERE ({score}) > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {_TFIDF_K}
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3629,6 +3680,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_graph_kcore": (q_doc_graph_kcore, _sql_doc_graph_kcore),
     "doc_graph_bfs": (q_doc_graph_bfs, SQL_DOC_GRAPH_BFS),
     "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
+    "bm25_search": (q_bm25_search, _sql_bm25_search),
 }
 
 

@@ -1286,3 +1286,43 @@ def test_similarity_join_exact_vs_bruteforce(ray_session):
         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_bm25_topk_matches_driver_recompute(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.search import (
+        IDF_SCALE,
+        _tokens,
+        bm25_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    vocab = ["join", "hash", "vector", "scan", "sort", "page"]
+    rows = [
+        {"doc_id": d, "text": " ".join(rng.choice(vocab, size=rng.integers(5, 30)))}
+        for d in range(120)
+    ]
+    terms = ["join", "vector"]
+    got = bm25_topk(ray.data.from_items(rows).repartition(5), terms, k=7)
+
+    toks = {r["doc_id"]: _tokens(r["text"]) for r in rows}
+    n = len(rows)
+    total = sum(len(t) for t in toks.values())
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    idf = {t: (n * IDF_SCALE) // df for t, df in dfs.items() if df > 0}
+    scored = []
+    for d, tk in toks.items():
+        dl = len(tk)
+        s = 0
+        for t, w in idf.items():
+            tf = tk.count(t)
+            if tf:
+                s += (w * tf * 88 * total) // (
+                    40 * tf * total + 12 * total + 36 * dl * n
+                )
+        if s > 0:
+            scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    exp = pd.DataFrame(scored[:7], columns=["doc_id", "score"]).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
