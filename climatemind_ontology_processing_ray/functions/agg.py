@@ -141,3 +141,40 @@ def pivot_counts(
     return grouped_sum(
         ds.map_batches(partial, batch_format="pandas"), [key], cols, num_parts
     )
+
+
+def grouped_count_distinct(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_parts: int = _NUM_PARTS,
+) -> Dataset:
+    """EXACT COUNT(DISTINCT value) GROUP BY key at any cardinality of
+    either side — the companion to the HLL sketch (functions/sketch.py)
+    when the answer must be exact.
+
+    Two-level shape: (key, value) pairs dedup under a coarse hash
+    partition of the PAIR (so a hot key's values still spread across
+    partitions at the dedup stage), then per-key partial counts feed one
+    :func:`grouped_sum`.  Map-side drop_duplicates pre-combines before
+    either exchange."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col, value_col]].drop_duplicates()
+        pair = out[key_col].astype(str) + "\x1f" + out[value_col].astype(str)
+        return out.assign(__part=hash_bucket(pair.to_numpy(), num_parts))
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[key_col, value_col]].drop_duplicates()
+        vc = d.groupby(key_col, sort=False).size()
+        return pd.DataFrame(
+            {key_col: vc.index, out_col: vc.to_numpy().astype("int64")}
+        )
+
+    partial = (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(dedup_count, batch_format="pandas")
+    )
+    return grouped_sum(partial, [key_col], [out_col], num_parts)

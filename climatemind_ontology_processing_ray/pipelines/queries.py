@@ -3582,6 +3582,24 @@ LIMIT {_TFIDF_K}
 """
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type at any cardinality:
+    pair-partitioned dedup then per-key partial counts
+    (functions/agg.py:grouped_count_distinct) — the exact companion to
+    the HLL approx_distinct query."""
+    from ..functions.agg import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_count_distinct(ev, "event_type", "user_id").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3681,6 +3699,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_graph_bfs": (q_doc_graph_bfs, SQL_DOC_GRAPH_BFS),
     "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
 }
 
 

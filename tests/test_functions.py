@@ -1326,3 +1326,23 @@ def test_bm25_topk_matches_driver_recompute(ray_session):
     scored.sort(key=lambda x: (-x[1], x[0]))
     exp = pd.DataFrame(scored[:7], columns=["doc_id", "score"]).astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_count_distinct_exact(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import grouped_count_distinct
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.integers(0, 400, 5000),
+        }
+    )
+    got = (
+        grouped_count_distinct(ray.data.from_pandas(df).repartition(9), "k", "v")
+        .to_pandas().set_index("k")["n_distinct"].to_dict()
+    )
+    exp = df.groupby("k")["v"].nunique().to_dict()
+    assert got == exp
