@@ -473,3 +473,91 @@ def oov_stats(
         return b
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def cooccurrence_pmi(
+    mentions,
+    n_docs: int,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    scale: int = 10**6,
+    num_parts: int = 64,
+):
+    """Pointwise-mutual-information association scores for term pairs
+    co-occurring in a document — the corpus-statistics step behind
+    relation candidates ("X and Y keep appearing together") in a KG
+    pipeline.
+
+    Integer-scaled: pmi_scaled = (N * c_ab * scale) // (c_a * c_b) — the
+    monotone core of PMI = log(N*c_ab/(c_a*c_b)) without the float log,
+    so rankings are bit-exact across partitionings and in SQL.
+
+    Shuffle structure: one coarse hash(doc) partition groups a doc's
+    mentions for pair expansion (per-doc pair count is vocab-bounded —
+    the mention stage's contract); pair counts and term counts are each
+    one grouped_sum; the term-count table (vocab-sized by construction)
+    broadcasts via ``ray.put`` for the final map — no join shuffle.
+
+    Output: (term_a, term_b, n_ab, pmi_scaled), term_a < term_b.
+    """
+    from itertools import combinations
+
+    import ray
+
+    from .agg import grouped_sum
+    from .join import hash_bucket
+
+    def dedup_tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[id_col, term_col]].drop_duplicates()
+        return d.assign(__part=hash_bucket(d[id_col].to_numpy(), num_parts))
+
+    tagged = mentions.map_batches(dedup_tag, batch_format="pandas")
+
+    def doc_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[id_col, term_col]].drop_duplicates()
+        ta, tb = [], []
+        for _, grp in d.groupby(id_col, sort=False):
+            for x, y in combinations(sorted(grp[term_col]), 2):
+                ta.append(x)
+                tb.append(y)
+        out = pd.DataFrame({"term_a": ta, "term_b": tb})
+        vc = out.value_counts()
+        return pd.DataFrame(
+            {
+                "term_a": [k[0] for k in vc.index],
+                "term_b": [k[1] for k in vc.index],
+                "n_ab": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    pair_counts = grouped_sum(
+        tagged.groupby("__part").map_groups(doc_pairs, batch_format="pandas"),
+        ["term_a", "term_b"],
+        ["n_ab"],
+    )
+
+    # term counts run through the SAME doc-partitioned groupby, where a
+    # doc's rows are co-located, so (doc, term) pairs split across input
+    # batches still dedup exactly before counting
+    def term_partial(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g[[id_col, term_col]].drop_duplicates()[term_col].value_counts()
+        return pd.DataFrame(
+            {term_col: vc.index, "c": vc.to_numpy().astype("int64")}
+        )
+
+    tc = grouped_sum(
+        tagged.groupby("__part").map_groups(term_partial, batch_format="pandas"),
+        [term_col],
+        ["c"],
+    ).to_pandas()
+    tc_ref = ray.put(dict(zip(tc[term_col], tc["c"].astype(int))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        counts = ray.get(tc_ref)
+        pmi = [
+            (n_docs * int(nab) * scale) // (counts[a] * counts[bb])
+            for a, bb, nab in zip(b.term_a, b.term_b, b.n_ab)
+        ]
+        return b.assign(pmi_scaled=pd.Series(pmi, dtype="int64", index=b.index))
+
+    return pair_counts.map_batches(score, batch_format="pandas")

@@ -3600,6 +3600,56 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_mention_pmi(sf_dir: str):
+    """Term-pair association mining over the mention table: integer-
+    scaled PMI ((N*c_ab*10^6)//(c_a*c_b) — the monotone core of
+    log(N*c_ab/(c_a*c_b))) for vocabulary terms co-occurring in a
+    document (functions/text.py:cooccurrence_pmi).  The relation-
+    candidate statistics step of a KG pipeline."""
+    from ..functions.text import cooccurrence_pmi
+    from ..stages.mentions import build_surface_pattern
+
+    pattern = build_surface_pattern(_VOCAB)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_term = [], []
+        for i, t in zip(b.doc_id, b.text):
+            for term in sorted({m.group(0) for m in pattern.finditer((t or "").lower())}):
+                out_id.append(i)
+                out_term.append(term)
+        return pd.DataFrame({"doc_id": out_id, "term": out_term})
+
+    mentions = ds.map_batches(fn, batch_format="pandas")
+    out = cooccurrence_pmi(mentions, n_docs).to_pandas()
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+SQL_MENTION_PMI = """
+WITH m AS MATERIALIZED (
+  SELECT d.doc_id, v.term
+  FROM documents d
+  CROSS JOIN (VALUES ('spark'), ('window'), ('vector'), ('customer'), ('stream')) AS v(term)
+  WHERE REGEXP_MATCHES(LOWER(d.text), '(^|[^a-z0-9])' || v.term || '($|[^a-z0-9])')
+),
+tc AS (SELECT term, COUNT(*) AS c FROM m GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(((SELECT c FROM n) * n_ab * 1000000) // (ca.c * cb.c) AS BIGINT)
+         AS pmi_scaled
+FROM pairs
+JOIN tc ca ON ca.term = term_a
+JOIN tc cb ON cb.term = term_b
+ORDER BY term_a, term_b
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3700,6 +3750,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "mention_pmi": (q_mention_pmi, SQL_MENTION_PMI),
 }
 
 

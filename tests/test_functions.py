@@ -1346,3 +1346,30 @@ def test_grouped_count_distinct_exact(ray_session):
     )
     exp = df.groupby("k")["v"].nunique().to_dict()
     assert got == exp
+
+
+def test_cooccurrence_pmi_matches_bruteforce(ray_session):
+    import ray.data
+    from itertools import combinations
+
+    from climatemind_ontology_processing_ray.functions.text import cooccurrence_pmi
+
+    rng = np.random.default_rng(17)
+    vocab = ["a", "b", "c", "d"]
+    docs = {d: set(rng.choice(vocab, size=rng.integers(1, 4), replace=False))
+            for d in range(200)}
+    rows = [{"doc_id": d, "term": t} for d, ts in docs.items() for t in ts]
+    rng.shuffle(rows)
+    got = (
+        cooccurrence_pmi(ray.data.from_items(rows).repartition(7), n_docs=200)
+        .to_pandas().sort_values(["term_a", "term_b"]).reset_index(drop=True)
+    )
+    tc = {t: sum(1 for ts in docs.values() if t in ts) for t in vocab}
+    exp_rows = []
+    for x, y in combinations(vocab, 2):
+        nab = sum(1 for ts in docs.values() if x in ts and y in ts)
+        if nab:
+            exp_rows.append((x, y, nab, (200 * nab * 10**6) // (tc[x] * tc[y])))
+    exp = pd.DataFrame(exp_rows, columns=["term_a", "term_b", "n_ab", "pmi_scaled"])
+    exp[["n_ab", "pmi_scaled"]] = exp[["n_ab", "pmi_scaled"]].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
