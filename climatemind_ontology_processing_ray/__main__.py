@@ -73,9 +73,9 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.api import output_edges
 
             edges = output_edges(pages, source=args.source)
-            rows = edges.select_columns(["subject", "object", "predicate"]).take_all()
+            rows = edges.select_columns(["subject", "object", "predicate"]).to_pandas()
             write_edges_csv(
-                [(r["subject"], r["object"], r["predicate"]) for r in rows], args.out
+                list(zip(rows["subject"], rows["object"], rows["predicate"])), args.out
             )
             print(f"{len(rows)} edges -> {args.out}")
     finally:

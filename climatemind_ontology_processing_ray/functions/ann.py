@@ -120,15 +120,15 @@ def ivf_topk(
 
     n_rows = ds.count()
     frac = min(1.0, train_sample_size / max(n_rows, 1))
-    sample_rows = (
+    sample_df = (
         deterministic_sample(ds.select_columns([id_col, vec_col]), id_col, frac)
         .limit(train_sample_size)
-        .take_all()
+        .to_pandas()
     )
-    if len(sample_rows) < min(n_centroids, n_rows):
+    if len(sample_df) < min(n_centroids, n_rows):
         # degenerate fraction (rounding on tiny inputs): fall back to prefix
-        sample_rows = ds.select_columns([id_col, vec_col]).limit(train_sample_size).take_all()
-    sample = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+        sample_df = ds.select_columns([id_col, vec_col]).limit(train_sample_size).to_pandas()
+    sample = np.asarray([np.asarray(v, dtype=np.float64) for v in sample_df[vec_col]])
     cents = train_ivf_centroids(sample, n_centroids, seed=seed)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     # the nprobe closest centroids per query

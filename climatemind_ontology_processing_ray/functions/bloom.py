@@ -68,8 +68,8 @@ def build_bloom(
         return pd.DataFrame({"bloom": [bits.tobytes()]})
 
     out = np.zeros(n_bits // 8, np.uint8)
-    for row in ds.map_batches(partial, batch_format="pandas").take_all():
-        out |= np.frombuffer(row["bloom"], np.uint8)
+    for blm in ds.map_batches(partial, batch_format="pandas").to_pandas()["bloom"]:
+        out |= np.frombuffer(blm, np.uint8)
     return out
 
 

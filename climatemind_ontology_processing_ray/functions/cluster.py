@@ -76,9 +76,9 @@ def init_centroids(
             }
         )
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r[id_col])
-    return np.array([r["__q"] for r in rows[:k]], dtype=np.int64)
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values(id_col, kind="mergesort").head(k)
+    return np.array([np.asarray(q) for q in rows["__q"]], dtype=np.int64)
 
 
 def kmeans_assign(
@@ -121,12 +121,12 @@ def kmeans_assign(
                 }
             )
 
-        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, d), dtype=np.int64)
-        for r in parts:
-            counts[r["cl"]] += r["n"]
-            sums[r["cl"]] += np.asarray(r["s"], dtype=np.int64)
+        for cl, n, s in zip(parts["cl"], parts["n"], parts["s"]):
+            counts[cl] += n
+            sums[cl] += np.asarray(s, dtype=np.int64)
         nonempty = counts > 0
         new = centroids.copy()
         # floor toward −∞, matching SQL FLOOR(sum/count); empty clusters

@@ -44,10 +44,10 @@ def benchmark_ngrams(bench: Dataset, text_col: str, n: int) -> "ray.ObjectRef":
             grams |= _doc_ngrams(t or "", n)
         return pa.table({"g": pa.array(sorted(grams), pa.string())})
 
-    out: set[str] = set()
-    for row in bench.map_batches(partial, batch_format="pyarrow").take_all():
-        out.add(row["g"])
-    return ray.put(frozenset(out))
+    out = frozenset(
+        bench.map_batches(partial, batch_format="pyarrow").to_pandas()["g"]
+    )
+    return ray.put(out)
 
 
 def decontaminate(

@@ -264,10 +264,9 @@ def _verify_pairs_jaccard(
     # pin: pairs feed two downstream uses (explode + id-set); without this
     # the lazy candidate pipeline would re-run per consumer.
     candidates = candidates.materialize()
-    cand_ids: set = set()
-    for row in candidates.select_columns(["id_a", "id_b"]).take_all():
-        cand_ids.add(row["id_a"])
-        cand_ids.add(row["id_b"])
+    cdf = candidates.select_columns(["id_a", "id_b"]).to_pandas()
+    # len-guard: an all-empty dataset concatenates to a columnless frame
+    cand_ids: set = (set(cdf["id_a"]) | set(cdf["id_b"])) if len(cdf) else set()
     if not cand_ids:
         return candidates.map_batches(
             lambda b: pd.DataFrame(
@@ -293,9 +292,11 @@ def _verify_pairs_jaccard(
     # The join path below kicks in when even the candidate set is too big
     # to hold; neither path materializes a corpus-sized driver structure.
     if len(cand_ids) <= broadcast_threshold:
-        pruned: dict = {}
-        for row in shingles_ds.take_all():
-            pruned[row[id_col]] = np.asarray(row["shingles"], dtype=np.uint64)
+        sdf = shingles_ds.to_pandas()
+        pruned = {
+            i: np.asarray(s, dtype=np.uint64)
+            for i, s in zip(sdf[id_col], sdf["shingles"])
+        }
         pruned_ref = ray.put(pruned)
 
         def verify_broadcast(batch: pd.DataFrame) -> pd.DataFrame:
@@ -682,16 +683,16 @@ def dup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        members: set = set()
-        for r in pairs.select_columns(["id_a", "id_b"]).take_all():
-            members.add(r["id_a"])
-            members.add(r["id_b"])
-            ra, rb = find(r["id_a"]), find(r["id_b"])
+        pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+        if not len(pdf):
+            pdf = pd.DataFrame({"id_a": [], "id_b": []})
+        members: set = set(pdf["id_a"]) | set(pdf["id_b"])
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         if ids is not None:
-            for r in ids.select_columns([id_col]).take_all():
-                members.add(r[id_col])
+            members.update(ids.select_columns([id_col]).to_pandas()[id_col])
         rows = pd.DataFrame(
             {"id": sorted(members)}
         )
@@ -959,14 +960,14 @@ def _embedding_neardup_ivf(
 
     n_rows = ds.count()
     frac = min(1.0, 4096 / max(n_rows, 1))
-    sample_rows = (
+    sample_df = (
         deterministic_sample(ds.select_columns([id_col, vec_col]), id_col, frac)
         .limit(4096)
-        .take_all()
+        .to_pandas()
     )
-    if len(sample_rows) < min(n_centroids, n_rows):
-        sample_rows = ds.select_columns([id_col, vec_col]).limit(4096).take_all()
-    sample = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    if len(sample_df) < min(n_centroids, n_rows):
+        sample_df = ds.select_columns([id_col, vec_col]).limit(4096).to_pandas()
+    sample = np.asarray([np.asarray(v, dtype=np.float64) for v in sample_df[vec_col]])
     cents = train_ivf_centroids(sample, n_centroids, seed=seed)
     cents_ref = ray.put(cents)
     k_assign = min(nassign, len(cents))

@@ -238,8 +238,11 @@ def triangle_count(
     deg = grouped_sum(e.map_batches(explode, batch_format="pandas"), ["node"], ["d"])
 
     if m <= broadcast_threshold:
-        deg_map = {r["node"]: r["d"] for r in deg.take_all()}
-        deg_ref = ray.put(deg_map)
+        # to_pandas, never take_all: the per-row iterator costs ~60ms per
+        # BLOCK in ray 2.49 (measured 4s for 5k rows in 64 blocks; the
+        # block-concat path does the same in 0.2s)
+        dd = deg.to_pandas()
+        deg_ref = ray.put(dict(zip(dd["node"], dd["d"])))
 
         def orient_bcast(b: pd.DataFrame) -> pd.DataFrame:
             dm = ray.get(deg_ref)
@@ -252,9 +255,8 @@ def triangle_count(
 
         oriented = e.map_batches(orient_bcast, batch_format="pandas").materialize()
         # e is already (u < v)-normalized, so its keys ARE the pair keys
-        ekey_ref = ray.put(
-            {f"{r['u']}\x1f{r['v']}" for r in e.take_all()}
-        )
+        ed = e.to_pandas()
+        ekey_ref = ray.put(set(ed["u"] + "\x1f" + ed["v"]))
     else:
         with_du = bucketed_hash_join(
             e,
@@ -318,8 +320,7 @@ def triangle_count(
             n = int(sum(1 for k in b["pq"] if k in ek))
             return pd.DataFrame({"n": pd.array([n], dtype="int64")})
 
-        parts = w.map_batches(close_bcast, batch_format="pandas").take_all()
-        return int(sum(r["n"] for r in parts))
+        return int(w.map_batches(close_bcast, batch_format="pandas").to_pandas()["n"].sum())
 
     ekeys = oriented.map_batches(
         lambda b: pd.DataFrame(

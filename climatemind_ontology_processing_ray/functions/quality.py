@@ -160,10 +160,9 @@ def remove_boilerplate(
     the rewrite is a stateless map.  Output: id, text (cleaned),
     n_boiler_grams (int64 — gram OCCURRENCES removed, counting repeats).
     """
-    freq = ngram_doc_frequency(
-        ds, id_col, text_col, n=n, min_docs=min_docs
-    ).take_all()
-    frequent = {r["gram"] for r in freq}
+    fdf = ngram_doc_frequency(ds, id_col, text_col, n=n, min_docs=min_docs).to_pandas()
+    # a fully-filtered result concatenates to a columnless empty frame
+    frequent = set(fdf["gram"]) if "gram" in fdf.columns else set()
     ref = ray.put(frequent)
 
     def rewrite(batch: pd.DataFrame) -> pd.DataFrame:

@@ -153,7 +153,9 @@ def heavy_hitters(
         ]
         return pd.DataFrame({"token": list(_mg_sketch(toks, k))})
 
-    cands = set(r["token"] for r in ds.map_batches(sketch, batch_format="pandas").take_all())
+    # to_pandas, never take_all: per-row iteration costs ~60ms/BLOCK in
+    # ray 2.49 (see graph_algo.triangle_count note)
+    cands = set(ds.map_batches(sketch, batch_format="pandas").to_pandas()["token"])
     cand_ref = ray.put(cands)
 
     def count_pass(b: pd.DataFrame) -> pd.DataFrame:
@@ -261,10 +263,10 @@ def count_min_sketch(
                 mat[r, _cms_col(r, v, width)] += int(c)
         return pd.DataFrame({"r": range(depth), "cells": list(mat)})
 
-    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     mat = np.zeros((depth, width), dtype=np.int64)
-    for row in parts:
-        mat[row["r"]] += np.asarray(row["cells"], dtype=np.int64)
+    for r, cells in zip(parts["r"], parts["cells"]):
+        mat[r] += np.asarray(cells, dtype=np.int64)
     return mat
 
 

@@ -65,10 +65,10 @@ def output_edges(
     # restriction, make_network.py:72-76)
     import ray
 
-    rows = edges.select_columns(["subject", "object"]).take_all()
+    rows = edges.select_columns(["subject", "object"]).to_pandas()
     adj: dict[str, list[str]] = {}
-    for r in rows:
-        adj.setdefault(r["subject"], []).append(r["object"])
+    for s, o in zip(rows["subject"], rows["object"]):
+        adj.setdefault(s, []).append(o)
     reach = {source}
     stack = [source]
     while stack:

@@ -223,12 +223,15 @@ def canonical_edges_to_artifacts(
 ) -> GraphArtifacts:
     """Driver-side back end: collect the (ontology-sized) canonical edge
     table and run the reference enrichment recipe on it."""
-    rows = canonical_edges.select_columns(
+    rows_df = canonical_edges.select_columns(
         ["subject", "object", "predicate", "support"]
-    ).take_all()
+    ).to_pandas()
     triples = [
-        (r["subject"], r["object"], r["predicate"])
-        for r in rows
-        if r["support"] >= min_support
+        (s, o, p)
+        for s, o, p, sup in zip(
+            rows_df["subject"], rows_df["object"],
+            rows_df["predicate"], rows_df["support"],
+        )
+        if sup >= min_support
     ]
     return build_enriched_graph(triples, snap)

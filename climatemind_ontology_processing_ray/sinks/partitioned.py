@@ -34,12 +34,11 @@ def _boundaries(ds: Dataset, key_col: str, num_partitions: int) -> list:
     """num_partitions-1 split points from a deterministic key sample."""
     from ..functions.sample import deterministic_sample
 
-    sample = [
-        r[key_col]
-        for r in deterministic_sample(
+    sample = list(
+        deterministic_sample(
             ds.select_columns([key_col]), id_col=key_col, frac=0.3
-        ).take_all()
-    ]
+        ).to_pandas()[key_col]
+    )
     if not sample:
         return []
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
