@@ -164,6 +164,14 @@ def run_bench() -> dict:
         "doc_similarity_triangles",
         "event_gaps",
         "funnel_conversion",
+        "order_ranks",
+        "weighted_sample",
+        "doc_graph_kcore",
+        "doc_graph_bfs",
+        "similarity_join",
+        "bm25_search",
+        "distinct_users",
+        "mention_pmi",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

@@ -62,6 +62,8 @@ def similarity_join(
     threshold_num: int = 6,
     threshold_den: int = 10,
     num_parts: int = _NUM_PARTS,
+    verify_broadcast_threshold: int = 200_000,
+    df_broadcast_threshold: int = 2_000_000,
 ) -> Dataset:
     """All pairs with Jaccard(shingles(a), shingles(b)) >= num/den.
 
@@ -80,39 +82,55 @@ def similarity_join(
                 toks.append(s)
         return pd.DataFrame({"doc": ids, "token": toks})
 
-    tok = ds.map_batches(shingle_pairs, batch_format="pandas")
+    # three consumers (df pass, df join, verify) — shingle once
+    tok = ds.map_batches(shingle_pairs, batch_format="pandas").materialize()
 
-    # shingle document frequency (each doc contributes a shingle once)
-    df_partial = tok.map_batches(
-        lambda b: b.assign(c=np.int64(1))[["token", "c"]], batch_format="pandas"
-    )
-    dfreq = grouped_sum(df_partial, ["token"], ["c"], num_parts).map_batches(
+    # shingle document frequency — per-batch value_counts pre-combines
+    # BEFORE the exchange (each block contributes one row per distinct
+    # shingle, not one per occurrence)
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["token"].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index, "c": vc.to_numpy().astype("int64")}
+        )
+
+    dfreq = grouped_sum(
+        tok.map_batches(df_partial, batch_format="pandas"), ["token"], ["c"], num_parts
+    ).map_batches(
         lambda b: b.rename(columns={"c": "df"}), batch_format="pandas"
     )
 
-    with_df = bucketed_hash_join(tok, dfreq, "token")
+    # attach df.  The shingle-frequency table is vocabulary-sized; below
+    # the threshold it broadcasts once via ray.put and the attach is a
+    # map-only pass (skipping a full hash join of the exploded shingle
+    # table).  Above it, the bucketed hash join is the scale path.
+    ddf = dfreq.to_pandas()
+    if len(ddf) <= df_broadcast_threshold:
+        import ray
 
+        df_ref = ray.put(dict(zip(ddf["token"], ddf["df"].astype("int64"))))
+
+        def attach_df(b: pd.DataFrame) -> pd.DataFrame:
+            dm = ray.get(df_ref)
+            return b.assign(df=b["token"].map(dm).astype("int64"))
+
+        with_df = tok.map_batches(attach_df, batch_format="pandas")
+    else:
+        with_df = bucketed_hash_join(tok, dfreq, "token")
+
+    # prefix selection, fully vectorized per partition: sort by
+    # (doc, df, token), rank rows within each doc via cumcount, keep
+    # rank < n - ceil(t*n) + 1
     def prefix_of(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc", "df", "token"], kind="mergesort")
-        out = []
-        for doc, grp in g.groupby("doc", sort=False):
-            n = len(grp)
-            p = n - math.ceil(t * n) + 1
-            pre = grp.head(p)
-            out.append(
-                pd.DataFrame(
-                    {"token": pre.token, "doc": doc, "n": np.int64(n)}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "token": pd.Series([], dtype=str),
-                    "doc": pd.Series([], dtype="int64"),
-                    "n": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(out, ignore_index=True)
+        grp = g.groupby("doc", sort=False)
+        n = grp["token"].transform("size").to_numpy()
+        rank = grp.cumcount().to_numpy()
+        keep = rank < (n - np.ceil(t * n).astype(np.int64) + 1)
+        out = g.loc[keep, ["token", "doc"]].copy()
+        out["n"] = n[keep]
+        out["n"] = out["n"].astype("int64")
+        return out
 
     prefixes = (
         with_df.map_batches(
@@ -123,24 +141,29 @@ def similarity_join(
         .map_groups(prefix_of, batch_format="pandas")
     )
 
+    # candidate pairs per prefix-shingle bucket, vectorized: pandas
+    # self-merge on token (collision rows only), ordered + size-filtered
+    # with array ops
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out = [], []
-        dup = g[g.duplicated("token", keep=False)]
-        for _, sub in dup.groupby("token", sort=False):
-            recs = sorted(set(zip(sub.doc, sub.n)))
-            for i in range(len(recs)):
-                ia, na = recs[i]
-                for j in range(i + 1, len(recs)):
-                    ib, nb = recs[j]
-                    # size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
-                    lo, hi = (na, nb) if na <= nb else (nb, na)
-                    if lo * threshold_den >= threshold_num * hi:
-                        a_out.append(ia)
-                        b_out.append(ib)
+        dup = g[g.duplicated("token", keep=False)][["token", "doc", "n"]]
+        if not len(dup):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        m = dup.merge(dup, on="token", suffixes=("_a", "_b"))
+        m = m[m.doc_a < m.doc_b]
+        lo = np.minimum(m.n_a, m.n_b)
+        hi = np.maximum(m.n_a, m.n_b)
+        # size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+        m = m[lo * threshold_den >= threshold_num * hi]
+        out = m[["doc_a", "doc_b"]].drop_duplicates()
         return pd.DataFrame(
             {
-                "id_a": pd.Series(a_out, dtype="int64"),
-                "id_b": pd.Series(b_out, dtype="int64"),
+                "id_a": out.doc_a.astype("int64").to_numpy(),
+                "id_b": out.doc_b.astype("int64").to_numpy(),
             }
         )
 
@@ -166,11 +189,69 @@ def similarity_join(
             lambda g: g[["id_a", "id_b"]].drop_duplicates(),
             batch_format="pandas",
         )
+        .materialize()
     )
 
-    # per-doc full shingle lists for the verify joins.  Lists ship as a
-    # \x1f-joined string column: ragged object-dtype lists are not a
-    # valid Arrow block column, and shingles never contain \x1f.
+    def _verify_rows(pairs_df: pd.DataFrame, lookup) -> pd.DataFrame:
+        """lookup: doc -> frozenset of shingles (already split)."""
+        rows = {"id_a": [], "id_b": [], "n_inter": [], "n_union": []}
+        for ia, ib in zip(pairs_df.id_a, pairs_df.id_b):
+            sa, sb = lookup[ia], lookup[ib]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter * threshold_den >= threshold_num * union:
+                rows["id_a"].append(ia)
+                rows["id_b"].append(ib)
+                rows["n_inter"].append(inter)
+                rows["n_union"].append(union)
+        return pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+        )
+
+    # ---- verify.  The candidate DOC set is output-adjacent (docs that
+    # share a rare prefix shingle), orders of magnitude below the corpus.
+    # Small case (the common one): prune the shingle table to candidate
+    # docs, broadcast {doc -> frozenset} once via ray.put, verify as a
+    # map-only pass — no join ships the (long) token lists per PAIR.
+    # Above the threshold: two bucketed joins attach \x1f-joined lists
+    # (ragged object lists are not a valid Arrow column) with a per-batch
+    # split cache, everything hash-partitioned.  Same structure as the
+    # MinHash verify (functions/dedup.py) and documented there.
+    cdf = cand.to_pandas()
+    if len(cdf) == 0:
+        return cand.map_batches(
+            lambda b: pd.DataFrame(
+                {k: pd.Series([], dtype="int64")
+                 for k in ("id_a", "id_b", "n_inter", "n_union")}
+            ),
+            batch_format="pandas",
+        )
+    cand_docs = set(cdf.id_a) | set(cdf.id_b)
+
+    if len(cand_docs) <= verify_broadcast_threshold:
+        import ray
+
+        docs_ref = ray.put(cand_docs)
+
+        def prune_collect(b: pd.DataFrame) -> pd.DataFrame:
+            keep = ray.get(docs_ref)
+            d = b[b.doc.isin(keep)]
+            agg = d.groupby("doc", sort=False)["token"].agg("\x1f".join)
+            return pd.DataFrame({"doc": agg.index, "tokens": agg.to_numpy()})
+
+        pruned = tok.map_batches(prune_collect, batch_format="pandas").to_pandas()
+        # a doc's shingles can span input batches: merge the partial joins
+        merged = pruned.groupby("doc", sort=False)["tokens"].agg("\x1f".join)
+        lookup = {
+            d: frozenset(t.split("\x1f")) for d, t in merged.items()
+        }
+        lookup_ref = ray.put(lookup)
+
+        def verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            return _verify_rows(b, ray.get(lookup_ref))
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
     def collect_lists(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("doc", sort=False)["token"].agg("\x1f".join)
         return pd.DataFrame({"doc": agg.index, "tokens": agg.to_numpy()})
@@ -201,19 +282,22 @@ def similarity_join(
         "id_b",
     )
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"id_a": [], "id_b": [], "n_inter": [], "n_union": []}
-        for ia, ib, ta, tb in zip(b.id_a, b.id_b, b.tokens_a, b.tokens_b):
-            sa, sb = set(ta.split("\x1f")), set(tb.split("\x1f"))
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if inter * threshold_den >= threshold_num * union:
-                rows["id_a"].append(ia)
-                rows["id_b"].append(ib)
-                rows["n_inter"].append(inter)
-                rows["n_union"].append(union)
-        return pd.DataFrame(
-            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
-        )
+    def verify_joined(b: pd.DataFrame) -> pd.DataFrame:
+        # docs repeat across pairs in a batch — split each doc's list once
+        cache: dict = {}
 
-    return j2.map_batches(verify, batch_format="pandas")
+        def split_of(doc, joined):
+            s = cache.get(doc)
+            if s is None:
+                s = cache[doc] = frozenset(joined.split("\x1f"))
+            return s
+
+        lookup = {
+            ia: split_of(ia, ta) for ia, ta in zip(b.id_a, b.tokens_a)
+        }
+        lookup.update(
+            (ib, split_of(ib, tb)) for ib, tb in zip(b.id_b, b.tokens_b)
+        )
+        return _verify_rows(b, lookup)
+
+    return j2.map_batches(verify_joined, batch_format="pandas")
