@@ -363,25 +363,57 @@ def bfs_levels(
     src_col: str = "subject",
     dst_col: str = "object",
     node_col: str = "node",
+    driver_threshold: int = 250_000,
 ) -> Dataset:
     """Multi-source BFS hop distance over the UNDIRECTED simple graph:
     (node, dist) for every node within ``max_depth`` hops of any source
     (sources themselves at dist 0, including isolated ones).
 
-    Bounded-depth Bellman-Ford relaxation: each round expands only the
-    newest frontier through one bucketed hash join against the edge
-    table, then folds with a coarse-partition grouped MIN — distances
-    are integers and min is exact, so the result is unique regardless of
-    partitioning or round interleave.  Per-round state (label and
-    frontier tables) is node-sized and stays distributed; the loop
-    rebuilds from pinned block refs (:func:`~..functions.dedup.pin_blocks`)
-    so lineage does not re-execute geometrically.  Rounds = min(diameter,
-    max_depth) with an early exit on an empty frontier."""
+    Two execution shapes, gated like ``dup_clusters``' driver_threshold:
+
+    - distinct edge count <= ``driver_threshold``: the edge table is
+      PROVABLY small — collect it once and run plain BFS on the driver
+      (each distributed round costs ~1-2s of fixed scheduling; at small
+      m that overhead IS the runtime, measured 13s -> ~2s at sf0.1).
+    - above: bounded-depth Bellman-Ford relaxation — each round expands
+      only the newest frontier through one bucketed hash join against
+      the edge table, then folds with a coarse-partition grouped MIN.
+      Distances are integers and min is exact, so the result is unique
+      regardless of partitioning or round interleave.  Per-round state
+      (label and frontier tables) is node-sized and stays distributed;
+      the loop rebuilds from pinned block refs
+      (:func:`~..functions.dedup.pin_blocks`) so lineage does not
+      re-execute geometrically.  Rounds = min(diameter, max_depth) with
+      an early exit on an empty frontier."""
     from .agg import grouped_min
     from .dedup import pin_blocks
     from .join import bucketed_hash_join
 
     ue = _undirected_distinct(edges, src_col, dst_col).materialize()
+
+    if ue.count() <= 2 * driver_threshold:  # ue holds both directions
+        from collections import deque
+
+        edf = ue.to_pandas()
+        adj: dict[str, list[str]] = {}
+        for u, v in zip(edf["node"], edf["nbr"]):
+            adj.setdefault(u, []).append(v)
+        sdf = sources.to_pandas()
+        dist = {str(s): 0 for s in sdf[node_col]}
+        q = deque(dist)
+        while q:
+            u = q.popleft()
+            d = dist[u]
+            if d >= max_depth:
+                continue
+            for nb in adj.get(u, ()):
+                if nb not in dist:
+                    dist[nb] = d + 1
+                    q.append(nb)
+        out = pd.DataFrame(
+            {"node": list(dist), "dist": pd.Series(list(dist.values()), dtype="int64")}
+        )
+        return ray.data.from_pandas(out)
 
     def as_label(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -418,19 +450,24 @@ def k_core(
     src_col: str = "subject",
     dst_col: str = "object",
     max_rounds: int = 50,
+    driver_threshold: int = 250_000,
 ) -> Dataset:
     """The k-core of the UNDIRECTED simple graph — the maximal subgraph
     in which every node has degree >= k — as (node, core_degree) rows.
 
-    Distributed peeling: each round computes per-node degrees (map-side
-    partial counts + grouped_sum) and drops every edge touching a
-    node of degree < k via two bucketed semi joins (endpoint membership
-    against the surviving-node table).  The fixpoint is unique (the
-    k-core is well-defined), so the number of rounds only affects cost,
-    never the answer; convergence is detected by an unchanged edge count
-    and over-running ``max_rounds`` RAISES rather than silently returning
-    a superset (the dup_clusters non-convergence contract).  All state
-    (edge and node tables) stays distributed; the driver sees only
+    Below ``driver_threshold`` distinct edges the table is provably
+    small: collect once, peel vectorized on the driver (each distributed
+    round costs ~2s of fixed scheduling, which IS the runtime at small
+    m — measured 15.5s -> ~2s at sf0.1; the ``dup_clusters`` gating
+    pattern).  Above it, distributed peeling: each round computes
+    per-node degrees (map-side partial counts + grouped_sum) and drops
+    every edge touching a node of degree < k via two bucketed endpoint
+    semi joins.  The fixpoint is unique (the k-core is well-defined), so
+    the execution shape only affects cost, never the answer; distributed
+    convergence is detected by an unchanged edge count and over-running
+    ``max_rounds`` RAISES rather than silently returning a superset (the
+    dup_clusters non-convergence contract).  On the distributed path all
+    state (edge and node tables) stays distributed; the driver sees only
     counts."""
     from .agg import grouped_sum
     from .dedup import pin_blocks
@@ -447,6 +484,34 @@ def k_core(
         distinct_edges(edges.map_batches(norm, batch_format="pandas"), "u", "v"), 16
     )
     m = e.count()
+
+    if m <= driver_threshold:
+        edf = e.to_pandas() if m else pd.DataFrame({"u": [], "v": []})
+        while len(edf):
+            deg = pd.concat([edf.u, edf.v], ignore_index=True).value_counts()
+            alive = set(deg[deg >= k].index)
+            keep = edf.u.isin(alive) & edf.v.isin(alive)
+            if keep.all():
+                break
+            edf = edf[keep]
+        if not len(edf):
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype=str),
+                        "core_degree": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+        deg = pd.concat([edf.u, edf.v], ignore_index=True).value_counts()
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": deg.index.astype(str),
+                    "core_degree": deg.to_numpy().astype("int64"),
+                }
+            )
+        )
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.concat([b.u, b.v], ignore_index=True)

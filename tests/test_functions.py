@@ -1210,6 +1210,12 @@ def test_bfs_levels_matches_networkx(ray_session):
     exp = nx.multi_source_dijkstra_path_length(G, srcs, cutoff=4, weight=None)
     exp = {str(n): int(d) for n, d in exp.items()}
     assert out == exp
+    # distributed Bellman-Ford path (threshold 0 forces it) must agree
+    out_dist = (
+        bfs_levels(edges, sources, max_depth=4, driver_threshold=0)
+        .to_pandas().set_index("node")["dist"].to_dict()
+    )
+    assert out_dist == exp
 
 
 def test_k_core_matches_networkx(ray_session):
@@ -1227,6 +1233,9 @@ def test_k_core_matches_networkx(ray_session):
         assert set(got.node) == {str(n) for n in core.nodes()}
         exp_deg = {str(n): d for n, d in core.degree()}
         assert got.set_index("node")["core_degree"].to_dict() == exp_deg
+        # distributed peeling path (threshold 0 forces it) must agree
+        got_dist = k_core(edges, k, driver_threshold=0).to_pandas()
+        assert got_dist.set_index("node")["core_degree"].to_dict() == exp_deg
     # a k beyond the graph's degeneracy: empty core, empty frame
     assert len(k_core(edges, 50).to_pandas()) == 0
 
