@@ -178,3 +178,63 @@ def grouped_count_distinct(
         .map_groups(dedup_count, batch_format="pandas")
     )
     return grouped_sum(partial, [key_col], [out_col], num_parts)
+
+
+def pareto_frontier_2d(
+    ds: Dataset,
+    max_col: str,
+    min_col: str,
+) -> Dataset:
+    """2-D Pareto frontier (skyline): rows not dominated by any other —
+    dominance = other.max_col >= mine AND other.min_col <= mine with at
+    least one strict.  Equal (max, min) pairs do not dominate each
+    other, so exact duplicates all survive (matching the SQL NOT-EXISTS
+    definition).
+
+    The skyline operator has a perfect combiner:
+    ``skyline(S1 ∪ S2) = skyline(skyline(S1) ∪ skyline(S2))`` — each
+    block reduces to its local frontier (vectorized sort + prefix-min
+    scan), and one final pass merges the (frontier-sized, typically tiny)
+    survivors.  The corpus is never shuffled; only local frontiers move."""
+
+    def local_skyline(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        s = b.sort_values(
+            [max_col, min_col], ascending=[False, True], kind="mergesort"
+        )
+        p = s[max_col].to_numpy()
+        d = s[min_col].to_numpy()
+        # prefix min of min_col over rows with STRICTLY greater max_col:
+        # group boundaries where p changes
+        new_grp = np.empty(len(p), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = p[1:] != p[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        run_min = np.minimum.accumulate(d)
+        # min over all PRIOR groups = run_min at the last row of the
+        # previous group
+        grp_last_idx = np.flatnonzero(np.append(new_grp[1:], True))
+        prior_min = np.full(len(p), np.inf)
+        prev_last = grp_last_idx[grp_id - 1]
+        prior_min[grp_id > 0] = run_min[prev_last[grp_id > 0]]
+        # dominated by a strictly-higher-max row with min_col <= mine
+        dom_gt = prior_min <= d
+        # dominated within the equal-max group by a strictly smaller min
+        grp_min = s.groupby(grp_id, sort=False)[min_col].transform("min").to_numpy()
+        dom_eq = grp_min < d
+        return s[~(dom_gt | dom_eq)]
+
+    local = ds.map_batches(local_skyline, batch_format="pandas")
+    # final merge: all local survivors in ONE partition (frontier-sized
+    # by assumption — document the caller's contract)
+    return (
+        local.map_batches(
+            lambda b: b.assign(__part=np.int32(0)), batch_format="pandas"
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: local_skyline(g.drop(columns="__part")),
+            batch_format="pandas",
+        )
+    )
