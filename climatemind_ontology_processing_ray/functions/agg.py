@@ -17,6 +17,7 @@ exact_quantiles, degree_stats, heavy_hitters; same shape as
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
@@ -215,11 +216,13 @@ def pareto_frontier_2d(
         # min over all PRIOR groups = run_min at the last row of the
         # previous group
         grp_last_idx = np.flatnonzero(np.append(new_grp[1:], True))
-        prior_min = np.full(len(p), np.inf)
         prev_last = grp_last_idx[grp_id - 1]
-        prior_min[grp_id > 0] = run_min[prev_last[grp_id > 0]]
-        # dominated by a strictly-higher-max row with min_col <= mine
-        dom_gt = prior_min <= d
+        # dominated by a strictly-higher-max row with min_col <= mine.
+        # mask instead of an inf sentinel: min_col may be datetime64,
+        # which has no inf
+        has_prior = grp_id > 0
+        dom_gt = np.zeros(len(p), dtype=bool)
+        dom_gt[has_prior] = run_min[prev_last[has_prior]] <= d[has_prior]
         # dominated within the equal-max group by a strictly smaller min
         grp_min = s.groupby(grp_id, sort=False)[min_col].transform("min").to_numpy()
         dom_eq = grp_min < d

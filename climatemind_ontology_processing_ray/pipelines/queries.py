@@ -3645,6 +3645,86 @@ ORDER BY term_a, term_b
 """
 
 
+def q_pareto_orders(sf_dir: str):
+    """2-D Pareto frontier over orders (maximize price, minimize date
+    — the skyline operator): per-block vectorized local frontiers, one
+    frontier-sized merge; the corpus is never shuffled
+    (functions/agg.py:pareto_frontier_2d)."""
+    from ..functions.agg import pareto_frontier_2d
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    out = pareto_frontier_2d(ds, "o_totalprice", "o_orderdate").to_pandas()
+    return (
+        out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+SQL_PARETO_ORDERS = """
+WITH g AS (
+  SELECT o_totalprice AS p, MIN(o_orderdate) AS dmin FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT p,
+         MIN(dmin) OVER (ORDER BY p DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS dmin_gt,
+         dmin AS dmin_eq
+  FROM g
+)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN cum c ON c.p = o.o_totalprice
+WHERE (c.dmin_gt IS NULL OR c.dmin_gt > o.o_orderdate)
+  AND c.dmin_eq >= o.o_orderdate
+ORDER BY o_orderkey
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over each user's event sequence
+    (from_type -> next type by LEAD over (ts, event_id)): the lead_lag
+    shuffle plus a category²-bounded count — sequence-mining statistics
+    for behavioral modeling (functions/windows.py:lead_lag)."""
+    from ..functions.windows import lead_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = lead_lag(ev, "user_id", "ts", "event_type", tiebreak_cols=["event_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.next_event_type.notna()]
+        vc = (
+            b.groupby(["event_type", "next_event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return vc.rename(
+            columns={"event_type": "from_type", "next_event_type": "to_type"}
+        )
+
+    agg = (
+        out.map_batches(partial, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE to_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3746,6 +3826,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "mention_pmi": (q_mention_pmi, SQL_MENTION_PMI),
+    "pareto_orders": (q_pareto_orders, SQL_PARETO_ORDERS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
 }
 
 

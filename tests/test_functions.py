@@ -1382,3 +1382,39 @@ def test_cooccurrence_pmi_matches_bruteforce(ray_session):
     exp = pd.DataFrame(exp_rows, columns=["term_a", "term_b", "n_ab", "pmi_scaled"])
     exp[["n_ab", "pmi_scaled"]] = exp[["n_ab", "pmi_scaled"]].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pareto_frontier_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import pareto_frontier_2d
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "i": range(500),
+            "p": rng.integers(0, 40, 500),   # maximize; ties guaranteed
+            "d": rng.integers(0, 40, 500),   # minimize
+        }
+    )
+    got = set(
+        pareto_frontier_2d(ray.data.from_pandas(df).repartition(7), "p", "d")
+        .to_pandas()["i"]
+    )
+    exp = set()
+    p = df.p.to_numpy()
+    d = df.d.to_numpy()
+    for i in range(len(df)):
+        dominated = (
+            (p >= p[i]) & (d <= d[i]) & ((p > p[i]) | (d < d[i]))
+        ).any()
+        if not dominated:
+            exp.add(i)
+    assert got == exp and len(exp) >= 2
+    # exact duplicates of a frontier point all survive (no mutual domination)
+    dup = pd.concat([df, df[df.i.isin(exp)].assign(i=lambda x: x.i + 1000)])
+    got2 = set(
+        pareto_frontier_2d(ray.data.from_pandas(dup).repartition(5), "p", "d")
+        .to_pandas()["i"]
+    )
+    assert got2 == exp | {i + 1000 for i in exp}
