@@ -3725,6 +3725,201 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users bucketed by the epoch-week of
+    their FIRST event; per (cohort_week, week_offset) distinct-user
+    counts.  grouped_min finds first-touch, a bucketed join attaches it
+    to every event, and the count is the exact grouped COUNT(DISTINCT)
+    operator — all epoch-microsecond integer arithmetic, no calendar
+    functions, so SQL replays it bit-for-bit."""
+    from ..functions.agg import grouped_count_distinct, grouped_min
+    from ..functions.join import bucketed_hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b.user_id.astype("int64"),
+                "ts_us": b.ts.to_numpy().astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    evi = ev.map_batches(to_us, batch_format="pandas").materialize()
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False)["ts_us"].min()
+        return pd.DataFrame({"user_id": g.index, "first_us": g.to_numpy()})
+
+    first = grouped_min(
+        evi.map_batches(first_partial, batch_format="pandas"),
+        ["user_id"],
+        ["first_us"],
+    )
+
+    joined = bucketed_hash_join(evi, first, "user_id")
+
+    def cohortize(b: pd.DataFrame) -> pd.DataFrame:
+        # the join's union-block plumbing can upcast int columns to
+        # float64 (null side-columns) — pin back to int64 before the
+        # exact integer week arithmetic
+        first = b.first_us.to_numpy().astype("int64")
+        ts = b.ts_us.to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "cohort_week": first // _WEEK_US,
+                "week_offset": (ts - first) // _WEEK_US,
+                "user_id": b.user_id.astype("int64"),
+            }
+        )
+
+    def fuse_key(b: pd.DataFrame) -> pd.DataFrame:
+        key = b.cohort_week.astype(str) + "|" + b.week_offset.astype(str)
+        return pd.DataFrame({"ck": key, "user_id": b.user_id})
+
+    counts = grouped_count_distinct(
+        joined.map_batches(cohortize, batch_format="pandas").map_batches(
+            fuse_key, batch_format="pandas"
+        ),
+        "ck",
+        "user_id",
+        out_col="n_users",
+    ).to_pandas()
+    parts = counts["ck"].str.split("|", expand=True)
+    out = pd.DataFrame(
+        {
+            "cohort_week": parts[0].astype("int64"),
+            "week_offset": parts[1].astype("int64"),
+            "n_users": counts["n_users"].astype("int64"),
+        }
+    )
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+SQL_RETENTION = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+f AS (
+  SELECT user_id, MIN(ts_us) AS first_us FROM e GROUP BY user_id
+)
+SELECT first_us // {_WEEK_US} AS cohort_week,
+       (ts_us - first_us) // {_WEEK_US} AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_user_top_event(sf_dir: str):
+    """Per-user modal event type (most frequent; ties -> lexicographically
+    smallest): per-(user,type) grouped counts, then a per-user vectorized
+    argmax inside one coarse hash(user) partition pass."""
+    from ..functions.agg import grouped_sum
+    from ..functions.join import hash_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "event_type"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        ["n"],
+    )
+
+    def argmax_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = s.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top.user_id.astype("int64"),
+                "top_event": top.event_type,
+                "n": top.n.astype("int64"),
+            }
+        )
+
+    out = (
+        counts.map_batches(
+            lambda b: b.assign(__part=hash_bucket(b.user_id.to_numpy(), 64)),
+            batch_format="pandas",
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: argmax_per_user(g.drop(columns="__part")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_TOP_EVENT = """
+SELECT user_id, top_event, n FROM (
+  SELECT user_id, event_type AS top_event, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_user_sequences(sf_dir: str):
+    """Ordered per-user event-type sequence reconstruction (the
+    sessions-to-sequences step of behavioral pretraining data): one
+    coarse hash(user) shuffle, per-partition sort by (ts, event_id),
+    vectorized groupby string-join."""
+    from ..functions.join import hash_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def seq_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        n = g.groupby("user_id", sort=False)["event_type"].size()
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.astype("int64"),
+                "seq": agg.to_numpy(),
+                "n_events": n.to_numpy().astype("int64"),
+            }
+        )
+
+    out = (
+        ev.map_batches(
+            lambda b: b.assign(__part=hash_bucket(b.user_id.to_numpy(), 64)),
+            batch_format="pandas",
+        )
+        .groupby("__part")
+        .map_groups(lambda g: seq_of(g.drop(columns="__part")), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_SEQUENCES = """
+SELECT user_id,
+       STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3828,6 +4023,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mention_pmi": (q_mention_pmi, SQL_MENTION_PMI),
     "pareto_orders": (q_pareto_orders, SQL_PARETO_ORDERS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
+    "user_sequences": (q_user_sequences, SQL_USER_SEQUENCES),
 }
 
 
