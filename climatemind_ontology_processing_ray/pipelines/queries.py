@@ -3920,6 +3920,127 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+_HIST_WIDTH = 25_000  # cents-free: o_totalprice bucketed in 25k steps
+
+
+def q_price_histogram(sf_dir: str):
+    """Equi-width value histogram of order totals: per-batch vectorized
+    bin counts (map-side combine), one small grouped sum — the corpus is
+    reduced before the only exchange."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = (b.o_totalprice.to_numpy() // _HIST_WIDTH).astype("int64")
+        vc = pd.Series(bins).value_counts()
+        return pd.DataFrame(
+            {"bin": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+        )
+
+    out = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["bin"], ["n"]
+    ).to_pandas()
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+SQL_PRICE_HISTOGRAM = f"""
+SELECT CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_scale_features(sf_dir: str):
+    """Global min-max feature scaling to integer permille:
+    (x - min) * 1000 // (max - min) — the normalization step of a
+    training-data pipeline in EXACT integer arithmetic (no float mean/
+    std crosses a partition), with the two scalars from one streaming
+    min/max pass broadcast into a stateless map."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    agg = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"mn": [int(b.n_chars.min())], "mx": [int(b.n_chars.max())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    mn, mx = int(agg["mn"].min()), int(agg["mx"].max())
+    span = max(mx - mn, 1)
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        x = b.n_chars.to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b.doc_id.astype("int64"),
+                "n_chars": x,
+                "scaled_permille": (x - mn) * 1000 // span,
+            }
+        )
+
+    out = ds.map_batches(scale, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SCALE_FEATURES = """
+WITH s AS (SELECT MIN(n_chars) AS mn,
+                  GREATEST(MAX(n_chars) - MIN(n_chars), 1) AS span
+           FROM documents)
+SELECT doc_id, n_chars,
+       CAST(((n_chars - (SELECT mn FROM s)) * 1000) // (SELECT span FROM s)
+            AS BIGINT) AS scaled_permille
+FROM documents ORDER BY doc_id
+"""
+
+
+_MAD_K = 3
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier flagging via median absolute deviation, all
+    exact-integer: median = discrete quantile element (value-histogram
+    exact quantile, functions/sketch.py), MAD = median of |x - med|,
+    flag |x - med| > k*MAD.  Two small broadcast scalars; the corpus
+    streams through two map passes and two value-bounded histogram
+    reductions."""
+    from ..functions.sketch import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    med = int(exact_quantiles(ds, "n_chars", [0.5])["value"].iloc[0])
+
+    dev = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"dev": np.abs(b.n_chars.to_numpy().astype("int64") - med)}
+        ),
+        batch_format="pandas",
+    )
+    mad = int(exact_quantiles(dev, "dev", [0.5])["value"].iloc[0])
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        x = b.n_chars.to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b.doc_id.astype("int64"),
+                "n_chars": x,
+                "is_outlier": np.abs(x - med) > _MAD_K * mad,
+            }
+        )
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_mad_outliers() -> str:
+    return f"""
+WITH med AS (SELECT QUANTILE_DISC(n_chars, 0.5) AS m FROM documents),
+mad AS (SELECT QUANTILE_DISC(ABS(n_chars - (SELECT m FROM med)), 0.5) AS d
+        FROM documents)
+SELECT doc_id, n_chars,
+       ABS(n_chars - (SELECT m FROM med)) > {_MAD_K} * (SELECT d FROM mad)
+         AS is_outlier
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4026,6 +4147,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
     "user_sequences": (q_user_sequences, SQL_USER_SEQUENCES),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
+    "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }
 
 
