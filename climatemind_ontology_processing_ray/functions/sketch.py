@@ -273,3 +273,94 @@ def count_min_sketch(
 def cms_estimate(mat: np.ndarray, value, width: int | None = None) -> int:
     w = width or mat.shape[1]
     return int(min(mat[r, _cms_col(r, value, w)] for r in range(mat.shape[0])))
+
+
+def binned_exact_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    num_bins: int = 4096,
+) -> pd.DataFrame:
+    """EXACT discrete quantiles (``quantile_disc`` semantics: the element
+    at sorted 1-indexed rank ``ceil(q*n)``) for UNBOUNDED continuous
+    columns — the two-pass refinement :func:`exact_quantiles`' docstring
+    prescribes when the distinct-value cardinality is too large to hold.
+
+    Pass 1: streaming min/max + a ``num_bins``-key bin histogram
+    (map-side combined; driver state = num_bins counts).  The driver
+    locates each target rank's candidate bin.  Pass 2: value counts for
+    rows in the candidate bins ONLY (driver state = distinct values in
+    those bins, ~n/num_bins-bounded), then an exact rank walk.
+
+    Bin edges use float arithmetic, which is safe: binning only SELECTS
+    a candidate subset (consistently — the same floor expression assigns
+    pass-1 counts and pass-2 membership); the returned value is an exact
+    element chosen by integer rank within it."""
+    import math
+
+    mmx = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"mn": [b[col].min()], "mx": [b[col].max()], "n": [len(b)]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi, n = float(mmx["mn"].min()), float(mmx["mx"].max()), int(mmx["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": [], "value": []})
+    width = (hi - lo) / num_bins or 1.0
+
+    def bin_of(x: np.ndarray) -> np.ndarray:
+        return np.clip(((x - lo) / width).astype(np.int64), 0, num_bins - 1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(bin_of(b[col].to_numpy())).value_counts()
+        return pd.DataFrame(
+            {"bin": vc.index.astype("int64"), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    from .agg import grouped_sum
+
+    hist = (
+        grouped_sum(ds.map_batches(partial, batch_format="pandas"), ["bin"], ["cnt"])
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum()
+    targets = {q: max(1, math.ceil(q * n)) for q in qs}
+    cand: dict[float, tuple[int, int]] = {}
+    for q, r in targets.items():
+        i = int((cum >= r).idxmax())
+        below = int(cum.iloc[i] - hist["cnt"].iloc[i])
+        cand[q] = (int(hist["bin"].iloc[i]), r - below)  # bin, rank within bin
+    bins_needed = sorted({b for b, _ in cand.values()})
+
+    def in_bins(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy()
+        bb = bin_of(x)
+        mask = np.isin(bb, bins_needed)
+        vc = (
+            pd.DataFrame({"bin": bb[mask], col: x[mask]})
+            .groupby(["bin", col], sort=False)
+            .size()
+        )
+        out = vc.reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    fine = (
+        grouped_sum(
+            ds.map_batches(in_bins, batch_format="pandas"), ["bin", col], ["cnt"]
+        )
+        .to_pandas()
+        .sort_values(["bin", col])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for q in qs:
+        bb, within = cand[q]
+        sub = fine[fine["bin"] == bb]
+        c = sub["cnt"].cumsum()
+        j = int((c >= within).idxmax())
+        rows.append({"q": float(q), "value": fine[col].loc[j]})
+    return pd.DataFrame(rows)

@@ -4041,6 +4041,32 @@ FROM documents ORDER BY doc_id
 """
 
 
+_PRICE_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact discrete quantiles of a CONTINUOUS column (order totals)
+    via the two-pass binned refinement (coarse 4096-bin histogram ->
+    exact rank walk inside the candidate bins only;
+    functions/sketch.py:binned_exact_quantiles) — driver state is
+    num_bins + one bin's distinct values, never the full value set."""
+    from ..functions.sketch import binned_exact_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = binned_exact_quantiles(ds, "o_totalprice", _PRICE_QS)
+    out = out.rename(columns={"value": "price"})
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def _sql_price_quantiles() -> str:
+    parts = [
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"QUANTILE_DISC(o_totalprice, {q}) AS price FROM orders"
+        for q in _PRICE_QS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY q"
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4148,6 +4174,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
     "user_sequences": (q_user_sequences, SQL_USER_SEQUENCES),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "price_quantiles": (q_price_quantiles, _sql_price_quantiles),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }

@@ -1418,3 +1418,27 @@ def test_pareto_frontier_matches_bruteforce(ray_session):
         .to_pandas()["i"]
     )
     assert got2 == exp | {i + 1000 for i in exp}
+
+
+def test_binned_exact_quantiles_matches_rank_definition(ray_session):
+    import math
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        binned_exact_quantiles,
+    )
+
+    rng = np.random.default_rng(29)
+    # continuous values plus deliberate heavy ties
+    x = np.concatenate(
+        [rng.normal(100, 25, 3000), np.full(500, 77.5), rng.uniform(0, 1, 100)]
+    )
+    rng.shuffle(x)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": x})).repartition(9)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+    got = binned_exact_quantiles(ds, "v", qs)
+    s = np.sort(x)
+    for q, v in zip(got["q"], got["value"]):
+        exp = s[max(1, math.ceil(q * len(s))) - 1]  # quantile_disc rank
+        assert v == exp, (q, v, exp)
