@@ -4067,6 +4067,61 @@ def _sql_price_quantiles() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY q"
 
 
+def q_length_correlation(sf_dir: str):
+    """Exact-integer linear statistics between two integer features
+    (n_chars vs whitespace token count): streaming per-block partial
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) — one tiny row per block, summed on
+    the driver — then the covariance and regression-slope NUMERATORS/
+    DENOMINATORS as exact integers (cov_n = n·Σxy − Σx·Σy;
+    slope = cov_n / (n·Σx² − (Σx)²)).  No float ever crosses a
+    partition, so SQL replays it bit-for-bit; callers divide at the
+    edge."""
+    from ..functions.text import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    ds = add_token_counts(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b.n_chars.to_numpy().astype("int64")
+        y = b.n_tokens_ws.to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(b))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n, sx, sy = int(agg["n"]), int(agg["sx"]), int(agg["sy"])
+    sxy, sxx, syy = int(agg["sxy"]), int(agg["sxx"]), int(agg["syy"])
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "cov_num": pd.Series([n * sxy - sx * sy], dtype="int64"),
+            "var_x_num": pd.Series([n * sxx - sx * sx], dtype="int64"),
+            "var_y_num": pd.Series([n * syy - sy * sy], dtype="int64"),
+        }
+    )
+
+
+SQL_LENGTH_CORRELATION = """
+WITH t AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS y
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_x_num,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS var_y_num
+FROM t
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4175,6 +4230,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "user_sequences": (q_user_sequences, SQL_USER_SEQUENCES),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "price_quantiles": (q_price_quantiles, _sql_price_quantiles),
+    "length_correlation": (q_length_correlation, SQL_LENGTH_CORRELATION),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }
