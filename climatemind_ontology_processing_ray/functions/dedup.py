@@ -277,7 +277,9 @@ def _verify_pairs_jaccard(
     ids_ref = ray.put(cand_ids)
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
-        keep = ray.get(ids_ref)
+        from .broadcast import cached_get
+
+        keep = cached_get(ids_ref)
         mask = pa.array([i in keep for i in batch.column(id_col).to_pylist()])
         return batch.filter(mask)
 
@@ -300,7 +302,9 @@ def _verify_pairs_jaccard(
         pruned_ref = ray.put(pruned)
 
         def verify_broadcast(batch: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(pruned_ref)
+            from .broadcast import cached_get
+
+            m = cached_get(pruned_ref)
             out_a, out_b, out_j = [], [], []
             for x, y in zip(batch["id_a"], batch["id_b"]):
                 a = m.get(x)
@@ -973,7 +977,9 @@ def _embedding_neardup_ivf(
     k_assign = min(nassign, len(cents))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(cents_ref)
+        from .broadcast import cached_get
+
+        cm = cached_get(cents_ref)
         vecs = _normalize(
             np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         )

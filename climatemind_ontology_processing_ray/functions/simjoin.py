@@ -111,7 +111,9 @@ def similarity_join(
         df_ref = ray.put(dict(zip(ddf["token"], ddf["df"].astype("int64"))))
 
         def attach_df(b: pd.DataFrame) -> pd.DataFrame:
-            dm = ray.get(df_ref)
+            from .broadcast import cached_get
+
+            dm = cached_get(df_ref)
             return b.assign(df=b["token"].map(dm).astype("int64"))
 
         with_df = tok.map_batches(attach_df, batch_format="pandas")
@@ -130,6 +132,7 @@ def similarity_join(
         out = g.loc[keep, ["token", "doc"]].copy()
         out["n"] = n[keep]
         out["n"] = out["n"].astype("int64")
+        out["pos"] = rank[keep].astype("int64")  # df-order position
         return out
 
     prefixes = (
@@ -145,7 +148,7 @@ def similarity_join(
     # self-merge on token (collision rows only), ordered + size-filtered
     # with array ops
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g[g.duplicated("token", keep=False)][["token", "doc", "n"]]
+        dup = g[g.duplicated("token", keep=False)][["token", "doc", "n", "pos"]]
         if not len(dup):
             return pd.DataFrame(
                 {
@@ -159,6 +162,18 @@ def similarity_join(
         hi = np.maximum(m.n_a, m.n_b)
         # size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
         m = m[lo * threshold_den >= threshold_num * hi]
+        # positional filter (PPJoin): overlap through THIS shared token is
+        # bounded by 1 + min remaining suffix; a truly-similar pair always
+        # survives at its FIRST shared prefix token (which has the loosest
+        # bound), so per-occurrence filtering is exact
+        sums = (m.n_a + m.n_b).to_numpy()
+        alpha = (threshold_num * sums + (threshold_num + threshold_den) - 1) // (
+            threshold_num + threshold_den
+        )
+        ubound = 1 + np.minimum(
+            (m.n_a - m.pos_a - 1).to_numpy(), (m.n_b - m.pos_b - 1).to_numpy()
+        )
+        m = m[ubound >= alpha]
         out = m[["doc_a", "doc_b"]].drop_duplicates()
         return pd.DataFrame(
             {
@@ -177,10 +192,17 @@ def similarity_join(
     )
 
     # a pair can share several prefix shingles (possibly in different
-    # buckets): exact pair dedup, same coarse pattern
+    # buckets): exact pair dedup.  The partition tag is a NUMERIC mix of
+    # the two int ids — string-concat keys over tens of millions of
+    # candidate rows were the measured hot spot on degenerate corpora
+    # (tiny vocabularies make prefixes common, so raw candidates can be
+    # 1000x the true pair count)
     def pair_tag(b: pd.DataFrame) -> pd.DataFrame:
-        key = b.id_a.astype(str) + "\x1f" + b.id_b.astype(str)
-        return b.assign(__part=hash_bucket(key.to_numpy(), num_parts))
+        mix = (
+            b.id_a.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + b.id_b.to_numpy().astype(np.uint64)
+        )
+        return b.assign(__part=(mix % np.uint64(num_parts)).astype(np.int32))
 
     cand = (
         cand.map_batches(pair_tag, batch_format="pandas")
@@ -217,8 +239,7 @@ def similarity_join(
     # (ragged object lists are not a valid Arrow column) with a per-batch
     # split cache, everything hash-partitioned.  Same structure as the
     # MinHash verify (functions/dedup.py) and documented there.
-    cdf = cand.to_pandas()
-    if len(cdf) == 0:
+    if cand.count() == 0:
         return cand.map_batches(
             lambda b: pd.DataFrame(
                 {k: pd.Series([], dtype="int64")
@@ -226,31 +247,126 @@ def similarity_join(
             ),
             batch_format="pandas",
         )
-    cand_docs = set(cdf.id_a) | set(cdf.id_b)
+    # the candidate DOC set stays distributed until it is provably small:
+    # distinct ids via a coarse dedup (bounded by the corpus doc count,
+    # NOT the candidate pair count, which can be orders of magnitude
+    # larger on degenerate corpora)
+    def explode_ids(b: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.concat([b.id_a, b.id_b], ignore_index=True).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "doc": ids,
+                "__part": (
+                    ids.to_numpy().astype(np.uint64) % np.uint64(num_parts)
+                ).astype(np.int32),
+            }
+        )
+
+    cand_docs = set(
+        cand.map_batches(explode_ids, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(lambda g: g[["doc"]].drop_duplicates(), batch_format="pandas")
+        .to_pandas()["doc"]
+    )
 
     if len(cand_docs) <= verify_broadcast_threshold:
         import ray
 
+        from .dedup import _hash64
+
         docs_ref = ray.put(cand_docs)
 
-        def prune_collect(b: pd.DataFrame) -> pd.DataFrame:
-            keep = ray.get(docs_ref)
+        # ---- hash prefilter over ZERO-COPY numpy broadcasts.  A dict of
+        # per-doc string frozensets is catastrophic to broadcast at scale:
+        # every worker re-unpickles the whole heap once (measured ~100s
+        # per worker at 200k docs / 19M shingles — the entire verify wall
+        # time).  Instead the shingle sets ship as ONE sorted uint64 hash
+        # array + offsets (plasma-zero-copy, microseconds to map) and the
+        # per-pair count is a searchsorted merge.  Collisions can shift a
+        # hash count by ±1 per colliding shingle (p ~ 1e-9 corpus-wide),
+        # so the prefilter keeps a slack of 2 and the tiny survivor set is
+        # re-verified EXACTLY on the string shingles — output equals the
+        # all-strings computation with certainty, at numpy speed.
+        def prune_hashes(b: pd.DataFrame) -> pd.DataFrame:
+            from .broadcast import cached_get
+
+            keep = cached_get(docs_ref)
+            d = b[b.doc.isin(keep)]
+            agg = d.groupby("doc", sort=False)["token"].agg(
+                lambda s: np.sort(
+                    np.fromiter((_hash64(x) for x in s), dtype=np.uint64, count=len(s))
+                )
+            )
+            return pd.DataFrame({"doc": agg.index, "h": agg.to_numpy()})
+
+        hp = tok.map_batches(prune_hashes, batch_format="pandas").to_pandas()
+        # a doc's shingles could span input blocks: merge + re-sort
+        by_doc: dict = {}
+        for doc, arr in zip(hp["doc"], hp["h"]):
+            prev = by_doc.get(doc)
+            by_doc[doc] = arr if prev is None else np.sort(np.concatenate([prev, arr]))
+        docs_sorted = sorted(by_doc)
+        lens = np.array([len(by_doc[d]) for d in docs_sorted], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        big = np.concatenate([by_doc[d] for d in docs_sorted]) if docs_sorted else np.array([], dtype=np.uint64)
+        slot = {d: i for i, d in enumerate(docs_sorted)}
+        big_ref, off_ref, slot_ref = ray.put(big), ray.put(offsets), ray.put(slot)
+
+        def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+            from .broadcast import cached_get
+
+            H = cached_get(big_ref)
+            O = cached_get(off_ref)
+            S = cached_get(slot_ref)
+            rows = {"id_a": [], "id_b": []}
+            for ia, ib in zip(b.id_a, b.id_b):
+                sa, sb = S[ia], S[ib]
+                a = H[O[sa] : O[sa + 1]]
+                c = H[O[sb] : O[sb + 1]]
+                if len(a) > len(c):
+                    a, c = c, a
+                idx = np.searchsorted(c, a)
+                idx[idx == len(c)] = 0
+                inter = int((c[idx] == a).sum())
+                union = len(a) + len(c) - inter
+                # slack 2 on both terms: survive unless hash counts say
+                # the pair misses the threshold by MORE than collisions
+                # could explain
+                if (inter + 2) * threshold_den >= threshold_num * (union - 2):
+                    rows["id_a"].append(ia)
+                    rows["id_b"].append(ib)
+            return pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+        survivors = cand.map_batches(
+            prefilter, batch_format="pandas"
+        ).to_pandas()
+        if not len(survivors):
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {k: pd.Series([], dtype="int64")
+                     for k in ("id_a", "id_b", "n_inter", "n_union")}
+                )
+            )
+        # ---- exact second pass on the (output-adjacent) survivor set,
+        # with STRING shingles for only the surviving docs
+        sdocs = set(survivors.id_a) | set(survivors.id_b)
+        sdocs_ref = ray.put(sdocs)
+
+        def prune_strings(b: pd.DataFrame) -> pd.DataFrame:
+            from .broadcast import cached_get
+
+            keep = cached_get(sdocs_ref)
             d = b[b.doc.isin(keep)]
             agg = d.groupby("doc", sort=False)["token"].agg("\x1f".join)
             return pd.DataFrame({"doc": agg.index, "tokens": agg.to_numpy()})
 
-        pruned = tok.map_batches(prune_collect, batch_format="pandas").to_pandas()
-        # a doc's shingles can span input batches: merge the partial joins
+        pruned = tok.map_batches(prune_strings, batch_format="pandas").to_pandas()
         merged = pruned.groupby("doc", sort=False)["tokens"].agg("\x1f".join)
-        lookup = {
-            d: frozenset(t.split("\x1f")) for d, t in merged.items()
-        }
-        lookup_ref = ray.put(lookup)
-
-        def verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
-            return _verify_rows(b, ray.get(lookup_ref))
-
-        return cand.map_batches(verify_bcast, batch_format="pandas")
+        lookup = {d: frozenset(x.split("\x1f")) for d, x in merged.items()}
+        out = _verify_rows(survivors, lookup)
+        return ray.data.from_pandas(out.reset_index(drop=True))
 
     def collect_lists(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("doc", sort=False)["token"].agg("\x1f".join)
