@@ -172,6 +172,16 @@ def run_bench() -> dict:
         "bm25_search",
         "distinct_users",
         "mention_pmi",
+        "pareto_orders",
+        "event_transitions",
+        "retention_cohorts",
+        "user_top_event",
+        "user_sequences",
+        "price_histogram",
+        "price_quantiles",
+        "scale_features",
+        "mad_outliers",
+        "length_correlation",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:
