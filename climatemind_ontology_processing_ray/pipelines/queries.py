@@ -3731,70 +3731,49 @@ _WEEK_US = 7 * 86_400 * 1_000_000
 def q_retention_cohorts(sf_dir: str):
     """Weekly retention cohorts: users bucketed by the epoch-week of
     their FIRST event; per (cohort_week, week_offset) distinct-user
-    counts.  grouped_min finds first-touch, a bucketed join attaches it
-    to every event, and the count is the exact grouped COUNT(DISTINCT)
-    operator — all epoch-microsecond integer arithmetic, no calendar
+    counts.  ONE coarse hash(user) shuffle does everything: a user's
+    events co-locate, so first-touch, the week arithmetic AND the
+    per-user distinct (cohort, offset) cells are all computed inside
+    the partition; per-partition cell counts then reduce with one small
+    grouped sum.  All epoch-microsecond integer arithmetic, no calendar
     functions, so SQL replays it bit-for-bit."""
-    from ..functions.agg import grouped_count_distinct, grouped_min
-    from ..functions.join import bucketed_hash_join
+    from ..functions.agg import grouped_sum
+    from ..functions.join import hash_bucket
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": b.user_id.astype("int64"),
                 "ts_us": b.ts.to_numpy().astype("datetime64[us]").astype("int64"),
+                "__part": hash_bucket(b.user_id.to_numpy(), 64),
             }
         )
 
-    evi = ev.map_batches(to_us, batch_format="pandas").materialize()
-
-    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("user_id", sort=False)["ts_us"].min()
-        return pd.DataFrame({"user_id": g.index, "first_us": g.to_numpy()})
-
-    first = grouped_min(
-        evi.map_batches(first_partial, batch_format="pandas"),
-        ["user_id"],
-        ["first_us"],
-    )
-
-    joined = bucketed_hash_join(evi, first, "user_id")
-
-    def cohortize(b: pd.DataFrame) -> pd.DataFrame:
-        # the join's union-block plumbing can upcast int columns to
-        # float64 (null side-columns) — pin back to int64 before the
-        # exact integer week arithmetic
-        first = b.first_us.to_numpy().astype("int64")
-        ts = b.ts_us.to_numpy().astype("int64")
-        return pd.DataFrame(
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", sort=False)["ts_us"].transform("min").to_numpy()
+        ts = g.ts_us.to_numpy()
+        d = pd.DataFrame(
             {
                 "cohort_week": first // _WEEK_US,
                 "week_offset": (ts - first) // _WEEK_US,
-                "user_id": b.user_id.astype("int64"),
+                "user_id": g.user_id,
             }
-        )
+        ).drop_duplicates()
+        vc = d.groupby(["cohort_week", "week_offset"], sort=False).size()
+        out = vc.reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
 
-    def fuse_key(b: pd.DataFrame) -> pd.DataFrame:
-        key = b.cohort_week.astype(str) + "|" + b.week_offset.astype(str)
-        return pd.DataFrame({"ck": key, "user_id": b.user_id})
-
-    counts = grouped_count_distinct(
-        joined.map_batches(cohortize, batch_format="pandas").map_batches(
-            fuse_key, batch_format="pandas"
-        ),
-        "ck",
-        "user_id",
-        out_col="n_users",
-    ).to_pandas()
-    parts = counts["ck"].str.split("|", expand=True)
-    out = pd.DataFrame(
-        {
-            "cohort_week": parts[0].astype("int64"),
-            "week_offset": parts[1].astype("int64"),
-            "n_users": counts["n_users"].astype("int64"),
-        }
+    counts = (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(cells, batch_format="pandas")
+    )
+    out = grouped_sum(counts, ["cohort_week", "week_offset"], ["n_users"]).to_pandas()
+    out = out.astype(
+        {"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"}
     )
     return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
 
