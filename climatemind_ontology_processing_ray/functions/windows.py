@@ -88,18 +88,34 @@ def sessionize(
     the groupby shuffle co-locates a key's events; ordering happens inside
     the group).  Output: key, n_events, n_sessions."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols or [ts_col], kind="mergesort")
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(0)
+    from .join import hash_bucket
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), 64))
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse-partition + ONE vectorized pass, never one Ray group per
+        # key (the per-key fold trap, functions/agg.py): session breaks
+        # are rows whose gap to the previous row exceeds gap_sec OR that
+        # start a new key
+        g = g.sort_values([key_col] + (order_cols or [ts_col]), kind="mergesort")
+        new_key = ~g[key_col].eq(g[key_col].shift())
+        gaps = g[ts_col].diff().dt.total_seconds()
+        new_sess = new_key | (gaps > gap_sec)
+        agg = g.assign(__ns=new_sess).groupby(key_col, sort=False)["__ns"].agg(
+            ["size", "sum"]
+        )
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int((gaps > gap_sec).sum()) + 1],
+                key_col: agg.index,
+                "n_events": agg["size"].to_numpy().astype("int64"),
+                "n_sessions": agg["sum"].to_numpy().astype("int64"),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
+        stats, batch_format="pandas"
+    )
 
 
 def running_aggregate(
