@@ -243,20 +243,24 @@ def funnel_counts(
         return b.assign(__part=hash_bucket(b[key_col].to_numpy(), 64))
 
     def depth_counts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+        # vectorized per partition: len(steps) passes, each a filtered
+        # groupby-min (keys' anchors attached by index lookup) — no
+        # per-key Python scan
         counts = [0] * (len(steps) + 1)
-        for _, grp in g.groupby(key_col, sort=False):
-            t = None
-            depth = 0
-            for step in steps:
-                m = grp[grp[type_col] == step]
-                if t is not None:
-                    m = m[m[ts_col] >= t]
-                if len(m) == 0:
-                    break
-                t = m[ts_col].iloc[0]
-                depth += 1
-            counts[depth] += 1
+        n_total = g[key_col].nunique()
+        cur = None  # Series: key -> anchor ts of the last completed step
+        survivors = n_total
+        for i, step in enumerate(steps):
+            m = g[g[type_col] == step]
+            if cur is not None:
+                m = m[m[key_col].isin(cur.index)]
+                anchors = cur.reindex(m[key_col]).to_numpy()
+                m = m[m[ts_col].to_numpy() >= anchors]
+            nxt = m.groupby(key_col, sort=False)[ts_col].min()
+            counts[i] += survivors - len(nxt)  # keys stuck at depth i
+            cur = nxt
+            survivors = len(nxt)
+        counts[len(steps)] += survivors
         return pd.DataFrame(
             {"depth": range(len(steps) + 1), "n": pd.array(counts, dtype="int64")}
         )
