@@ -39,14 +39,25 @@ def stratified_sample(
     ds: Dataset, key_col: str, id_col: str, per_key: int
 ) -> Dataset:
     """First ``per_key`` rows per key, ordered by (md5(id), id) — a
-    deterministic per-stratum quota.  One groupby shuffle."""
+    deterministic per-stratum quota.  One COARSE hash(key) shuffle with a
+    vectorized per-partition ``groupby().head`` (never one Ray group per
+    stratum — strata can be domain-cardinality)."""
+    from .join import hash_bucket
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), 64))
 
     def head_per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(__h=[_md5_prefix(v) for v in g[id_col]])
-        g = g.sort_values(["__h", id_col], kind="mergesort").head(per_key)
-        return g.drop(columns="__h")
+        g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
+        g = g.groupby(key_col, sort=False).head(per_key)
+        return g.drop(columns=["__h", "__part"])
 
-    return ds.groupby(key_col).map_groups(head_per_key, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(head_per_key, batch_format="pandas")
+    )
 
 
 def mixture_sample(

@@ -2480,9 +2480,15 @@ def q_user_quantiles(sf_dir: str):
             )
         return pd.DataFrame(out)
 
+    from ..functions.join import hash_bucket
+
     out = (
         ds.map_batches(to_cents, batch_format="pandas")
-        .groupby("user_id")
+        .map_batches(
+            lambda b: b.assign(__part=hash_bucket(b.user_id.to_numpy(), 64)),
+            batch_format="pandas",
+        )
+        .groupby("__part")
         .map_groups(per_user, batch_format="pandas")
         .to_pandas()
     )
