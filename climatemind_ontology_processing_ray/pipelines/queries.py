@@ -4107,6 +4107,83 @@ FROM t
 """
 
 
+def q_bag_difference(sf_dir: str):
+    """Multiset EXCEPT ALL: per-key multiplicity difference
+    max(0, n_left - n_right) — each order priority appears in the output
+    max(0, |orders with status O| - |orders with status F|) times,
+    materialized as (o_orderpriority, n_copies) since replicating rows
+    adds nothing the count doesn't carry.  Map-side partial counts on
+    both sides with a +1/-1 sign column, one grouped_sum, clamp at 0 —
+    bag semantics in one exchange."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        left = b[b.o_orderstatus == "O"]
+        right = b[b.o_orderstatus == "F"]
+        lc = left.groupby("o_orderpriority", sort=False).size()
+        rc = right.groupby("o_orderpriority", sort=False).size()
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"o_orderpriority": lc.index, "d": lc.to_numpy().astype("int64")}
+                ),
+                pd.DataFrame(
+                    {"o_orderpriority": rc.index, "d": -rc.to_numpy().astype("int64")}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    out = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["o_orderpriority"], ["d"]
+    ).to_pandas()
+    out = out[out["d"] > 0].rename(columns={"d": "n_copies"})
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_BAG_DIFFERENCE = """
+WITH l AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders
+           WHERE o_orderstatus = 'O' GROUP BY 1),
+r AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT l.o_orderpriority,
+       CAST(l.n - COALESCE(r.n, 0) AS BIGINT) AS n_copies
+FROM l LEFT JOIN r USING (o_orderpriority)
+WHERE l.n - COALESCE(r.n, 0) > 0
+ORDER BY o_orderpriority
+"""
+
+
+def q_global_sort(sf_dir: str):
+    """Native distributed ORDER BY (ray.data's range-partitioned sort —
+    the all-to-all exchange itself, not a heap top-k): full sort of
+    lineitem by (l_extendedprice DESC, l_orderkey, l_linenumber), first
+    100 rows."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    out = (
+        ds.sort(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            descending=[True, False, False],
+        )
+        .limit(100)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+SQL_GLOBAL_SORT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4216,6 +4293,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "price_quantiles": (q_price_quantiles, _sql_price_quantiles),
     "length_correlation": (q_length_correlation, SQL_LENGTH_CORRELATION),
+    "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
+    "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }
