@@ -4184,6 +4184,68 @@ LIMIT 100
 """
 
 
+_DAY_US = 86_400 * 1_000_000
+
+
+def q_new_users_daily(sf_dir: str):
+    """User-acquisition curve: per epoch-day count of FIRST-seen users
+    plus the running cumulative — one hash(user) shuffle computes
+    first-touch in-partition (a user's events co-locate), per-partition
+    day histograms pre-combine, and the cumulative sum runs over the
+    day-bounded final frame on the driver."""
+    from ..functions.agg import grouped_sum
+    from ..functions.join import hash_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b.user_id.astype("int64"),
+                "ts_us": b.ts.to_numpy().astype("datetime64[us]").astype("int64"),
+                "__part": hash_bucket(b.user_id.to_numpy(), 64),
+            }
+        )
+
+    def day_hist(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", sort=False)["ts_us"].min()
+        vc = (first.to_numpy() // _DAY_US).astype("int64")
+        s = pd.Series(vc).value_counts()
+        return pd.DataFrame(
+            {"day": s.index.astype("int64"), "n_new": s.to_numpy().astype("int64")}
+        )
+
+    out = (
+        grouped_sum(
+            ev.map_batches(tag, batch_format="pandas")
+            .groupby("__part")
+            .map_groups(day_hist, batch_format="pandas"),
+            ["day"],
+            ["n_new"],
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["n_new"] = out["n_new"].astype("int64")
+    out["cum_users"] = out["n_new"].cumsum().astype("int64")
+    return out
+
+
+SQL_NEW_USERS_DAILY = f"""
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+d AS (
+  SELECT first_us // {_DAY_US} AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM f GROUP BY 1
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4295,6 +4357,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "length_correlation": (q_length_correlation, SQL_LENGTH_CORRELATION),
     "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
+    "new_users_daily": (q_new_users_daily, SQL_NEW_USERS_DAILY),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }
