@@ -1,0 +1,276 @@
+"""Reproducible operator stress harness behind the BASELINE.md
+"Operator stress" numbers: synthesizes the large deterministic corpora
+under /tmp and times the dedup / similarity / graph / window / embedding
+families at 10-100x the sf0.1 bench scale.
+
+Usage:
+    python tools/stress.py docs       # 200k-doc dedup + similarity join
+    python tools/stress.py docs1m    # 1M-doc exact dedup + minhash
+    python tools/stress.py events    # 10M-event window family
+    python tools/stress.py graph     # 1.6M-edge distributed graph paths
+    python tools/stress.py embed     # 500k-vector IVF near-dup + ANN
+
+Corpora are content-deterministic (seeded numpy; rep-mutated copies of
+the sf0.1 tables) and cached under /tmp — rerunning skips generation.
+Each suite owns its Ray session and prints one timing line per operator.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+        )
+    from climatemind_ontology_processing_ray import runtime
+
+    runtime.configure_data_context()
+    import ray.data as rd
+
+    return ray, rd
+
+
+def _mutated_docs(path: str, reps: int, shards: int = 1) -> None:
+    """reps x sf0.1 documents; every 4th word replaced with a rep token
+    so near-duplicates stay WITHIN a rep (cross-rep Jaccard collapses)."""
+    if os.path.isdir(path) and os.listdir(path):
+        return
+    if os.path.isfile(path):
+        return
+    base = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    per_shard = reps // shards
+
+    def make(rep: int) -> pd.DataFrame:
+        d = base.copy()
+        d["doc_id"] = d["doc_id"] + rep * len(base)
+        tok = f"r{rep}"
+        d["text"] = [
+            " ".join(tok if i % 4 == 3 else w for i, w in enumerate(t.split(" ")))
+            for t in d["text"]
+        ]
+        return d
+
+    if shards == 1:
+        tbl = pa.Table.from_pandas(
+            pd.concat([make(r) for r in range(reps)], ignore_index=True),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, path)
+    else:
+        os.makedirs(path, exist_ok=True)
+        for s in range(shards):
+            frames = [make(s * per_shard + r) for r in range(per_shard)]
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pd.concat(frames, ignore_index=True), preserve_index=False
+                ),
+                f"{path}/part{s}.parquet",
+            )
+
+
+def _t(label: str, fn):
+    t0 = time.time()
+    out = fn()
+    print(f"{label}: {time.time() - t0:.1f}s ({out})")
+
+
+def suite_docs() -> None:
+    ray, rd = _session()
+    p = "/tmp/stress_docs/docs.parquet"
+    os.makedirs("/tmp/stress_docs", exist_ok=True)
+    _mutated_docs(p, reps=40)
+    ds = rd.read_parquet(p, columns=["doc_id", "text"])
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        dup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_buckets,
+    )
+    from climatemind_ontology_processing_ray.functions.simjoin import similarity_join
+
+    _t("exact_dedup @200k", lambda: f"{exact_dedup(ds, 'doc_id').count()} kept")
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(ds, "doc_id").materialize()
+    print(f"minhash_lsh @200k: {time.time() - t0:.1f}s ({pairs.count()} pairs)")
+    _t(
+        "dup_clusters @200k",
+        lambda: f"{dup_clusters(pairs.map_batches(lambda b: b[['id_a', 'id_b']], batch_format='pandas'), id_col='doc_id').count()} rows",
+    )
+    _t(
+        "similarity_join @200k",
+        lambda: f"{similarity_join(ds, 'doc_id').count()} pairs",
+    )
+    _t("simhash @200k", lambda: f"{simhash_buckets(ds, 'doc_id').count()} pairs")
+
+
+def suite_docs1m() -> None:
+    ray, rd = _session()
+    _mutated_docs("/tmp/stress_docs_1m", reps=200, shards=5)
+    ds = rd.read_parquet("/tmp/stress_docs_1m", columns=["doc_id", "text"])
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    _t("exact_dedup @1M", lambda: f"{exact_dedup(ds, 'doc_id').count()} kept")
+    _t("minhash_lsh @1M", lambda: f"{minhash_lsh_pairs(ds, 'doc_id').count()} pairs")
+
+
+def suite_events() -> None:
+    ray, rd = _session()
+    p = "/tmp/stress_events.parquet"
+    if not os.path.exists(p):
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        frames = []
+        for rep in range(100):
+            d = ev.copy()
+            d["event_id"] = d["event_id"] + rep * len(ev)
+            d["user_id"] = d["user_id"] + rep * 10_000
+            frames.append(d)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False),
+            p,
+        )
+    ds = rd.read_parquet(p, columns=["event_id", "user_id", "ts", "event_type"]).materialize()
+    from climatemind_ontology_processing_ray.functions.windows import (
+        funnel_counts,
+        lead_lag,
+        sessionize,
+        window_rank,
+    )
+
+    _t("sessionize @10M", lambda: f"{sessionize(ds, 'ts', 'user_id', 1800).count()} rows")
+    _t(
+        "lead_lag @10M",
+        lambda: f"{lead_lag(ds, 'user_id', 'ts', 'ts', tiebreak_cols=['event_id']).count()} rows",
+    )
+    _t(
+        "funnel @10M",
+        lambda: f"{len(funnel_counts(ds, 'user_id', 'ts', 'event_type', ['signup', 'view', 'purchase']))} steps",
+    )
+    _t(
+        "window_rank @10M",
+        lambda: f"{window_rank(ds, 'user_id', 'ts', tiebreak_cols=['event_id']).count()} rows",
+    )
+
+
+def suite_graph() -> None:
+    ray, rd = _session()
+    p = "/tmp/stress_docs/docs.parquet"
+    os.makedirs("/tmp/stress_docs", exist_ok=True)
+    _mutated_docs(p, reps=40)
+    docs = rd.read_parquet(p, columns=["doc_id", "source", "n_chars"]).filter(
+        lambda r: r["doc_id"] < 50000
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g.doc_id.to_numpy(), g.n_chars.to_numpy()))
+        ids = g.doc_id.to_numpy()[order]
+        chars = g.n_chars.to_numpy()[order]
+        hi = np.searchsorted(chars, chars + 5, side="right")
+        lo = np.arange(len(chars)) + 1
+        cnt = np.maximum(hi - lo, 0)
+        i_idx = np.repeat(np.arange(len(chars)), cnt)
+        j_idx = (
+            np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+            if cnt.sum()
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "subject": np.minimum(ids[i_idx], ids[j_idx]),
+                "object": np.maximum(ids[i_idx], ids[j_idx]),
+            }
+        )
+
+    edges = docs.groupby("source").map_groups(pairs, batch_format="pandas").materialize()
+    print(f"edge table: {edges.count()} edges")
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        bfs_levels,
+        k_core,
+        triangle_count,
+    )
+
+    _t(
+        "triangle_count join path",
+        lambda: f"{triangle_count(edges, broadcast_threshold=0)} triangles",
+    )
+    _t(
+        "k_core distributed",
+        lambda: f"{k_core(edges, 4, driver_threshold=0).count()} core nodes",
+    )
+    srcs = rd.from_pandas(pd.DataFrame({"node": [str(i) for i in range(0, 50000, 50)]}))
+    _t(
+        "bfs_levels distributed",
+        lambda: f"{bfs_levels(edges, srcs, 3, driver_threshold=0).count()} labeled",
+    )
+
+
+def suite_embed() -> None:
+    ray, rd = _session()
+    p = "/tmp/stress_emb.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(7)
+        n, d = 500_000, 32
+        centers = rng.normal(0, 1, (64, d))
+        x = centers[rng.integers(0, 64, n)] + rng.normal(0, 0.3, (n, d))
+        twin = rng.choice(n, 5000, replace=False)
+        x[twin[2500:]] = x[twin[:2500]] + rng.normal(0, 0.001, (2500, d))
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(x.astype(np.float32).tolist(), pa.list_(pa.float32())),
+                }
+            ),
+            p,
+        )
+    ds = rd.read_parquet(p)
+    from climatemind_ontology_processing_ray.functions.ann import ivf_topk
+    from climatemind_ontology_processing_ray.functions.dedup import embedding_neardup_pairs
+
+    _t(
+        "embedding_neardup ivf @500k",
+        lambda: f"{embedding_neardup_pairs(ds, 'vec_id', 'embedding', threshold=0.999, method='ivf').count()} pairs",
+    )
+    q = np.random.default_rng(3).normal(0, 1, (16, 32))
+    _t("ann_ivf @500k", lambda: f"{ivf_topk(ds, q, k=10).count()} rows")
+
+
+SUITES = {
+    "docs": suite_docs,
+    "docs1m": suite_docs1m,
+    "events": suite_events,
+    "graph": suite_graph,
+    "embed": suite_embed,
+}
+
+
+def main() -> int:
+    which = sys.argv[1:] or ["docs"]
+    for name in which:
+        SUITES[name]()
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
