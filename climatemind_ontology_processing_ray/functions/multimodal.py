@@ -123,3 +123,52 @@ def real_decode_unavailable(*_a, **_k):
         "image/audio codecs are not installed in this container; inject "
         "`decoder=` into ImageFeatureExtractor for production use"
     )
+
+
+class ImageResizer:
+    """binary image column -> resized thumbnail features (mean-pooled
+    block downsample of the decoded array to ``target`` x ``target``).
+
+    Actor-pool stage shaped like production resize (PIL/opencv absent in
+    this container, so the decode is the deterministic stand-in —
+    inject ``decoder=`` for a real codec; the pooling math itself is the
+    real operation and runs on whatever the decoder returns).  Output
+    drops the wide payload and carries (thumb_mean, thumb_h, thumb_w,
+    content_sha256)."""
+
+    def __init__(
+        self,
+        image_col: str = "image",
+        target: int = 4,
+        decoder: Callable[[bytes], np.ndarray] | None = None,
+    ):
+        self.image_col = image_col
+        self.target = target
+        self.decoder = decoder or _fake_image_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.image_col).to_pylist()
+        means, digests = [], []
+        t = self.target
+        for p in payloads:
+            arr = self.decoder(p or b"").astype(np.float64)
+            h, w, c = arr.shape
+            bh, bw = max(h // t, 1), max(w // t, 1)
+            th, tw = h // bh, w // bw
+            pooled = (
+                arr[: th * bh, : tw * bw]
+                .reshape(th, bh, tw, bw, c)
+                .mean(axis=(1, 3))
+            )
+            means.append(float(pooled.mean()))
+            digests.append(hashlib.sha256(p or b"").hexdigest())
+        out = batch.drop_columns([self.image_col])
+        out = out.append_column("thumb_mean", pa.array(means, pa.float64()))
+        out = out.append_column(
+            "thumb_h", pa.array([self.target] * len(means), pa.int32())
+        )
+        out = out.append_column(
+            "thumb_w", pa.array([self.target] * len(means), pa.int32())
+        )
+        out = out.append_column("content_sha256", pa.array(digests, pa.string()))
+        return out

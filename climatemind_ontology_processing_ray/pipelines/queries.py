@@ -4246,6 +4246,55 @@ FROM d ORDER BY day
 """
 
 
+_FRAME_BYTES = 40
+
+
+def q_frame_digests(sf_dir: str):
+    """Multimodal frame-sampling plumbing: binary payloads expand to one
+    row per sampled frame offset via the FrameSampler actor pool (real
+    frame decode needs ffmpeg — absent, so frames are (offset, digest)
+    records; the flat-map row expansion, schema and actor signature are
+    the production shape, and the digests are SQL-checkable)."""
+    from ..functions.multimodal import FrameSampler
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in b.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "video": pa.array(payloads, pa.binary())}
+        )
+
+    out = (
+        ds.map_batches(to_binary, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"every_n_bytes": _FRAME_BYTES},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["frame_offset"] = out["frame_offset"].astype("int64")
+    return out.sort_values(["doc_id", "frame_offset"]).reset_index(drop=True)
+
+
+SQL_FRAME_DIGESTS = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(GENERATE_SERIES(0, GREATEST(LENGTH(text), 1) - 1,
+                                {_FRAME_BYTES})) AS off
+  FROM documents
+)
+SELECT doc_id, CAST(off AS BIGINT) AS frame_offset,
+       SHA256(SUBSTR(text, off + 1, {_FRAME_BYTES})) AS frame_sha256
+FROM f ORDER BY doc_id, frame_offset
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4358,6 +4407,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "new_users_daily": (q_new_users_daily, SQL_NEW_USERS_DAILY),
+    "frame_digests": (q_frame_digests, SQL_FRAME_DIGESTS),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }

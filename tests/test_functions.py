@@ -1442,3 +1442,34 @@ def test_binned_exact_quantiles_matches_rank_definition(ray_session):
     for q, v in zip(got["q"], got["value"]):
         exp = s[max(1, math.ceil(q * len(s))) - 1]  # quantile_disc rank
         assert v == exp, (q, v, exp)
+
+
+def test_image_resizer_pooling(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.multimodal import (
+        ImageResizer,
+        _fake_image_decoder,
+    )
+
+    payloads = [b"abc", b"", b"hello world"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2], "image": pa.array(payloads, pa.binary())})
+    )
+    out = (
+        ds.map_batches(
+            ImageResizer, batch_format="pyarrow", concurrency=1, num_cpus=1
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.thumb_h) == [4, 4, 4] and list(out.thumb_w) == [4, 4, 4]
+    # mean pooling preserves the global mean exactly for even block sizes
+    for p, m in zip(payloads, out.thumb_mean):
+        arr = _fake_image_decoder(p).astype(np.float64)
+        assert abs(m - arr.mean()) < 1e-9
+    assert out.content_sha256[0] == hashlib.sha256(b"abc").hexdigest()
