@@ -156,17 +156,40 @@ def minhash_lsh_pairs(
         )
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        out_id, out_bhash, out_part = [], [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        for i, t in zip(ids, texts):
-            sh = np.unique(
-                np.fromiter(
-                    (_hash64(x) for x in _word_ngrams(t or "", ngram)),
-                    dtype=np.uint64,
+        # signatures for the WHOLE batch in one segmented computation:
+        # (a*h+b) mod M over the concatenated shingle array, per-doc min
+        # via minimum.reduceat — bit-identical to the per-doc
+        # minhash_signature (same uint64 expression), but one numpy call
+        # per perm chunk instead of one tiny matmul per doc (the per-doc
+        # loop was overhead-dominated at 1M docs)
+        hash_arrays = []
+        for t in texts:
+            hash_arrays.append(
+                np.unique(
+                    np.fromiter(
+                        (_hash64(x) for x in _word_ngrams(t or "", ngram)),
+                        dtype=np.uint64,
+                    )
                 )
             )
-            sig = minhash_signature(sh, a, b)
+        lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
+        sigs = np.full((len(ids), num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            big = np.concatenate([h for h in hash_arrays if len(h)])
+            offs = np.concatenate([[0], np.cumsum(lens[nonempty])])[:-1]
+            ne_idx = np.flatnonzero(nonempty)
+            for p0 in range(0, num_perm, 8):  # chunk perms: bounded memory
+                p1 = min(p0 + 8, num_perm)
+                prod = (
+                    a[p0:p1, None] * big[None, :] + b[p0:p1, None]
+                ) % np.uint64(_MERSENNE)
+                sigs[ne_idx, p0:p1] = np.minimum.reduceat(prod, offs, axis=1).T
+        out_id, out_bhash, out_part = [], [], []
+        for r, i in enumerate(ids):
+            sig = sigs[r]
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 # band id folded into the hash so buckets never cross bands
