@@ -161,3 +161,35 @@ def test_process_pages_rerun_is_idempotent(ray_session, snapshot, tmp_path):
         _, paths = process_pages(pages, out, snapshot=snapshot, cfg=CFG)
     n = ray.data.read_parquet(paths["canonical_edges"]).count()
     assert n == 97
+
+
+def test_driver_contract_owns_no_ray_session():
+    """The driver calls ray.init() itself before importing __ray_entry__:
+    nothing in the package's query/pipeline surface may init or shutdown
+    Ray (bench.py, CLI entry points and the test fixture are the only
+    session owners)."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    surface = [root / "__ray_entry__.py"] + sorted(
+        (root / "climatemind_ontology_processing_ray").rglob("*.py")
+    )
+    allowed = {"__main__.py"}  # CLI owns its session by design
+    for path in surface:
+        if path.name in allowed:
+            continue
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            if (
+                isinstance(f, ast.Attribute)
+                and f.attr in ("init", "shutdown")
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "ray"
+            ):
+                offenders.append(f"{path.name}:{node.lineno}")
+    assert not offenders, f"ray session calls inside the driver surface: {offenders}"
