@@ -9,6 +9,7 @@ Usage:
     python tools/stress.py events    # 10M-event window family
     python tools/stress.py graph     # 1.6M-edge distributed graph paths
     python tools/stress.py embed     # 500k-vector IVF near-dup + ANN
+    python tools/stress.py joins     # 10M x 1.5M keyed join family
 
 Corpora are content-deterministic (seeded numpy; rep-mutated copies of
 the sf0.1 tables) and cached under /tmp — rerunning skips generation.
@@ -253,12 +254,54 @@ def suite_embed() -> None:
     _t("ann_ivf @500k", lambda: f"{ivf_topk(ds, q, k=10).count()} rows")
 
 
+def suite_joins() -> None:
+    ray, rd = _session()
+    pe = "/tmp/stress_events.parquet"
+    po = "/tmp/stress_orders.parquet"
+    if not os.path.exists(pe):
+        suite_events()  # builds the 10M-event corpus
+    if not os.path.exists(po):
+        o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        frames = []
+        for rep in range(100):
+            d = o.copy()
+            d["o_orderkey"] = d["o_orderkey"] + rep * len(o)
+            d["o_custkey"] = d["o_custkey"] + rep * 10_000
+            frames.append(d)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False),
+            po,
+        )
+    ev = rd.read_parquet(pe, columns=["event_id", "user_id", "ts"]).materialize()
+    od = rd.read_parquet(po, columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "user_id"}), batch_format="pandas"
+    ).materialize()
+    from climatemind_ontology_processing_ray.functions.join import (
+        asof_join,
+        bucketed_anti_join,
+        bucketed_hash_join,
+        bucketed_semi_join,
+    )
+
+    _t("semi 10M x 1.5M", lambda: f"{bucketed_semi_join(ev, od, 'user_id').count()} rows")
+    _t("anti 10M x 1.5M", lambda: f"{bucketed_anti_join(ev, od, 'user_id').count()} rows")
+    _t(
+        "asof 10M x 1.5M",
+        lambda: f"{asof_join(ev, od, 'user_id', 'ts', right_ts_col='o_orderdate').count()} rows",
+    )
+    _t(
+        "inner (199M-row fan-out)",
+        lambda: f"{bucketed_hash_join(ev, od, 'user_id').count()} rows",
+    )
+
+
 SUITES = {
     "docs": suite_docs,
     "docs1m": suite_docs1m,
     "events": suite_events,
     "graph": suite_graph,
     "embed": suite_embed,
+    "joins": suite_joins,
 }
 
 
