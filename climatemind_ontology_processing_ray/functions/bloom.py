@@ -95,12 +95,22 @@ def incremental_new(
 ) -> Dataset:
     """EXACT set of ``incoming`` rows whose ``col`` never appears in
     ``seen``: bloom prefilter routes definite misses straight through;
-    only the maybe-seen tail pays the exact anti join."""
+    only the maybe-seen tail pays the exact anti join.
+
+    ``seen`` is consumed twice (bloom build, then the anti-join right
+    side) and ``incoming`` twice (definite/maybe splits) — both are
+    pinned with ``materialize()`` first so each lineage executes ONCE:
+    the seen side is projected to its key column before pinning
+    (key-column-sized, not corpus-sized), which is what preserves the
+    bloom prefilter's savings at scale instead of re-running the seen
+    scan for the join."""
     import ray
 
     from .join import bucketed_anti_join
 
-    bits_ref = ray.put(build_bloom(seen, col, n_bits, k))
+    seen_keys = seen.select_columns([col]).materialize()
+    incoming = incoming.materialize()
+    bits_ref = ray.put(build_bloom(seen_keys, col, n_bits, k))
 
     def split(b: pd.DataFrame, maybe: bool) -> pd.DataFrame:
         if not len(b):
@@ -115,5 +125,5 @@ def incremental_new(
     maybe_seen = incoming.map_batches(
         lambda b: split(b, maybe=True), batch_format="pandas"
     )
-    verified_new = bucketed_anti_join(maybe_seen, seen.select_columns([col]), col)
+    verified_new = bucketed_anti_join(maybe_seen, seen_keys, col)
     return definite_new.union(verified_new)

@@ -67,27 +67,35 @@ _NUM_PARTS = 64  # hash-partition fan-out for groupby stages.  map_groups
 
 def exact_dedup(ds: Dataset, id_col: str, text_col: str = "text") -> Dataset:
     """Keep one row (min id) per exact text content (G1 semantics —
-    ``drop_duplicates`` at make_network.py:44 — keyed by content hash).
+    ``drop_duplicates`` at make_network.py:44 — keyed by content).
     One hash-partition shuffle; per-partition winners via vectorized
-    drop_duplicates."""
+    drop_duplicates.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
-        batch = batch.append_column("__fp", pa.array(hashes, pa.string()))
-        parts = [int(h[:8], 16) % _NUM_PARTS for h in hashes]
+    The partition key is ``pandas.util.hash_array`` over the text column
+    (fixed-key SipHash, deterministic across processes, iterates in C) —
+    no per-row python md5; content EQUALITY inside each partition is
+    decided on the text itself (null normalized to ""), so a partition-key
+    collision can never merge distinct contents."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        texts = (
+            pd.Series(batch.column(text_col).to_numpy(zero_copy_only=False))
+            .fillna("")
+            .to_numpy(dtype=object)
+        )
+        h = pd.util.hash_array(texts, categorize=False)
+        parts = (h % np.uint64(_NUM_PARTS)).astype(np.int32)
         return batch.append_column("__part", pa.array(parts, pa.int32()))
 
-    def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__k=g[text_col].fillna(""))
         g = g.sort_values(id_col, kind="mergesort")
-        return g.drop_duplicates("__fp", keep="first").drop(columns=["__fp", "__part"])
+        return g.drop_duplicates("__k", keep="first").drop(columns=["__k", "__part"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
-        .map_groups(first_per_fp, batch_format="pandas")
+        .map_groups(first_per_text, batch_format="pandas")
     )
 
 
@@ -297,14 +305,23 @@ def _verify_pairs_jaccard(
             ),
             batch_format="pandas",
         )
-    ids_ref = ray.put(cand_ids)
+    # broadcast the candidate ids as an Arrow array (not a python set):
+    # the corpus-side prune below runs on EVERY batch of the docs table,
+    # so it must be the vectorized pc.is_in kernel, not a per-row loop.
+    ids_ref = ray.put(
+        pa.array(pd.unique(pd.concat([cdf["id_a"], cdf["id_b"]], ignore_index=True)))
+    )
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from .broadcast import cached_get
 
         keep = cached_get(ids_ref)
-        mask = pa.array([i in keep for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
+        col = batch.column(id_col)
+        if keep.type != col.type:
+            keep = keep.cast(col.type)
+        return batch.filter(pc.is_in(col, value_set=keep))
 
     # prune BEFORE tokenizing: only candidate docs reach shingle_fn
     shingles_ds = docs.map_batches(
@@ -718,15 +735,32 @@ def dup_clusters(
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        if ids is not None:
-            members.update(ids.select_columns([id_col]).to_pandas()[id_col])
-        rows = pd.DataFrame(
-            {"id": sorted(members)}
-        )
+        rows = pd.DataFrame({"id": sorted(members)})
         rows["cluster"] = [find(i) for i in rows["id"]]
         import ray.data as _rd
 
-        return _rd.from_pandas(rows)
+        base = _rd.from_pandas(rows) if len(rows) else None
+        if ids is None:
+            return base if base is not None else _rd.from_pandas(
+                pd.DataFrame({"id": [], "cluster": []})
+            )
+        # Singletons (ids with no pair) are emitted DISTRIBUTED: the
+        # resolved member set is pair-bounded, so broadcast it once with
+        # ray.put and filter/tag inside map_batches — never collect the
+        # corpus id column to the driver (at 10^12 docs with few dup
+        # pairs, the common production shape, that collect is a driver
+        # OOM; the pair table is the only thing allowed on the driver
+        # here).  ``ids`` is the corpus id column and is assumed unique
+        # per id (the pages/documents contract).
+        members_ref = ray.put(members)
+
+        def singleton_rows(b: pd.DataFrame) -> pd.DataFrame:
+            mem = ray.get(members_ref)
+            col = b[id_col][~b[id_col].isin(mem)]
+            return pd.DataFrame({"id": col, "cluster": col})
+
+        singles = ids.map_batches(singleton_rows, batch_format="pandas")
+        return singles if base is None else base.union(singles)
     # adaptive partition fan-out: tiny label tables don't need 64-way sorts
     num_parts = min(_NUM_PARTS, max(8, pairs.count() // 4096))
 

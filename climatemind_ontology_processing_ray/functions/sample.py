@@ -21,10 +21,25 @@ def _md5_prefix(value) -> str:
     return hashlib.md5(str(value).encode()).hexdigest()[:8]
 
 
+def _frac_cutoff(frac: float) -> str:
+    """Lexicographic cutoff for an 8-hex md5 prefix at acceptance ``frac``.
+
+    frac >= 1.0 must keep ALL rows and frac <= 0.0 must drop all.  The naive
+    ``format(int(frac * 16**8), '08x')`` breaks at frac=1.0: it yields the
+    9-char '100000000', and every 8-hex prefix compares >= it ('2...' >
+    '10...'), silently dropping ~94% of rows.  'g' sorts after every hex
+    digit, so it is a safe keep-all sentinel."""
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "00000000"
+    return format(int(frac * 16**8), "08x")
+
+
 def deterministic_sample(ds: Dataset, id_col: str, frac: float) -> Dataset:
     """Keep rows whose md5(id) 8-hex-digit prefix falls below frac of the
     space.  No shuffle; pure vectorized filter."""
-    cut = format(int(frac * 16**8), "08x")
+    cut = _frac_cutoff(frac)
 
     def fn(batch: pa.Table) -> pa.Table:
         keep = [
@@ -73,8 +88,8 @@ def mixture_sample(
     table (one weight per domain/source) shipped inside the task closure —
     at fleet scale it would be ``ray.put`` once; either way no shuffle and
     the sample is identical at any parallelism."""
-    cuts = {k: format(int(r * 16**8), "08x") for k, r in rates.items()}
-    dflt = format(int(default * 16**8), "08x")
+    cuts = {k: _frac_cutoff(r) for k, r in rates.items()}
+    dflt = _frac_cutoff(default)
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_pylist()
@@ -100,7 +115,7 @@ def disjoint_split(
     the assignment is parallelism- and run-independent and needs no
     shuffle (a row-level random split leaks near-duplicate documents from
     one domain across the boundary)."""
-    cut = format(int(train_frac * 16**8), "08x")
+    cut = _frac_cutoff(train_frac)
 
     def fn(batch: pa.Table) -> pa.Table:
         lab = pa.array(
@@ -123,16 +138,23 @@ def weighted_sample(
     high-scoring documents without a shuffle).  Content-addressed like
     :func:`deterministic_sample`, and EXACT-integer: keep a row iff its
     weight meets the cap, or the md5 8-hex prefix of its id falls below
-    ``floor(w * 16^8 / cap)`` — all-integer arithmetic, so an oracle can
-    reproduce the sample bit-for-bit and the result is identical at any
-    parallelism.  (``mixture_sample`` is the per-KEY variant with a small
-    rate table; this one reads the weight off each row.)"""
+    ``floor(w * 16^8) // cap`` — exact integer arithmetic for integer
+    weights (the oracle reproduces the sample bit-for-bit), proportional
+    (up to one float rounding in ``w * 16**8``) for fractional weights —
+    a float quality score 0 < w < 1 keeps probability ~w/cap rather than
+    the 0 the old ``int(w)`` truncation gave.  (``mixture_sample`` is the
+    per-KEY variant with a small rate table; this one reads the weight off
+    each row.)"""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         ws = batch.column(weight_col).to_pylist()
         keep = [
-            w >= cap or _md5_prefix(i) < format(int(w) * 16**8 // cap, "08x")
+            w is not None
+            and (
+                w >= cap
+                or (w > 0 and _md5_prefix(i) < format(int(w * 16**8) // cap, "08x"))
+            )
             for i, w in zip(ids, ws)
         ]
         return batch.filter(pa.array(keep, pa.bool_()))

@@ -2434,8 +2434,12 @@ def _sql_tfidf_search() -> str:
         df_ctes.append(
             f"df{i} AS (SELECT COUNT(*) AS d FROM scored WHERE tf{i} > 0)"
         )
+        # mirror the engine's df>0 drop: a query term absent from the
+        # corpus scores 0 instead of raising a division-by-zero in DuckDB
         score_terms.append(
-            f"tf{i} * ((SELECT (SELECT c FROM n) * {IDF_SCALE} // d FROM df{i}))"
+            f"tf{i} * (CASE WHEN (SELECT d FROM df{i}) > 0"
+            f" THEN (SELECT c FROM n) * {IDF_SCALE} // (SELECT d FROM df{i})"
+            f" ELSE 0 END)"
         )
     return f"""
 WITH scored AS (
@@ -3556,7 +3560,12 @@ def _sql_bm25_search() -> str:
         df_ctes.append(
             f"df{i} AS (SELECT COUNT(*) AS d FROM scored WHERE tf{i} > 0)"
         )
-        idf = f"((SELECT c FROM n) * {IDF_SCALE} // (SELECT d FROM df{i}))"
+        # df>0 guard mirrors the engine's dropped-term rule (see TF-IDF)
+        idf = (
+            f"(CASE WHEN (SELECT d FROM df{i}) > 0"
+            f" THEN (SELECT c FROM n) * {IDF_SCALE} // (SELECT d FROM df{i})"
+            f" ELSE 0 END)"
+        )
         num = f"{idf} * tf{i} * 88 * (SELECT s FROM tot)"
         den = (
             f"(40 * tf{i} * (SELECT s FROM tot)"

@@ -36,6 +36,41 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
+def _parse_iso_ts(col):
+    """ISO-8601 string → timestamp[us], accepting the variants crawl
+    exports actually emit: plain ``YYYY-MM-DDTHH:MM:SS``, fractional
+    seconds, a ``Z`` suffix, and numeric zone offsets (normalized to UTC
+    wall time).  Arrow's native ISO cast covers plain + fractional;
+    zone-bearing strings parse as tz-aware UTC and the zone is dropped;
+    a final strptime-coalesce pass nulls (rather than raises on)
+    unrecognized rows so one odd record cannot fail the whole read."""
+    try:
+        return col.cast(pa.timestamp("us"))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    try:
+        return col.cast(pa.timestamp("us", "UTC")).cast(pa.timestamp("us"))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    out = None
+    for fmt in (
+        "%Y-%m-%dT%H:%M:%S",
+        "%Y-%m-%dT%H:%M:%S%z",
+        "%Y-%m-%d %H:%M:%S",
+        "%Y-%m-%d",
+    ):
+        try:
+            parsed = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            continue
+        if parsed.type != pa.timestamp("us"):
+            parsed = parsed.cast(pa.timestamp("us"))
+        out = parsed if out is None else pc.coalesce(out, parsed)
+    if out is None:
+        out = pa.nulls(len(col), pa.timestamp("us"))
+    return out
+
+
 def _coerce(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     cols = {}
@@ -46,10 +81,7 @@ def _coerce(batch: pa.Table) -> pa.Table:
             continue
         col = batch.column(field.name)
         if field.name == "warc_ts" and pa.types.is_string(col.type):
-            # ISO-8601 strings -> timestamp[us] (strptime is the
-            # vectorized Arrow kernel; fractional seconds pass through
-            # the cast path below if already typed)
-            col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+            col = _parse_iso_ts(col)
         elif field.name == "html" and pa.types.is_string(col.type):
             col = col.cast(pa.binary())
         cols[field.name] = col.cast(field.type)

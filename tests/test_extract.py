@@ -190,3 +190,39 @@ def test_jsonl_pages_source_matches_parquet_path(ray_session, tmp_path):
     ext = ds.map_batches(extract_pages_batch, batch_format="pyarrow")
     out = {r["url"]: r["extracted_text"] for r in ext.take_all()}
     assert out["https://ex.org/3"] == "doc 3 text"
+
+
+def test_jsonl_timestamp_variants(ray_session, tmp_path):
+    """ISO-8601 variants common in crawl exports all parse: fractional
+    seconds, 'Z' suffix, numeric offsets (normalized to UTC wall time) —
+    the read must not raise on any of them (regression: a single-format
+    strptime failed the whole read)."""
+    import datetime as dt
+    import json as _json
+
+    from climatemind_ontology_processing_ray.sources.jsonl import read_pages_jsonl
+
+    cases = [
+        ("2024-01-01T00:00:00", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("2024-01-01T00:00:00.123000", dt.datetime(2024, 1, 1, 0, 0, 0, 123000)),
+        ("2024-01-01T00:00:00Z", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("2024-01-01T02:00:00+02:00", dt.datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    p = tmp_path / "ts.jsonl"
+    with open(p, "w") as f:
+        for i, (ts, _) in enumerate(cases):
+            f.write(
+                _json.dumps(
+                    {"url": f"u{i}", "warc_ts": ts, "html": "<p>x</p>", "text": ""}
+                )
+                + "\n"
+            )
+    got = {
+        r["url"]: r["warc_ts"] for r in read_pages_jsonl(str(p)).take_all()
+    }
+    for i, (_, want) in enumerate(cases):
+        ts = got[f"u{i}"]
+        ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        assert ts == want, (i, ts, want)

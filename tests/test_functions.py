@@ -752,6 +752,50 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     assert all(r["k"] == "a" for r in none)
 
 
+def test_sample_rate_boundaries_keep_all_and_none(ray_session):
+    """rate >= 1.0 keeps ALL rows (regression: the naive 8-hex cutoff of
+    int(1.0*16**8) is the 9-char '100000000', which silently dropped ~94%
+    of rows), rate <= 0.0 keeps none."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import (
+        deterministic_sample,
+        disjoint_split,
+        mixture_sample,
+    )
+
+    rows = [{"k": "a" if i % 2 == 0 else "b", "id": i} for i in range(400)]
+    ds = ray.data.from_items(rows)
+    assert deterministic_sample(ds, "id", 1.0).count() == 400
+    assert deterministic_sample(ds, "id", 0.0).count() == 0
+    out = mixture_sample(ds, "k", "id", {"a": 1.0, "b": 0.0}).take_all()
+    assert sorted(r["id"] for r in out) == list(range(0, 400, 2))
+    split = disjoint_split(ds, "k", train_frac=1.0).take_all()
+    assert all(r["split"] == "train" for r in split)
+    split0 = disjoint_split(ds, "k", train_frac=0.0).take_all()
+    assert all(r["split"] == "val" for r in split0)
+
+
+def test_weighted_sample_fractional_weights(ray_session):
+    """0 < w < 1 keeps proportional probability ~w/cap (regression: the
+    int(w) truncation gave fractional weights acceptance 0); w >= cap
+    keeps all; w <= 0 / null drops."""
+    import pandas as pd
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import weighted_sample
+
+    n = 4000
+    df = pd.DataFrame({"id": range(n), "w": [0.5] * n})
+    kept = weighted_sample(ray.data.from_pandas(df), "id", "w", 1).count()
+    assert abs(kept / n - 0.5) < 0.05
+    df2 = pd.DataFrame(
+        {"id": range(4), "w": [2.0, 0.0, -1.0, None]}
+    )
+    out = weighted_sample(ray.data.from_pandas(df2), "id", "w", 2).take_all()
+    assert [r["id"] for r in out] == [0]
+
+
 def test_chunk_documents_boundaries(ray_session):
     import ray.data
 
