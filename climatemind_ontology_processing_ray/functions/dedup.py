@@ -955,6 +955,12 @@ def embedding_neardup_pairs(
     """
     if method == "auto":
         method = "broadcast" if ds.count() <= broadcast_threshold else "ivf"
+    if method == "broadcast":
+        # the broadcast path consumes ds twice (driver matrix build + the
+        # per-batch block scan); pin it so the (threshold-bounded, small)
+        # lineage executes once.  The ivf path stays lazy — it may be
+        # corpus-sized.
+        ds = ds.materialize()
     if method == "ivf":
         return _embedding_neardup_ivf(
             ds,

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata.
 
-The decode kernels (PIL / ffmpeg / torchaudio) are NOT in this container,
-so the codec step is stubbed behind ``decoder=`` injection: pass a real
-decoder callable in production; the default deterministic fake decoder
-exercises the full Ray-side plumbing (schema, actor pool, batch sizing,
-output layout), which is what these stages are really about.
+Heavy decode kernels (PIL / ffmpeg / torchaudio) are NOT in this
+container, so the codec step is injectable via ``decoder=``.  A REAL
+pure-python codec ships in :mod:`.codecs` (``decode_image``: PNG with
+all five scanline filters + PPM) and is exercised end-to-end through
+these stages in tests — inject it (or a production codec) for genuine
+pixel data.  The default deterministic fake decoder stays the default
+because the registry oracles pin its digests; it exercises the same
+Ray-side plumbing (schema, actor pool, batch sizing, output layout).
 
 Batch sizes: binary payloads are wide — callers should pass small
 ``batch_size`` (e.g. 16-64) so batch x concurrency fits worker heaps, and
@@ -118,10 +121,12 @@ def decode_images(
 
 
 def real_decode_unavailable(*_a, **_k):
-    """Marker for the genuinely-stubbed codec path."""
+    """Marker for the genuinely-stubbed codec path (video/audio)."""
     raise NotImplementedError(
-        "image/audio codecs are not installed in this container; inject "
-        "`decoder=` into ImageFeatureExtractor for production use"
+        "heavy codecs (ffmpeg/torchaudio) are not installed in this "
+        "container; inject `decoder=` for production use — for PNG/PPM "
+        "images a real pure-python decoder is available: "
+        "functions.codecs.decode_image"
     )
 
 

@@ -24,13 +24,17 @@ snapshot back to RDF/XML.  The round trip is exact up to edge-list order
 **Reasoner caveat** (documented per SURVEY §2.1): the reference
 optionally runs ``sync_reasoner()`` (HermiT, ``make_graph_class.py:79-82``).
 The snapshot's precomputed ancestor closure reproduces ``ancestors()``
-over the asserted hierarchy, and ``owl:equivalentClass`` axioms between
-NAMED classes are normalized to mutual subsumption at parse time so the
-closure also yields the RDFS-entailed memberships (rules scm-eqc1/scm-sco;
-tested against a fixpoint oracle in ``tests/test_owl.py``).  Memberships
-that require full DL reasoning — anonymous class expressions in
-equivalences, property domain/range inference — are NOT derived; the
-reference pipeline's own edge set does not depend on them.
+over the asserted hierarchy; ``owl:equivalentClass`` axioms between
+NAMED classes are normalized to mutual subsumption at parse time (rules
+scm-eqc1/scm-sco, tested against a fixpoint oracle in
+``tests/test_owl.py``); and restriction-DEFINED classes — C ≡ ∃P.{v}
+(hasValue) and C ≡ ∃P.D (someValuesFrom a named class) — classify
+individuals by a parse-time fixpoint over the asserted object edges,
+materialized into ``direct_classes``.  Memberships that require full DL
+reasoning beyond these patterns — intersection/union class expressions,
+property domain/range inference, inverse/transitive property chains —
+are NOT derived; the reference pipeline's own edge set does not depend
+on them.
 """
 
 from __future__ import annotations
@@ -161,14 +165,52 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     class_individual_parents: list[tuple[str, str]] = []
     equiv_pairs: list[tuple[str, str]] = []
 
+    # restriction-DEFINED classes: C ≡ ∃P.{v} (hasValue) or C ≡ ∃P.D
+    # (someValuesFrom a named class) — the owl:Restriction pattern the
+    # reference ontology feeds through HermiT (make_graph_class.py:71-82);
+    # memberships are inferred below after individuals are parsed.
+    restriction_defs: list[tuple[str, str, str, str]] = []
+
+    def _restriction_parts(container) -> tuple[str, str, str] | None:
+        restr = container.find(q(OWL, "Restriction"))
+        if restr is None:
+            return None
+        on_prop = restr.find(q(OWL, "onProperty"))
+        if on_prop is None:
+            return None
+        p_iri = on_prop.get(_RESOURCE, "")
+        hv = restr.find(q(OWL, "hasValue"))
+        if hv is not None:
+            return (p_iri, "hasValue", hv.get(_RESOURCE, ""))
+        sv = restr.find(q(OWL, "someValuesFrom"))
+        if sv is not None:
+            return (p_iri, "someValuesFrom", sv.get(_RESOURCE, ""))
+        return None
+
     for iri, el in class_els:
         label = class_label[iri]
         parents: list[str] = []
         for eq in el.findall(q(OWL, "equivalentClass")):
-            # named-class equivalence only (anonymous expressions need DL)
+            # named-class equivalence -> mutual subsumption (scm-eqc1)
             res = eq.get(_RESOURCE)
             if res is not None and res in class_label:
                 equiv_pairs.append((label, class_label[res]))
+                continue
+            # anonymous restriction equivalence -> defined class
+            parts = _restriction_parts(eq)
+            if parts is None:
+                continue  # other anonymous expressions need full DL
+            p_iri, kind, v_iri = parts
+            if p_iri not in prop_label:
+                continue
+            if kind == "hasValue" and v_iri in indiv_label:
+                restriction_defs.append(
+                    (label, prop_label[p_iri], kind, indiv_label[v_iri])
+                )
+            elif kind == "someValuesFrom" and v_iri in class_label:
+                restriction_defs.append(
+                    (label, prop_label[p_iri], kind, class_label[v_iri])
+                )
         for sub in el.findall(q(RDFS, "subClassOf")):
             res = sub.get(_RESOURCE)
             if res is not None:
@@ -267,6 +309,52 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             "data_properties": dprops,
             "surface_forms": alt_labels or [label],
         }
+
+    # ---- restriction-membership inference -------------------------------
+    # The one HermiT entailment the climate-style ontologies rely on:
+    # C ≡ ∃P.{v}  ⇒ every x with P(x, v) is a member of C;
+    # C ≡ ∃P.D    ⇒ every x with P(x, y) where y ∈ D (up to ancestors) is
+    # a member of C.  Run to fixpoint (a someValuesFrom filler may itself
+    # be a defined class), then materialize inferred memberships into
+    # direct_classes — mirroring owlready2's post-sync_reasoner ``is_a``
+    # as consumed at make_graph_class.py:134.
+    if restriction_defs:
+
+        def _anc(cls: str) -> set[str]:
+            seen: set[str] = set()
+            stack = [cls]
+            while stack:
+                c = stack.pop()
+                if c in seen or c not in class_parents:
+                    continue
+                seen.add(c)
+                stack.extend(class_parents[c])
+            return seen
+
+        member: dict[str, set[str]] = {
+            lab: set(node["direct_classes"]) for lab, node in individuals.items()
+        }
+        changed = True
+        while changed:
+            changed = False
+            for cls, prop, kind, target in restriction_defs:
+                for s, p, o in obj_edges:
+                    if p != prop or cls in member.get(s, ()) or s not in member:
+                        continue
+                    if kind == "hasValue":
+                        ok = o == target
+                    else:
+                        ok = any(
+                            target in _anc(c) for c in member.get(o, ())
+                        )
+                    if ok:
+                        member[s].add(cls)
+                        changed = True
+        for lab, mems in member.items():
+            cur = individuals[lab]["direct_classes"]
+            extra = sorted(mems - set(cur))
+            if extra:
+                individuals[lab]["direct_classes"] = list(cur) + extra
 
     return OntologySnapshot(
         individuals=individuals,

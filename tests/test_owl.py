@@ -182,6 +182,95 @@ def test_equivalent_class_memberships_match_rdfs_fixpoint():
     assert back.class_ancestors("class c") == snap.class_ancestors("class c")
 
 
+def test_restriction_defined_class_memberships():
+    """Restriction-DEFINED classes classify individuals (the HermiT
+    entailment the reference relies on, make_graph_class.py:71-82):
+    C ≡ ∃P.{v} makes every x with P(x, v) a member of C; C ≡ ∃P.D makes
+    every x with a P-edge to a D-member (up to ancestors) a member of C —
+    chained to fixpoint.  Memberships land in direct_classes and flow
+    through node_all_classes."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Pcauses">
+    <rdfs:label>causes/promotes</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Impact">
+    <rdfs:label>impact</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#WarmingDriver">
+    <rdfs:label>warming driver</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pcauses"/>
+        <owl:hasValue rdf:resource="urn:x#warming"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#ImpactCause">
+    <rdfs:label>impact cause</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pcauses"/>
+        <owl:someValuesFrom rdf:resource="urn:x#Impact"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#co2">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>co2 increase</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#warming"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#warming">
+    <rdf:type rdf:resource="urn:x#Impact"/>
+    <rdfs:label>warming</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#deforest">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>deforestation</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#drought"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#drought">
+    <rdf:type rdf:resource="urn:x#Impact"/>
+    <rdfs:label>drought</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # hand-derived expected memberships:
+    # co2 increase causes warming  -> WarmingDriver (hasValue) AND
+    #   warming ∈ Impact           -> ImpactCause  (someValuesFrom)
+    assert sorted(snap.individuals["co2 increase"]["direct_classes"]) == [
+        "climate mind",
+        "impact cause",
+        "warming driver",
+    ]
+    # deforestation causes drought (∈ Impact) -> ImpactCause only
+    assert sorted(snap.individuals["deforestation"]["direct_classes"]) == [
+        "climate mind",
+        "impact cause",
+    ]
+    # targets themselves gain nothing
+    assert snap.individuals["warming"]["direct_classes"] == ["impact"]
+    # the inferred membership changes `all classes` (node_all_classes)
+    assert snap.node_all_classes("co2 increase") == [
+        "impact cause",
+        "warming driver",
+    ]
+    # and survives the writer round trip (materialized as rdf:type)
+    back = parse_owl(write_owl(snap))
+    assert sorted(back.individuals["co2 increase"]["direct_classes"]) == [
+        "climate mind",
+        "impact cause",
+        "warming driver",
+    ]
+
+
 def test_owl_file_feeds_pipeline(ray_session, tmp_path):
     """process surface: an .owl file path is accepted end-to-end
     (make_network.py:22-45 outputEdges parity via output_edges)."""
