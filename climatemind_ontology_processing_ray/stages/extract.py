@@ -131,8 +131,11 @@ def extract_pages_batch(batch: pa.Table) -> pa.Table:
     function.  The ``html`` (and WET ``text``) columns are dropped here so
     no downstream block carries the wide payload.
     """
+    import pyarrow.compute as pc
+
     html_col = batch.column("html")
     texts: list[str] | None = None
+    text_col: pa.Array | None = None
     ok: list[bool]
     try:
         if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
@@ -141,16 +144,34 @@ def extract_pages_batch(batch: pa.Table) -> pa.Table:
             strings = html_col
         if isinstance(strings, pa.ChunkedArray):
             strings = strings.combine_chunks()
-        vec = _extract_vectorized(strings).to_pylist()
-        raw = strings.to_pylist()
-        texts = [
-            extract_text(r or "") if (r and _NUMERIC_GATE.search(r)) else (v or "")
-            for r, v in zip(raw, vec)
-        ]
-        ok = [True] * len(texts)
+        text_col = pc.fill_null(_extract_vectorized(strings), "")
+        # gate the python recompute path with an Arrow kernel: only rows
+        # that CONTAIN "&#<digit>" are pulled into python (RE2 lacks the
+        # lookahead to exclude &#39; — the per-row regex refines the
+        # coarse match), so the common case never materializes the html
+        # column as python strings.
+        coarse = pc.fill_null(
+            pc.match_substring_regex(strings, pattern=r"&#[0-9]"), False
+        )
+        if pc.any(coarse).as_py():
+            import numpy as np
+
+            idx = np.flatnonzero(coarse.to_numpy(zero_copy_only=False))
+            raws = strings.take(pa.array(idx)).to_pylist()
+            patched = {
+                int(i): extract_text(r or "")
+                for i, r in zip(idx, raws)
+                if r and _NUMERIC_GATE.search(r)
+            }
+            if patched:
+                texts = text_col.to_pylist()
+                for i, t in patched.items():
+                    texts[i] = t
+                text_col = pa.array(texts, pa.string())
+        ok = [True] * len(text_col)
     except Exception:
-        texts = None
-    if texts is None:
+        text_col = None
+    if text_col is None:
         # fallback: invalid utf-8 somewhere in the batch (or kernel
         # failure) — frozen per-row path, byte-for-byte the reference
         texts = []
@@ -162,8 +183,9 @@ def extract_pages_batch(batch: pa.Table) -> pa.Table:
             except Exception:
                 texts.append("")
                 ok.append(False)
+        text_col = pa.array(texts, type=pa.string())
     keep = [c for c in ("url", "warc_ts", "lang") if c in batch.column_names]
     out = batch.select(keep)
-    out = out.append_column("extracted_text", pa.array(texts, type=pa.string()))
+    out = out.append_column("extracted_text", text_col)
     out = out.append_column("extract_ok", pa.array(ok, type=pa.bool_()))
     return out
