@@ -107,9 +107,10 @@ def run_bench() -> dict:
     # CPU-derived) so both scaling runs execute the same plan
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         # the HIGH-cpu scaling leg is short (~20s), so a transient burst
-        # of external VM contention can inflate it 30%+ — give it an
-        # extra trial; the long low-cpu leg averages noise out by itself
-        n_trials = 3 if (n_pages <= 1_500_000 or NUM_CPUS >= SCALE_HI) else 2
+        # of VM contention can inflate it 30%+ — min over 4 trials (the
+        # measured spike at run 3 of the round-3 series lasted through 3
+        # back-to-back trials); the long low-cpu leg averages noise out
+        n_trials = 4 if (n_pages <= 1_500_000 or NUM_CPUS >= SCALE_HI) else 2
     else:
         n_trials = 2
     kg_sec = float("inf")
@@ -209,11 +210,27 @@ def run_bench() -> dict:
     }
 
 
+def _wait_for_quiet(threshold: float = 3.0, max_wait: float = 180.0) -> float:
+    """Timing hygiene for the scaling protocol: wait (bounded) for the
+    1-min load average to decay below ``threshold`` before launching a
+    timed leg, so a leg measures the engine rather than the previous
+    leg's worker teardown / kernel compaction tail or an ambient VM
+    burst.  Returns the load at launch (recorded in the result)."""
+    t0 = time.time()
+    load1 = os.getloadavg()[0]
+    while load1 >= threshold and time.time() - t0 < max_wait:
+        time.sleep(10)
+        load1 = os.getloadavg()[0]
+    return load1
+
+
 def run_scaling() -> dict:
     """Two parallelism levels in fresh processes on the same cached input
     (the sandbox proxy for N vs 4N cluster nodes, BASELINE.md protocol)."""
     results = {}
+    loads = {}
     for ncpu in (SCALE_LO, SCALE_HI):
+        loads[ncpu] = round(_wait_for_quiet(), 2)
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -246,6 +263,8 @@ def run_scaling() -> dict:
         f"pages_per_sec_{SCALE_HI}": results[SCALE_HI]["pages_per_sec"],
         f"triples_per_sec_{SCALE_LO}": results[SCALE_LO]["triples_per_sec"],
         f"triples_per_sec_{SCALE_HI}": results[SCALE_HI]["triples_per_sec"],
+        f"load_at_launch_{SCALE_LO}": loads[SCALE_LO],
+        f"load_at_launch_{SCALE_HI}": loads[SCALE_HI],
         "n_pages": results[SCALE_HI]["n_pages"],
         "sf": SF_DIR,
     }

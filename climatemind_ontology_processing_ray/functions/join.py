@@ -64,6 +64,23 @@ def _plan_columns(
     return l_map, r_map
 
 
+def _union_types(left, right, l_map, r_map) -> dict:
+    """Renamed-column -> Arrow type for the aligned union schema, so the
+    side that lacks a column emits TYPED nulls.  Untyped ``pa.nulls``
+    (type null) makes every left block's schema differ from every right
+    block's, and the sort exchange then re-coerces per block."""
+    out = {}
+    for sch, m in ((left.schema(), l_map), (right.schema(), r_map)):
+        names = list(sch.names)
+        types = list(getattr(sch, "types", []) or [])
+        for name, typ in zip(names, types):
+            # pandas-backed schemas carry numpy dtypes — leave those
+            # untyped (pa.nulls(n, None)), the pre-existing behavior
+            if isinstance(typ, pa.DataType):
+                out.setdefault(m[name], typ)
+    return out
+
+
 def _with_schema(
     batch: pa.Table,
     side: str,
@@ -71,13 +88,19 @@ def _with_schema(
     all_names: list[str],
     key: str,
     num_buckets: int,
+    types: dict | None = None,
 ) -> pa.Table:
     cols = {}
     n = batch.num_rows
     present = {rename[name]: batch.column(name) for name in batch.column_names}
     for name in all_names:
-        cols[name] = present.get(name, pa.nulls(n))
-    cols["__side"] = pa.array([side] * n, pa.string())
+        cols[name] = present.get(
+            name, pa.nulls(n, (types or {}).get(name))
+        )
+    # int8 side flag (0=left, 1=right): the column rides the all-to-all
+    # shuffle on every row and is compared per row in every bucket UDF —
+    # a string column costs ~8x the bytes and a python-object compare
+    cols["__side"] = pa.array(np.full(n, 0 if side == "l" else 1, np.int8))
     cols["__bucket"] = pa.array(
         hash_bucket(batch.column(key).to_numpy(zero_copy_only=False), num_buckets),
         pa.int32(),
@@ -104,13 +127,14 @@ def bucketed_hash_join(
     l_names = list(l_map.values())
     r_names = list(r_map.values())
     all_names = l_names + [n for n in r_names if n not in l_names]
+    types = _union_types(left, right, l_map, r_map)
 
     l_tagged = left.map_batches(
-        lambda b: _with_schema(b, "l", l_map, all_names, key, num_buckets),
+        lambda b: _with_schema(b, "l", l_map, all_names, key, num_buckets, types),
         batch_format="pyarrow",
     )
     r_tagged = right.map_batches(
-        lambda b: _with_schema(b, "r", r_map, all_names, key, num_buckets),
+        lambda b: _with_schema(b, "r", r_map, all_names, key, num_buckets, types),
         batch_format="pyarrow",
     )
     unioned = l_tagged.union(r_tagged)
@@ -120,8 +144,8 @@ def bucketed_hash_join(
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         _quiet_size_estimator()
-        l = g[g["__side"] == "l"][[key] + l_other]
-        r = g[g["__side"] == "r"][[key] + r_other]
+        l = g[g["__side"] == 0][[key] + l_other]
+        r = g[g["__side"] == 1][[key] + r_other]
         return l.merge(r, on=key, how="inner")
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
@@ -136,6 +160,7 @@ def _bucketed_membership_join(
     key; left rows are filtered by membership per bucket."""
     l_map, _ = _plan_columns(list(left.schema().names), [key], key)
     l_names = list(l_map.values())
+    types = _union_types(left, left, l_map, l_map)
 
     def key_only(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -144,7 +169,7 @@ def _bucketed_membership_join(
         n = len(cols[key])
         for name in l_names:
             if name != key:
-                cols[name] = pa.nulls(n)
+                cols[name] = pa.nulls(n, types.get(name))
         t = pa.table(cols).select(l_names)
         return t
 
@@ -161,8 +186,8 @@ def _bucketed_membership_join(
 
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
         _quiet_size_estimator()
-        l = g[g["__side"] == "l"][[key] + l_other]
-        member = l[key].isin(set(g.loc[g["__side"] == "r", key]))
+        l = g[g["__side"] == 0][[key] + l_other]
+        member = l[key].isin(set(g.loc[g["__side"] == 1, key]))
         return l[member] if keep_matches else l[~member]
 
     return unioned.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
@@ -212,13 +237,14 @@ def asof_join(
     all_names = l_names + [n for n in r_names if n not in l_names]
     ts_l = l_map[ts_col]
     ts_r = r_map[right_ts_col]
+    types = _union_types(left, right, l_map, r_map)
 
     l_tagged = left.map_batches(
-        lambda b: _with_schema(b, "l", l_map, all_names, key, num_buckets),
+        lambda b: _with_schema(b, "l", l_map, all_names, key, num_buckets, types),
         batch_format="pyarrow",
     )
     r_tagged = right.map_batches(
-        lambda b: _with_schema(b, "r", r_map, all_names, key, num_buckets),
+        lambda b: _with_schema(b, "r", r_map, all_names, key, num_buckets, types),
         batch_format="pyarrow",
     )
     unioned = l_tagged.union(r_tagged)
@@ -226,8 +252,8 @@ def asof_join(
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         _quiet_size_estimator()
-        l = g[g["__side"] == "l"][l_names].sort_values(ts_l, kind="mergesort")
-        r = g[g["__side"] == "r"][[key, ts_r] + [c for c in r_other if c != ts_r]]
+        l = g[g["__side"] == 0][l_names].sort_values(ts_l, kind="mergesort")
+        r = g[g["__side"] == 1][[key, ts_r] + [c for c in r_other if c != ts_r]]
         r = r.sort_values(ts_r, kind="mergesort")
         if len(l) == 0:
             return pd.DataFrame(columns=l_names + r_other)
@@ -349,8 +375,8 @@ def interval_join(
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         _quiet_size_estimator()
-        l = g[g["__side"] == "l"][[join_key] + [c for c in l_names if c != join_key]]
-        r = g[g["__side"] == "r"][[join_key] + r_other]
+        l = g[g["__side"] == 0][[join_key] + [c for c in l_names if c != join_key]]
+        r = g[g["__side"] == 1][[join_key] + r_other]
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame(columns=out_cols)
         m = l.merge(r, on=join_key, how="inner")

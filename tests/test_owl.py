@@ -271,6 +271,55 @@ def test_restriction_defined_class_memberships():
     ]
 
 
+def test_restriction_membership_chains_to_fixpoint():
+    """A someValuesFrom filler that is ITSELF a defined class: membership
+    derived in round 1 must feed round 2 (C2 ≡ ∃P.C1 where C1 ≡ ∃P.Impact)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#P"><rdfs:label>causes/promotes</rdfs:label></owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Impact">
+    <rdfs:label>impact</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#C1">
+    <rdfs:label>level one</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass><owl:Restriction>
+      <owl:onProperty rdf:resource="urn:x#P"/>
+      <owl:someValuesFrom rdf:resource="urn:x#Impact"/>
+    </owl:Restriction></owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#C2">
+    <rdfs:label>level two</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass><owl:Restriction>
+      <owl:onProperty rdf:resource="urn:x#P"/>
+      <owl:someValuesFrom rdf:resource="urn:x#C1"/>
+    </owl:Restriction></owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#z">
+    <rdf:type rdf:resource="urn:x#Impact"/><rdfs:label>zz</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#y">
+    <rdf:type rdf:resource="urn:x#cm"/><rdfs:label>yy</rdfs:label>
+    <wp:P rdf:resource="urn:x#z"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#x">
+    <rdf:type rdf:resource="urn:x#cm"/><rdfs:label>xx</rdfs:label>
+    <wp:P rdf:resource="urn:x#y"/>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # y causes z (Impact) -> y in C1 (round 1); x causes y (now C1) -> x in C2
+    assert "level one" in snap.individuals["yy"]["direct_classes"]
+    assert "level two" in snap.individuals["xx"]["direct_classes"]
+    assert "level two" not in snap.individuals["yy"]["direct_classes"]
+
+
 def test_owl_file_feeds_pipeline(ray_session, tmp_path):
     """process surface: an .owl file path is accepted end-to-end
     (make_network.py:22-45 outputEdges parity via output_edges)."""

@@ -112,3 +112,22 @@ def test_approx_distinct_error_bound(ray_session, con):
     out = fn(SF)
     assert out["within_bound"].all()
     assert dict(zip(out.event_type, out.exact_distinct)) == exact
+
+
+def test_num_blocks_policy():
+    """Read-block policy: small tables get few blocks (the ~10ms-per-task
+    scheduling swarm was the dominant cost of every small-sf query); large
+    tables keep growing past the 64-block floor so a block never exceeds
+    ~64k rows — parallelism is never capped by the policy at scale."""
+    from climatemind_ontology_processing_ray.pipelines.queries import _num_blocks
+
+    assert _num_blocks(1, 1024) == 1
+    assert _num_blocks(2000, 1024) == 2
+    assert _num_blocks(15_000, 1024) == 15
+    assert _num_blocks(150_000, 1024) == 64         # capped at the floor
+    assert _num_blocks(600_000, 1024) == 64
+    # past 64 * 65536 rows the cap grows with the data
+    assert _num_blocks(10_000_000, 1024) == 153     # ceil(1e7 / 65536)
+    assert _num_blocks(10_000_000, 1024) * 65_536 >= 10_000_000
+    # a finer rows_per_block only adds blocks below the cap
+    assert _num_blocks(5_000, 256) == 20

@@ -6,6 +6,7 @@ families at 10-100x the sf0.1 bench scale.
 Usage:
     python tools/stress.py docs       # 200k-doc dedup + similarity join
     python tools/stress.py docs1m    # 1M-doc exact dedup + minhash
+    python tools/stress.py singletons # 10M ids + 100k pairs dup_clusters
     python tools/stress.py events    # 10M-event window family
     python tools/stress.py graph     # 1.6M-edge distributed graph paths
     python tools/stress.py embed     # 500k-vector IVF near-dup + ANN
@@ -118,6 +119,44 @@ def suite_docs() -> None:
         lambda: f"{similarity_join(ds, 'doc_id').count()} pairs",
     )
     _t("simhash @200k", lambda: f"{simhash_buckets(ds, 'doc_id').count()} pairs")
+
+
+def suite_singletons() -> None:
+    """dup_clusters driver fast path at the production shape: 10M corpus
+    ids, 100k dup pairs.  The pair set resolves driver-side (union-find),
+    singletons are emitted DISTRIBUTED via a broadcast member set — the
+    assertion is that driver RSS stays flat (pair-bounded) instead of
+    pulling the 10M-id column onto the driver (VERDICT r2 item 1)."""
+    import resource
+
+    ray, rd = _session()
+    from climatemind_ontology_processing_ray.functions.dedup import dup_clusters
+
+    n_ids, n_pairs = 10_000_000, 100_000
+    p = "/tmp/stress_singleton_ids"
+    if not (os.path.isdir(p) and os.listdir(p)):
+        os.makedirs(p, exist_ok=True)
+        for s in range(16):
+            lo = s * (n_ids // 16)
+            pq.write_table(
+                pa.table({"doc_id": np.arange(lo, lo + n_ids // 16, dtype=np.int64)}),
+                f"{p}/part{s}.parquet",
+            )
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, n_ids, n_pairs).astype(np.int64)
+    b = rng.randint(0, n_ids, n_pairs).astype(np.int64)
+    keep = a != b
+    pairs = rd.from_arrow(
+        pa.table({"id_a": np.minimum(a, b)[keep], "id_b": np.maximum(a, b)[keep]})
+    )
+    ids = rd.read_parquet(p)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    _t(
+        "dup_clusters 10M ids + 100k pairs",
+        lambda: f"{dup_clusters(pairs, ids, id_col='doc_id').count()} rows",
+    )
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    print(f"driver peak RSS: {rss0} MiB before -> {rss1} MiB after (delta {rss1 - rss0} MiB)")
 
 
 def suite_docs1m() -> None:
@@ -295,13 +334,64 @@ def suite_joins() -> None:
     )
 
 
+def suite_hashshuffle() -> None:
+    """Keep the `ShuffleStrategy.HASH_SHUFFLE` repro alive (VERDICT r2
+    item 9 / BASELINE endurance notes: hung at 10M pages on ray 2.49
+    under the tuned context while the sort-based default took 34s).
+
+    Runs the KG pipeline on the bench corpus (default 1M pages,
+    GRAFT_HS_PAGES to override) under BOTH strategies with a per-run
+    wall-clock alarm, printing time or TIMEOUT — rerun on every Ray
+    upgrade; if the hash run completes at 10M pages, flip the default
+    for multi-node deployments."""
+    import signal
+
+    ray, rd = _session()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+    from ray.data.context import ShuffleStrategy
+
+    from climatemind_ontology_processing_ray.ontology import build_fixture_snapshot
+    from climatemind_ontology_processing_ray.pipelines.kg import (
+        KGConfig,
+        run_kg_pipeline,
+    )
+
+    n_pages = int(os.environ.get("GRAFT_HS_PAGES", "1000000"))
+    pages_path = bench.prepare_pages(n_pages)
+    snap = build_fixture_snapshot()
+    n_blocks = min(1024, max(96, n_pages // 15_625))
+    budget = int(os.environ.get("GRAFT_HS_TIMEOUT", "600"))
+    ctx = rd.DataContext.get_current()
+    for strategy in (ShuffleStrategy.SORT_SHUFFLE_PULL_BASED, ShuffleStrategy.HASH_SHUFFLE):
+        ctx.shuffle_strategy = strategy
+        t0 = time.time()
+
+        def _alarm(*_a):
+            raise TimeoutError
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(budget)
+        try:
+            pages = rd.read_parquet(pages_path, override_num_blocks=n_blocks)
+            n = run_kg_pipeline(pages, snap, KGConfig(batch_size=4096)).canonical_edges.count()
+            print(f"{strategy} @{n_pages}: {time.time() - t0:.1f}s ({n} edges)")
+        except TimeoutError:
+            print(f"{strategy} @{n_pages}: TIMEOUT after {budget}s")
+        finally:
+            signal.alarm(0)
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+
+
 SUITES = {
     "docs": suite_docs,
     "docs1m": suite_docs1m,
+    "singletons": suite_singletons,
     "events": suite_events,
     "graph": suite_graph,
     "embed": suite_embed,
     "joins": suite_joins,
+    "hashshuffle": suite_hashshuffle,
 }
 
 
