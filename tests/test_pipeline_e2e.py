@@ -41,6 +41,17 @@ def test_precision_recall_gate(ray_session, snapshot, golden, pages_and_info):
     assert r >= 0.95, f"recall {r}"
     # false positives are exactly the labeled traps (within budget)
     assert (emitted - golden) <= info.trap_triples
+    # why the trap FP is NOT filtered (NOTES round-3 analysis): the trap
+    # has support=1, but so does a large fraction of GOLDEN edges (Zipf
+    # support) — a support>=2 threshold would reject the trap at a
+    # catastrophic recall cost, and no extraction-time signal separates
+    # a false assertion from a true one.  Pin the premise so a fixture
+    # change that invalidates the analysis fails loudly.
+    support = {(r_["subject"], r_["object"], r_["predicate"]): r_["support"] for r_ in rows}
+    golden_s1 = sum(1 for k, v in support.items() if k in golden and v == 1)
+    assert golden_s1 >= 0.3 * len(golden & emitted), (
+        "support>=2 became a viable trap filter — revisit NOTES analysis"
+    )
 
 
 def test_identical_edge_set_across_parallelism(ray_session, snapshot, pages_and_info):
