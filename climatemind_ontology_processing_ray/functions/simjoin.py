@@ -148,37 +148,64 @@ def similarity_join(
     # self-merge on token (collision rows only), ordered + size-filtered
     # with array ops
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Size-filtered pairs generated directly from each token's
+        size-SORTED posting (the PPJoin length-window): for row i the
+        valid partners are the contiguous slice of larger-or-equal-size
+        rows with n_j*num <= n_i*den, found with one global searchsorted
+        over (token_code, n)-composite keys — the k^2 self-merge the
+        previous version filtered AFTER materializing never exists (on
+        degenerate corpora raw merge rows ran 1000x the true pairs)."""
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
         dup = g[g.duplicated("token", keep=False)][["token", "doc", "n", "pos"]]
         if not len(dup):
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
-                }
-            )
-        m = dup.merge(dup, on="token", suffixes=("_a", "_b"))
-        m = m[m.doc_a < m.doc_b]
-        lo = np.minimum(m.n_a, m.n_b)
-        hi = np.maximum(m.n_a, m.n_b)
-        # size filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
-        m = m[lo * threshold_den >= threshold_num * hi]
+            return empty
+        dup = dup.sort_values(["token", "n", "doc"], kind="mergesort")
+        # sorted by token => first-appearance factorize codes are
+        # nondecreasing, so composite keys are globally sorted
+        codes = pd.factorize(dup["token"], sort=False)[0].astype(np.int64)
+        n = dup["n"].to_numpy()
+        doc = dup["doc"].to_numpy()
+        pos = dup["pos"].to_numpy()
+        K = np.int64(n.max()) + 1
+        keys = codes * K + n
+        # size filter: J >= t forces t*max <= min, i.e. n_j <= n_i*den/num
+        bound = codes * K + (n * threshold_den) // threshold_num
+        up = np.searchsorted(keys, bound, side="right") - 1
+        idx = np.arange(len(keys))
+        w = np.maximum(up - idx, 0)
+        total = int(w.sum())
+        if total == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(w)[:-1]))
+        offs = np.arange(total) - np.repeat(starts, w)
+        ia = np.repeat(idx, w)
+        ib = ia + 1 + offs
         # positional filter (PPJoin): overlap through THIS shared token is
         # bounded by 1 + min remaining suffix; a truly-similar pair always
         # survives at its FIRST shared prefix token (which has the loosest
         # bound), so per-occurrence filtering is exact
-        sums = (m.n_a + m.n_b).to_numpy()
-        alpha = (threshold_num * sums + (threshold_num + threshold_den) - 1) // (
+        na, nb = n[ia], n[ib]
+        alpha = (threshold_num * (na + nb) + (threshold_num + threshold_den) - 1) // (
             threshold_num + threshold_den
         )
-        ubound = 1 + np.minimum(
-            (m.n_a - m.pos_a - 1).to_numpy(), (m.n_b - m.pos_b - 1).to_numpy()
-        )
-        m = m[ubound >= alpha]
-        out = m[["doc_a", "doc_b"]].drop_duplicates()
+        ubound = 1 + np.minimum(na - pos[ia] - 1, nb - pos[ib] - 1)
+        keep = ubound >= alpha
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return empty
+        da, db = doc[ia], doc[ib]
+        out = pd.DataFrame(
+            {"id_a": np.minimum(da, db), "id_b": np.maximum(da, db)}
+        ).drop_duplicates()
         return pd.DataFrame(
             {
-                "id_a": out.doc_a.astype("int64").to_numpy(),
-                "id_b": out.doc_b.astype("int64").to_numpy(),
+                "id_a": out.id_a.astype("int64").to_numpy(),
+                "id_b": out.id_b.astype("int64").to_numpy(),
             }
         )
 

@@ -236,10 +236,24 @@ def funnel_counts(
     partitions, per-partition pandas groupby — never one Ray group per
     key, the engine's measured per-key fold trap); per-key depth is a
     short scan; depth counts emit once per partition before a
-    (<= len(steps))-key native aggregate — driver state is steps-sized."""
+    (<= len(steps))-key native aggregate — driver state is steps-sized.
+
+    Shuffle-volume pruning: only the (key, ts, type) columns ride the
+    exchange, and NON-step events — which matter only for the distinct
+    key count at depth 0 — are deduped to one row per key per batch
+    before shuffling."""
     from .join import hash_bucket
 
+    ds = ds.select_columns([key_col, ts_col, type_col])
+    step_set = set(steps)
+
     def tag(b: pd.DataFrame) -> pd.DataFrame:
+        is_step = b[type_col].isin(step_set)
+        if not is_step.all():
+            b = pd.concat(
+                [b[is_step], b[~is_step].drop_duplicates(key_col)],
+                ignore_index=True,
+            )
         return b.assign(__part=hash_bucket(b[key_col].to_numpy(), 64))
 
     def depth_counts(g: pd.DataFrame) -> pd.DataFrame:
