@@ -565,32 +565,80 @@ def simhash_buckets(
             }
         )
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated("bucket", keep=False)]
-        out: dict[tuple, int] = {}
-        for _, sub in g.groupby("bucket", sort=False):
-            recs = sorted(set(zip(sub[id_col], sub["sig"])))
-            for (ia, sa), (ib, sb) in combinations(recs, 2):
-                ham = bin(int(sa) ^ int(sb)).count("1")
-                if ham <= max_hamming:
-                    out[(ia, ib)] = ham
-        if not out:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        keys = sorted(out)
-        return pd.DataFrame(
-            {
-                "id_a": [k[0] for k in keys],
-                "id_b": [k[1] for k in keys],
-                "hamming": [out[k] for k in keys],
-            }
+    # 16-bit popcount LUT: XOR popcount of uint64 signatures = 4 lookups
+    _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        return (
+            _POP16[x & 0xFFFF]
+            + _POP16[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+            + _POP16[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+            + _POP16[(x >> np.uint64(48)) & np.uint64(0xFFFF)]
         )
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized within-bucket pairing: upper-triangle index pairs
+        from the repeat/arange trick, XOR popcount via a 16-bit LUT —
+        the python combinations loop ran ~1M pairs/s; degenerate corpora
+        emit tens of millions.  Strip-chunked so a hot bucket's pair
+        expansion never allocates more than ~8M index rows at once."""
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "hamming": pd.Series([], dtype="int64")}
+        )
+        g = g[g.duplicated("bucket", keep=False)]
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["bucket", id_col]).sort_values(
+            ["bucket", id_col], kind="mergesort"
+        )
+        ids = g[id_col].to_numpy()
+        sig = g["sig"].to_numpy().astype(np.uint64)
+        # end index (exclusive) of each row's bucket group
+        codes = pd.factorize(g["bucket"], sort=False)[0]
+        ends = np.searchsorted(codes, codes, side="right")
+        idx = np.arange(len(codes))
+        w = ends - idx - 1
+        frames = []
+        strip_budget = 8_000_000
+        start = 0
+        cum = np.cumsum(w)
+        while start < len(w):
+            base = cum[start - 1] if start else 0
+            stop = int(np.searchsorted(cum, base + strip_budget, side="left")) + 1
+            stop = min(max(stop, start + 1), len(w))
+            ws = w[start:stop]
+            total = int(ws.sum())
+            if total:
+                starts = np.concatenate(([0], np.cumsum(ws)[:-1]))
+                offs = np.arange(total) - np.repeat(starts, ws)
+                ia = np.repeat(np.arange(start, stop), ws)
+                ib = ia + 1 + offs
+                ham = _popcount64(sig[ia] ^ sig[ib]).astype(np.int64)
+                keep = ham <= max_hamming
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[ia[keep]],
+                                "id_b": ids[ib[keep]],
+                                "hamming": ham[keep],
+                            }
+                        )
+                    )
+            start = stop
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        # a pair can collide in several buckets of the same partition
+        return out.drop_duplicates(["id_a", "id_b"])
 
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["__part"] = [
-            zlib.crc32(f"{x}|{y}".encode()) % _NUM_PARTS
-            for x, y in zip(batch["id_a"], batch["id_b"])
-        ]
+        ha = pd.util.hash_array(batch["id_a"].to_numpy(), categorize=False)
+        hb = pd.util.hash_array(batch["id_b"].to_numpy(), categorize=False)
+        batch["__part"] = (
+            (ha * np.uint64(31) + hb) % np.uint64(_NUM_PARTS)
+        ).astype(np.int32)
         return batch
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:

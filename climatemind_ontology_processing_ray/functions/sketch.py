@@ -231,6 +231,60 @@ def exact_quantiles(
     return pd.DataFrame(rows)
 
 
+def exact_quantiles_cont(
+    ds: Dataset, col: str, qs: list[tuple[int, int]]
+) -> pd.DataFrame:
+    """Exact INTERPOLATED quantiles (DuckDB ``quantile_cont`` /
+    PERCENTILE_CONT semantics: linear interpolation between the order
+    statistics at floor/ceil of rank ``q*(n-1)``), distributed exactly
+    like :func:`exact_quantiles` — per-batch value counts, one value-keyed
+    grouped sum, a driver walk over the distinct-value histogram.
+
+    Quantiles are passed as RATIONALS ``(q_num, q_den)`` and the result is
+    all-integer: ``v_scaled = lo*(den - rem) + hi*rem`` where
+    ``pos = (n-1)*q_num``, ``lo/hi`` are the order statistics at
+    ``pos // q_den`` and the next rank, and ``rem = pos % q_den`` — i.e.
+    the interpolated value TIMES ``q_den``, bit-reproducible by an oracle
+    with one final ROUND.  Returns (qn, qd, v_scaled) int64 rows."""
+    from .agg import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts()
+        return pd.DataFrame({col: vc.index, "cnt": vc.values})
+
+    hist = (
+        grouped_sum(
+            ds.map_batches(partial, batch_format="pandas"), [col], ["cnt"]
+        )
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    values = hist[col].to_numpy()
+    cum = hist["cnt"].cumsum().to_numpy()  # cum[i] = #rows <= values[i]
+
+    def order_stat(rank0: int):
+        # 0-indexed global order statistic from the cumulative histogram
+        return values[int(np.searchsorted(cum, rank0 + 1, side="left"))]
+
+    rows = []
+    for q_num, q_den in qs:
+        pos = (n - 1) * q_num
+        lo_idx, rem = divmod(pos, q_den)
+        lo = int(order_stat(lo_idx))
+        hi = int(order_stat(lo_idx + 1)) if rem else lo
+        rows.append(
+            {
+                "qn": int(q_num),
+                "qd": int(q_den),
+                "v_scaled": lo * (q_den - rem) + hi * rem,
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out.astype({"qn": "int64", "qd": "int64", "v_scaled": "int64"})
+
+
 # --------------------------------------------------------------------- #
 # Count-min sketch
 # --------------------------------------------------------------------- #

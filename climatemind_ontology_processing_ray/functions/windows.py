@@ -10,6 +10,7 @@ are part of the training-data toolbox (events table).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
@@ -293,6 +294,51 @@ def funnel_counts(
         n = sum(v for d, v in by_depth.items() if d >= i)
         rows.append({"step": f"{i}_{name}", "n_keys": int(n)})
     return pd.DataFrame(rows)
+
+
+def ntile(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    n_tiles: int,
+    tiebreak_cols: list[str] | None = None,
+    num_parts: int = 64,
+) -> Dataset:
+    """Per-key NTILE(n) bucketing (the SQL window function, exact
+    semantics: the first ``n_rows % n`` tiles get ``ceil(n_rows/n)``
+    members, the rest ``floor``).  Same shape as :func:`window_rank` —
+    one coarse hash(key) shuffle, vectorized per-partition sort +
+    cumcount, tile ids derived with pure integer arithmetic so the
+    result is bit-reproducible.  Adds an int64 ``tile`` column
+    (1-indexed).  A total order (``tiebreak_cols``) makes the assignment
+    deterministic."""
+    from .join import hash_bucket
+
+    order = [key_col, order_col] + (tiebreak_cols or [])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        rn = grp.cumcount().to_numpy()  # 0-indexed within key
+        n = grp[order_col].transform("size").to_numpy()
+        q, big = n // n_tiles, n % n_tiles  # per-row (vectorized)
+        cut = big * (q + 1)  # rows below cut sit in the big tiles
+        in_big = rn < cut
+        tile = np.where(
+            in_big,
+            rn // np.maximum(q + 1, 1),
+            big + (rn - cut) // np.maximum(q, 1),
+        )
+        return g.assign(tile=(tile + 1).astype("int64")).drop(columns="__part")
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(tiles, batch_format="pandas")
+    )
 
 
 def window_rank(

@@ -4093,6 +4093,63 @@ def _sql_price_quantiles() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY q"
 
 
+_PRICE_QS_CONT = [(1, 4), (1, 2), (9, 10)]
+
+
+def q_price_quantiles_cont(sf_dir: str):
+    """Exact INTERPOLATED quantiles (PERCENTILE_CONT semantics) of order
+    totals in integer cents: distinct-value histogram + driver rank walk,
+    all-integer interpolation ``lo*(den-rem) + hi*rem`` so the oracle
+    replays it bit-for-bit with one final ROUND
+    (functions/sketch.py:exact_quantiles_cont)."""
+    from ..functions.sketch import exact_quantiles_cont
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": np.round(_round2(b["o_totalprice"]) * 100).astype("int64")}
+        )
+
+    out = exact_quantiles_cont(
+        ds.map_batches(to_cents, batch_format="pandas"), "cents", _PRICE_QS_CONT
+    )
+    return out.sort_values(["qn", "qd"]).reset_index(drop=True)
+
+
+def _sql_price_quantiles_cont() -> str:
+    parts = [
+        f"SELECT CAST({qn} AS BIGINT) AS qn, CAST({qd} AS BIGINT) AS qd, "
+        f"CAST(ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), "
+        f"{qn}.0/{qd}) * {qd}) AS BIGINT) AS v_scaled FROM orders"
+        for qn, qd in _PRICE_QS_CONT
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY qn, qd"
+
+
+def q_event_ntiles(sf_dir: str):
+    """Per-user NTILE(4) bucketing of events by time (the SQL window
+    function, exact first-tiles-get-the-remainder semantics): one coarse
+    hash(user) shuffle + vectorized integer tile math
+    (functions/windows.py:ntile); event_id tiebreak makes the order
+    total, so the assignment is deterministic at any parallelism."""
+    from ..functions.windows import ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = ntile(ev, "user_id", "ts", 4, tiebreak_cols=["event_id"]).to_pandas()
+    out = out[["user_id", "event_id", "tile"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+SQL_EVENT_NTILES = """
+SELECT user_id, event_id,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def q_length_correlation(sf_dir: str):
     """Exact-integer linear statistics between two integer features
     (n_chars vs whitespace token count): streaming per-block partial
@@ -4444,6 +4501,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "user_sequences": (q_user_sequences, SQL_USER_SEQUENCES),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "price_quantiles": (q_price_quantiles, _sql_price_quantiles),
+    "price_quantiles_cont": (q_price_quantiles_cont, _sql_price_quantiles_cont),
+    "event_ntiles": (q_event_ntiles, SQL_EVENT_NTILES),
     "length_correlation": (q_length_correlation, SQL_LENGTH_CORRELATION),
     "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),

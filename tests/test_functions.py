@@ -1659,3 +1659,50 @@ def test_image_stages_on_real_png_bytes(ray_session):
         want = im.reshape(-1, 3).mean(0)
         assert np.allclose(list(rgb), want)
         assert (hh, ww) == (8, 8)
+
+
+def test_exact_quantiles_cont_interpolation(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        exact_quantiles_cont,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [40, 10, 30, 20]}))
+    out = exact_quantiles_cont(ds, "v", [(1, 4), (1, 2), (9, 10)])
+    got = {(r.qn, r.qd): r.v_scaled for r in out.itertuples()}
+    # n=4: q=.25 -> rank 0.75 -> 10*1+20*3 = 70 (17.5*4); q=.5 -> rank 1.5
+    # -> 20+30 = 50 (25*2); q=.9 -> rank 2.7 -> 30*3+40*27... pos=(3*9)=27,
+    # den=10: lo_idx=2 rem=7 -> 30*3+40*7 = 370 (37*10)
+    assert got == {(1, 4): 70, (1, 2): 50, (9, 10): 370}
+    # exact rank (no interpolation): q=(1,1) is the max
+    one = exact_quantiles_cont(ds, "v", [(1, 1), (0, 1)])
+    vals = {(r.qn, r.qd): r.v_scaled for r in one.itertuples()}
+    assert vals == {(1, 1): 40, (0, 1): 10}
+
+
+def test_ntile_exact_semantics_and_parallelism(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import ntile
+
+    rows = [
+        {"k": "a", "o": i, "id": i} for i in range(5)
+    ] + [{"k": "b", "o": i, "id": 100 + i} for i in range(3)]
+    ds = ray.data.from_items(rows)
+    out = {
+        r["id"]: r["tile"]
+        for r in ntile(ds, "k", "o", 4, tiebreak_cols=["id"]).take_all()
+    }
+    # 5 rows over 4 tiles: first tile gets the remainder -> sizes 2,1,1,1
+    assert [out[i] for i in range(5)] == [1, 1, 2, 3, 4]
+    # fewer rows than tiles: one row per tile
+    assert [out[100 + i] for i in range(3)] == [1, 2, 3]
+    # parallelism-independent
+    out2 = {
+        r["id"]: r["tile"]
+        for r in ntile(
+            ds.repartition(7), "k", "o", 4, tiebreak_cols=["id"]
+        ).take_all()
+    }
+    assert out2 == out
