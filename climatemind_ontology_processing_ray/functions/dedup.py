@@ -533,16 +533,26 @@ def simhash64(text: str) -> int:
     return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
 
 
+# pair-expansion strip size for simhash bucket pairing: bounds the
+# largest single numpy allocation (module-level so tests can shrink it
+# to force the multi-strip path on small fixtures)
+_SIMHASH_STRIP_BUDGET = 8_000_000
+
+
 def simhash_buckets(
     ds: Dataset,
     id_col: str,
     text_col: str = "text",
     *,
     max_hamming: int = 3,
+    strip_budget: int | None = None,
 ) -> Dataset:
     """Near-dup pairs by SimHash: 4x 16-bit chunk buckets (hamming<=3
     guarantees a shared chunk), verified by popcount.
     Output: id_a, id_b, hamming."""
+    # resolve the budget DRIVER-side so it ships inside the task closure
+    # (a worker re-imports the module and would not see a test's patch)
+    strip_budget = _SIMHASH_STRIP_BUDGET if strip_budget is None else strip_budget
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -599,7 +609,6 @@ def simhash_buckets(
         idx = np.arange(len(codes))
         w = ends - idx - 1
         frames = []
-        strip_budget = 8_000_000
         start = 0
         cum = np.cumsum(w)
         while start < len(w):

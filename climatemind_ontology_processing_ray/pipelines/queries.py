@@ -57,16 +57,26 @@ def _num_blocks(rows: int, rows_per_block: int) -> int:
     return min(want, cap)
 
 
+# per-row CPU cost decides block granularity: document/embedding rows feed
+# shingling / scoring / matmul stages (want parallelism), relational rows
+# feed vectorized kernels (want fewer, larger tasks).  Measured at sf0.1:
+# relational queries at 4096 rows/block are 1.3-2x faster than at 1024;
+# text-heavy ones regress ~20-35% — hence the split.
+_HEAVY_ROW_TABLES = {"documents", "embeddings"}
+
+
 def _read(
     sf_dir: str,
     name: str,
     columns: list[str] | None = None,
-    rows_per_block: int = 1024,
+    rows_per_block: int | None = None,
 ) -> rd.Dataset:
     # prune at the read: only requested columns leave storage.
-    # ``rows_per_block`` lets CPU-heavy per-row stages (shingling, scoring)
-    # ask for finer blocks than the relational default.
+    # ``rows_per_block`` overrides the table-aware default when a caller
+    # knows its per-row cost profile.
     path = _t(sf_dir, name)
+    if rows_per_block is None:
+        rows_per_block = 1024 if name in _HEAVY_ROW_TABLES else 4096
     return rd.read_parquet(
         path,
         columns=columns,

@@ -1706,3 +1706,31 @@ def test_ntile_exact_semantics_and_parallelism(ray_session):
         ).take_all()
     }
     assert out2 == out
+
+
+def test_simhash_strip_chunking_matches_single_strip(ray_session, monkeypatch):
+    """The strip-chunked pair expansion in simhash bucket pairing must
+    produce exactly the single-allocation result — force multi-strip with
+    a tiny budget and compare against the default path on identical
+    near-duplicate texts."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        {"doc_id": i, "text": base + (f" tail{i % 3}" if i % 7 == 0 else "")}
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows)
+
+    def pairs(budget=None):
+        out = D.simhash_buckets(
+            ds, "doc_id", max_hamming=3, strip_budget=budget
+        ).take_all()
+        return sorted((r["id_a"], r["id_b"], r["hamming"]) for r in out)
+
+    full = pairs()
+    assert len(full) > 50  # near-identical texts collide heavily
+    # budget=7 forces many strips per partition (ships in the closure)
+    assert pairs(budget=7) == full
