@@ -17,11 +17,17 @@ from .search import term_doc_frequencies, tfidf_topk
 from .bloom import bloom_contains, build_bloom, incremental_new
 from .agg import grouped_sum
 from .sample import deterministic_sample, stratified_sample
-from .windows import tumbling_window, sliding_window, sessionize
+from .windows import tumbling_window, sliding_window, sessionize, ntile
 from .ann import brute_force_topk, lsh_topk, ivf_topk, train_ivf_centroids
 from .graph_algo import degree_stats, distinct_edges, pagerank_fixed
-from .sketch import approx_distinct, exact_quantiles, heavy_hitters
+from .sketch import (
+    approx_distinct,
+    exact_quantiles,
+    exact_quantiles_cont,
+    heavy_hitters,
+)
 from .text import inverted_index
+from .codecs import decode_image, decode_png, decode_ppm, encode_png, encode_ppm
 
 __all__ = [
     "TextQualityScorer",
@@ -57,6 +63,13 @@ __all__ = [
     "pagerank_fixed",
     "approx_distinct",
     "exact_quantiles",
+    "exact_quantiles_cont",
     "heavy_hitters",
     "inverted_index",
+    "ntile",
+    "decode_image",
+    "decode_png",
+    "decode_ppm",
+    "encode_png",
+    "encode_ppm",
 ]

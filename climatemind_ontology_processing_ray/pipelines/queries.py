@@ -4252,6 +4252,50 @@ def q_bag_difference(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_bag_intersection(sf_dir: str):
+    """Multiset INTERSECT ALL: per-key multiplicity min(n_left, n_right)
+    — the companion to ``bag_difference`` completing the bag algebra.
+    Map-side partial counts carry BOTH sides as separate columns (a
+    signed sum cannot express min), one grouped_sum exchange, then the
+    min and >0 filter driver-side on the key-cardinality result."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lc = b[b.o_orderstatus == "O"].groupby("o_orderpriority", sort=False).size()
+        rc = b[b.o_orderstatus == "F"].groupby("o_orderpriority", sort=False).size()
+        idx = lc.index.union(rc.index)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": idx,
+                "nl": lc.reindex(idx, fill_value=0).to_numpy().astype("int64"),
+                "nr": rc.reindex(idx, fill_value=0).to_numpy().astype("int64"),
+            }
+        )
+
+    out = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        ["nl", "nr"],
+    ).to_pandas()
+    out["n_copies"] = out[["nl", "nr"]].min(axis=1).astype("int64")
+    out = out[out["n_copies"] > 0][["o_orderpriority", "n_copies"]]
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_BAG_INTERSECTION = """
+WITH l AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders
+           WHERE o_orderstatus = 'O' GROUP BY 1),
+r AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT o_orderpriority, CAST(LEAST(l.n, r.n) AS BIGINT) AS n_copies
+FROM l JOIN r USING (o_orderpriority)
+WHERE LEAST(l.n, r.n) > 0
+ORDER BY o_orderpriority
+"""
+
+
 SQL_BAG_DIFFERENCE = """
 WITH l AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders
            WHERE o_orderstatus = 'O' GROUP BY 1),
@@ -4515,6 +4559,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_ntiles": (q_event_ntiles, SQL_EVENT_NTILES),
     "length_correlation": (q_length_correlation, SQL_LENGTH_CORRELATION),
     "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
+    "bag_intersection": (q_bag_intersection, SQL_BAG_INTERSECTION),
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "new_users_daily": (q_new_users_daily, SQL_NEW_USERS_DAILY),
     "frame_digests": (q_frame_digests, SQL_FRAME_DIGESTS),
