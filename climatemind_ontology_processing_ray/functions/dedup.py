@@ -812,7 +812,9 @@ def dup_clusters(
         members_ref = ray.put(members)
 
         def singleton_rows(b: pd.DataFrame) -> pd.DataFrame:
-            mem = ray.get(members_ref)
+            from .broadcast import cached_get
+
+            mem = cached_get(members_ref)
             col = b[id_col][~b[id_col].isin(mem)]
             return pd.DataFrame({"id": col, "cluster": col})
 

@@ -173,8 +173,12 @@ def similarity_join(
         pos = dup["pos"].to_numpy()
         K = np.int64(n.max()) + 1
         keys = codes * K + n
-        # size filter: J >= t forces t*max <= min, i.e. n_j <= n_i*den/num
-        bound = codes * K + (n * threshold_den) // threshold_num
+        # size filter: J >= t forces t*max <= min, i.e. n_j <= n_i*den/num.
+        # Clamp the offset at K-1: for t < 1 the raw bound exceeds K and
+        # would spill the searchsorted window past this token's key run
+        # into the next token code (spurious cross-token candidates —
+        # correct output, inflated candidate volume on skewed buckets).
+        bound = codes * K + np.minimum((n * threshold_den) // threshold_num, K - 1)
         up = np.searchsorted(keys, bound, side="right") - 1
         idx = np.arange(len(keys))
         w = np.maximum(up - idx, 0)

@@ -39,8 +39,16 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 @functools.lru_cache(maxsize=256)
-def _table_rows(path: str) -> int:
+def _table_rows_cached(path: str, mtime_ns: int, size: int) -> int:
     return pq.read_metadata(path).num_rows
+
+
+def _table_rows(path: str) -> int:
+    # cache keyed on (path, mtime, size): a parquet regenerated in-process
+    # at the same path (re-prepared fixtures) must not serve a stale row
+    # count and silently mis-size override_num_blocks.
+    st = os.stat(path)
+    return _table_rows_cached(path, st.st_mtime_ns, st.st_size)
 
 
 def _num_blocks(rows: int, rows_per_block: int) -> int:

@@ -68,6 +68,21 @@ def _parse_iso_ts(col):
         out = parsed if out is None else pc.coalesce(out, parsed)
     if out is None:
         out = pa.nulls(len(col), pa.timestamp("us"))
+    # Per-value rescue before nulling: a batch mixing zone-bearing and
+    # naive strings fails BOTH whole-column casts, and Arrow strptime has
+    # no fractional-seconds directive, so fractional naive rows would
+    # otherwise null out.  pandas ISO parsing is per-value and zone-aware;
+    # utc=True + tz_localize(None) matches the "normalize to UTC wall
+    # time, drop the zone" contract for both naive and offset strings.
+    if pc.any(pc.is_null(out)).as_py() and not pc.all(pc.is_null(col)).as_py():
+        import pandas as _pd
+
+        rescued = pa.Array.from_pandas(
+            _pd.to_datetime(
+                col.to_pandas(), utc=True, errors="coerce", format="mixed"
+            ).dt.tz_localize(None)
+        ).cast(pa.timestamp("us"))
+        out = pc.coalesce(out, rescued)
     return out
 
 

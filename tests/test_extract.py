@@ -226,3 +226,39 @@ def test_jsonl_timestamp_variants(ray_session, tmp_path):
         if ts.tzinfo is not None:
             ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
         assert ts == want, (i, ts, want)
+
+
+def test_parse_iso_ts_mixed_single_batch():
+    """All ISO variants in ONE batch: zone-bearing + naive + fractional
+    together fail both whole-column Arrow casts, and Arrow strptime has no
+    fractional directive — the per-value rescue must still parse every row
+    (regression: fractional rows silently nulled when the batch was mixed;
+    the block-per-row read path masked it)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.sources.jsonl import _parse_iso_ts
+
+    col = pa.chunked_array(
+        [
+            pa.array(
+                [
+                    "2024-01-01T00:00:00",
+                    "2024-01-01T00:00:00.123000",
+                    "2024-01-01T00:00:00Z",
+                    "2024-01-01T02:00:00+02:00",
+                    None,
+                ]
+            )
+        ]
+    )
+    out = _parse_iso_ts(col)
+    want = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 0, 0, 123000),
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        None,
+    ]
+    assert out.to_pylist() == want
