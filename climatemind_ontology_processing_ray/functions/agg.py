@@ -23,8 +23,10 @@ import pandas as pd
 from ray.data import Dataset
 
 from .join import hash_bucket
+from .partitioning import adaptive_parts
 
-_NUM_PARTS = 64
+_NUM_PARTS = 64  # legacy fallback; entry points now size fan-out from the
+# input row estimate (functions/partitioning.py) unless told otherwise
 
 
 def _grouped_reduce(
@@ -63,12 +65,15 @@ def grouped_sum(
     ds: Dataset,
     keys: list[str],
     sum_cols: list[str],
-    num_parts: int = _NUM_PARTS,
+    num_parts: int | None = None,
 ) -> Dataset:
     """SUM(sum_cols) GROUP BY keys, scale-safe at any key cardinality.
 
     Input should already be map-side combined (each block contributing
-    few rows per key) — this runs the exchange + final merge."""
+    few rows per key) — this runs the exchange + final merge.  Fan-out
+    defaults to ``adaptive_parts(ds)`` (∝ rows, floor/ceiling)."""
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
     return _grouped_reduce(ds, keys, sum_cols, "sum", num_parts)
 
 
@@ -76,11 +81,13 @@ def grouped_min(
     ds: Dataset,
     keys: list[str],
     min_cols: list[str],
-    num_parts: int = _NUM_PARTS,
+    num_parts: int | None = None,
 ) -> Dataset:
     """MIN(min_cols) GROUP BY keys — same coarse-partition exchange as
     :func:`grouped_sum` (min is associative/commutative, so map-side
     pre-combined partials merge exactly)."""
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
     return _grouped_reduce(ds, keys, min_cols, "min", num_parts)
 
 
@@ -89,7 +96,7 @@ def grouped_sum_rollup(
     keys: list[str],
     sum_cols: list[str],
     sentinel: str = "ALL",
-    num_parts: int = _NUM_PARTS,
+    num_parts: int | None = None,
 ) -> Dataset:
     """SUM(sum_cols) GROUP BY ROLLUP(keys): every key prefix plus the
     grand total, the masked-out key columns set to ``sentinel``.
@@ -123,7 +130,7 @@ def pivot_counts(
     key: str,
     pivot_col: str,
     categories: list[str],
-    num_parts: int = _NUM_PARTS,
+    num_parts: int | None = None,
 ) -> Dataset:
     """Pivot ``pivot_col`` into one count column per category
     (``n_<category>``), grouped by ``key``.  The category set must be
@@ -149,7 +156,7 @@ def grouped_count_distinct(
     key_col: str,
     value_col: str,
     out_col: str = "n_distinct",
-    num_parts: int = _NUM_PARTS,
+    num_parts: int | None = None,
 ) -> Dataset:
     """EXACT COUNT(DISTINCT value) GROUP BY key at any cardinality of
     either side — the companion to the HLL sketch (functions/sketch.py)
@@ -160,6 +167,8 @@ def grouped_count_distinct(
     partitions at the dedup stage), then per-key partial counts feed one
     :func:`grouped_sum`.  Map-side drop_duplicates pre-combines before
     either exchange."""
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         out = b[[key_col, value_col]].drop_duplicates()

@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .partitioning import adaptive_parts
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -76,6 +78,7 @@ def exact_dedup(ds: Dataset, id_col: str, text_col: str = "text") -> Dataset:
     no per-row python md5; content EQUALITY inside each partition is
     decided on the text itself (null normalized to ""), so a partition-key
     collision can never merge distinct contents."""
+    parts = adaptive_parts(ds)
 
     def add_part(batch: pa.Table) -> pa.Table:
         texts = (
@@ -84,8 +87,8 @@ def exact_dedup(ds: Dataset, id_col: str, text_col: str = "text") -> Dataset:
             .to_numpy(dtype=object)
         )
         h = pd.util.hash_array(texts, categorize=False)
-        parts = (h % np.uint64(_NUM_PARTS)).astype(np.int32)
-        return batch.append_column("__part", pa.array(parts, pa.int32()))
+        pids = (h % np.uint64(parts)).astype(np.int32)
+        return batch.append_column("__part", pa.array(pids, pa.int32()))
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(__k=g[text_col].fillna(""))
@@ -134,17 +137,28 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 1729,
     verify_broadcast_threshold: int = 100_000,
+    hash_impl: str = "wordmix",
 ) -> Dataset:
     """Near-duplicate pairs: shingle -> minhash -> banded LSH buckets ->
     candidate pairs -> exact-Jaccard verification.
 
     Output: id_a, id_b (id_a < id_b), jaccard (float64) for verified pairs.
-    """
+
+    ``hash_impl``: "wordmix" (default) hashes shingles by folding per-word
+    md5 hashes with a 64-bit mix — fully vectorized, no shingle strings,
+    unique words md5'd once per batch (functions/shingle.py).  "md5"
+    reproduces the round-3 per-shingle ``md5(joined_string)`` hashing
+    bit-for-bit.  Both emit exact-Jaccard-verified pairs; the LSH banding
+    is probabilistic below J=1.0, so which NEAR-threshold true pairs get
+    candidate coverage can differ between impls (NOTES.md "minhash
+    hash-swap"; the shipped fixtures are verified green under both)."""
     assert num_perm % bands == 0
+    assert hash_impl in ("wordmix", "md5")
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed)
+    parts = adaptive_parts(ds)
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
+    def shingle_rows_md5(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         hashes = [
@@ -163,7 +177,76 @@ def minhash_lsh_pairs(
             }
         )
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def shingle_rows_fast(batch: pa.Table) -> pa.Table:
+        from .shingle import doc_shingle_hashes
+
+        hu, off = doc_shingle_hashes(batch.column(text_col), ngram)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(off, pa.int32()), pa.array(hu, pa.uint64())
+                ),
+            }
+        )
+
+    shingle_rows = shingle_rows_fast if hash_impl == "wordmix" else shingle_rows_md5
+
+    def _sigs_from_segments(
+        big: np.ndarray, soff: np.ndarray, ndoc: int
+    ) -> np.ndarray:
+        """(ndoc, num_perm) signatures from flat per-doc shingle-hash
+        segments — (a*h+b) mod M, per-doc min via minimum.reduceat.
+        Duplicate hashes within a segment cannot change a min, so the
+        fast path feeds RAW (non-deduped) shingle occurrences."""
+        lens = soff[1:] - soff[:-1]
+        sigs = np.full((ndoc, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            offs = soff[:-1][nonempty]
+            ne_idx = np.flatnonzero(nonempty)
+            for p0 in range(0, num_perm, 8):  # chunk perms: bounded memory
+                p1 = min(p0 + 8, num_perm)
+                prod = (
+                    a[p0:p1, None] * big[None, :] + b[p0:p1, None]
+                ) % np.uint64(_MERSENNE)
+                sigs[ne_idx, p0:p1] = np.minimum.reduceat(prod, offs, axis=1).T
+        return sigs
+
+    def to_bands_fast(batch: pa.Table) -> pa.Table:
+        from .shingle import mix_finish, mix_step, shingle_hashes, split_words
+        from .shingle import word_hashes as _wh
+        from .shingle import _FOLD_SEED
+
+        flat, woff = split_words(batch.column(text_col))
+        sh, soff = shingle_hashes(_wh(flat), woff, ngram)
+        ndoc = batch.num_rows
+        sigs = _sigs_from_segments(sh, soff, ndoc)
+        # band key = mix fold over the band's signature chunk, seeded by
+        # the band index so buckets never cross bands.  Two docs share a
+        # bucket iff their chunk is equal (any deterministic injective-
+        # modulo-2^-64 key works: candidates depend on chunk EQUALITY,
+        # not on the key function).
+        chunks = sigs.reshape(ndoc, bands, rows_per_band)
+        h = mix_step(
+            np.full((ndoc, bands), _FOLD_SEED, np.uint64),
+            np.arange(bands, dtype=np.uint64)[None, :],
+        )
+        for j in range(rows_per_band):
+            h = mix_step(h, chunks[:, :, j])
+        bh = mix_finish(h).ravel()
+        ids_rep = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids_rep, bands)),
+                "band_hash": pa.array(bh, pa.uint64()),
+                "__part": pa.array(
+                    (bh % np.uint64(parts)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def to_bands_md5(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         # signatures for the WHOLE batch in one segmented computation:
@@ -204,7 +287,7 @@ def minhash_lsh_pairs(
                 bh = _hash64(f"{band}:{chunk.tobytes().hex()}")
                 out_id.append(i)
                 out_bhash.append(bh)
-                out_part.append(bh % _NUM_PARTS)
+                out_part.append(bh % parts)
         return pa.table(
             {
                 id_col: pa.array(out_id),
@@ -229,7 +312,7 @@ def minhash_lsh_pairs(
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__part"] = [
-            zlib.crc32(f"{x}|{y}".encode()) % _NUM_PARTS
+            zlib.crc32(f"{x}|{y}".encode()) % parts
             for x, y in zip(batch["id_a"], batch["id_b"])
         ]
         return batch
@@ -237,6 +320,7 @@ def minhash_lsh_pairs(
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__part")
 
+    to_bands = to_bands_fast if hash_impl == "wordmix" else to_bands_md5
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
     candidates = (
         bands_ds.groupby("__part")
@@ -262,6 +346,7 @@ def minhash_lsh_pairs(
         id_col,
         shingle_fn=shingle_rows,
         threshold=threshold,
+        num_parts=parts,
         broadcast_threshold=verify_broadcast_threshold,
     )
 
@@ -533,6 +618,27 @@ def simhash64(text: str) -> int:
     return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """(n,) uint64 SimHash signatures for a whole batch — bit-identical to
+    per-doc :func:`simhash64` (same per-word md5 hashes, same majority
+    rule), but each UNIQUE word of the batch is md5'd once and per-doc
+    bit-majorities come from one cumsum over the unpacked bit matrix
+    (empty segments fall out naturally; the old path was a Python loop
+    with an np.fromiter per doc)."""
+    from .shingle import split_words
+    from .shingle import word_hashes as _word_h
+
+    flat, woff = split_words(texts)
+    wh = _word_h(flat)
+    bits = np.unpackbits(wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    cum = np.zeros((len(wh) + 1, 64), np.int32)
+    np.cumsum(bits, axis=0, dtype=np.int32, out=cum[1:])
+    ones = cum[woff[1:]] - cum[woff[:-1]]  # (ndoc, 64)
+    counts = (woff[1:] - woff[:-1])[:, None]
+    sig = np.packbits(2 * ones > counts, axis=1, bitorder="little")
+    return np.ascontiguousarray(sig).view(np.uint64).ravel()
+
+
 # pair-expansion strip size for simhash bucket pairing: bounds the
 # largest single numpy allocation (module-level so tests can shrink it
 # to force the multi-strip path on small fixtures)
@@ -553,25 +659,33 @@ def simhash_buckets(
     # resolve the budget DRIVER-side so it ships inside the task closure
     # (a worker re-imports the module and would not see a test's patch)
     strip_budget = _SIMHASH_STRIP_BUDGET if strip_budget is None else strip_budget
+    parts = adaptive_parts(ds)
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_id, out_sig, out_bucket, out_part = [], [], [], []
-        for i, t in zip(ids, texts):
-            s = simhash64(t or "")
-            for c in range(4):
-                bucket = _hash64(f"{c}:{(s >> (16 * c)) & 0xFFFF}")
-                out_id.append(i)
-                out_sig.append(s)
-                out_bucket.append(bucket)
-                out_part.append(bucket % _NUM_PARTS)
+        """Batch-vectorized signatures (``simhash64_batch``, bit-identical
+        to per-doc ``simhash64``, which the SQL oracle replicates).  The
+        16-bit chunk BUCKET key is an internal accelerator — docs collide
+        iff their chunk is equal, so any deterministic function of
+        (chunk_idx, chunk) yields the same pairs; a numpy mix replaces the
+        old per-row string md5."""
+        from .shingle import _FOLD_SEED, mix_finish, mix_step
+
+        sig = simhash64_batch(batch.column(text_col))
+        ndoc = batch.num_rows
+        chunk_idx = np.arange(4, dtype=np.uint64)[None, :]
+        chunks = (sig[:, None] >> (np.uint64(16) * chunk_idx)) & np.uint64(0xFFFF)
+        bucket = mix_finish(
+            mix_step(mix_step(np.full((ndoc, 4), _FOLD_SEED, np.uint64), chunk_idx), chunks)
+        ).ravel()
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.uint64()),
-                "bucket": pa.array(out_bucket, pa.uint64()),
-                "__part": pa.array(out_part, pa.int32()),
+                id_col: pa.array(np.repeat(ids_np, 4)),
+                "sig": pa.array(np.repeat(sig, 4), pa.uint64()),
+                "bucket": pa.array(bucket, pa.uint64()),
+                "__part": pa.array(
+                    (bucket % np.uint64(parts)).astype(np.int32), pa.int32()
+                ),
             }
         )
 
@@ -646,7 +760,7 @@ def simhash_buckets(
         ha = pd.util.hash_array(batch["id_a"].to_numpy(), categorize=False)
         hb = pd.util.hash_array(batch["id_b"].to_numpy(), categorize=False)
         batch["__part"] = (
-            (ha * np.uint64(31) + hb) % np.uint64(_NUM_PARTS)
+            (ha * np.uint64(31) + hb) % np.uint64(parts)
         ).astype(np.int32)
         return batch
 
@@ -821,7 +935,10 @@ def dup_clusters(
         singles = ids.map_batches(singleton_rows, batch_format="pandas")
         return singles if base is None else base.union(singles)
     # adaptive partition fan-out: tiny label tables don't need 64-way sorts
-    num_parts = min(_NUM_PARTS, max(8, pairs.count() // 4096))
+    # iterative label propagation pays per-iteration scheduling ∝ blocks,
+    # so the ceiling is tighter than one-shot exchanges (1024 parts keeps
+    # per-part frames <~100k pairs even at 10^8 edges)
+    num_parts = adaptive_parts(rows=pairs.count(), rows_per_part=4096, cap=1024)
 
     def _part_of(values) -> list[int]:
         return [zlib.crc32(str(v).encode()) % num_parts for v in values]
@@ -1084,6 +1201,8 @@ def _embedding_neardup_ivf(
     from .ann import train_ivf_centroids, _normalize
     from .sample import deterministic_sample
 
+    parts = adaptive_parts(ds)
+
     n_rows = ds.count()
     frac = min(1.0, 4096 / max(n_rows, 1))
     sample_df = (
@@ -1157,7 +1276,7 @@ def _embedding_neardup_ivf(
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__part"] = [
-            zlib.crc32(f"{x}|{y}".encode()) % _NUM_PARTS
+            zlib.crc32(f"{x}|{y}".encode()) % parts
             for x, y in zip(batch["id_a"], batch["id_b"])
         ]
         return batch

@@ -41,6 +41,19 @@ def _quiet_size_estimator() -> None:
     logging.getLogger("ray.data._internal.pandas_block").setLevel(logging.ERROR)
 
 
+def _adaptive_buckets(left, right) -> int:
+    """Join fan-out ∝ the larger side's row estimate (free from read /
+    materialized metadata; functions/partitioning.py) — per-bucket frames
+    stay merge-sized as inputs grow instead of a fixed 32-way fan-out."""
+    from .partitioning import adaptive_parts, estimate_rows
+
+    rows = max(
+        (r for r in (estimate_rows(left), estimate_rows(right)) if r is not None),
+        default=None,
+    )
+    return adaptive_parts(rows=rows, default=32)
+
+
 def hash_bucket(values, num_buckets: int) -> np.ndarray:
     """Deterministic vectorized bucket id for an arbitrary key array.
 
@@ -112,15 +125,17 @@ def bucketed_hash_join(
     left: Dataset,
     right: Dataset,
     key: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """Inner join of two large Datasets on ``key``.
 
     Output columns = union of both sides' columns: the shared ``key`` kept
     once, and any other column present on both sides emitted twice as
     ``<name>_l`` / ``<name>_r``.  One all-to-all shuffle (the groupby on
-    bucket).
+    bucket); fan-out scales with the larger side's row estimate.
     """
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     l_map, r_map = _plan_columns(
         list(left.schema().names), list(right.schema().names), key
     )
@@ -142,13 +157,21 @@ def bucketed_hash_join(
     l_other = [n for n in l_names if n != key]
     r_other = [n for n in r_names if n != key and n not in l_names]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join (VERDICT r3 item 7): the pandas
+        # round-trip (block -> frames -> merge -> block) capped the
+        # fan-out join at ~1.3M rows/s; pa.Table.join hash-joins the
+        # bucket zero-copy.  Null keys never match (SQL semantics,
+        # matching the DuckDB oracles; pandas merge matched NaN==NaN).
         _quiet_size_estimator()
-        l = g[g["__side"] == 0][[key] + l_other]
-        r = g[g["__side"] == 1][[key] + r_other]
-        return l.merge(r, on=key, how="inner")
+        import pyarrow.compute as pc
 
-    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+        side = g.column("__side")
+        l = g.filter(pc.equal(side, 0)).select([key] + l_other)
+        r = g.filter(pc.equal(side, 1)).select([key] + r_other)
+        return l.join(r, keys=key, join_type="inner")
+
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def _bucketed_membership_join(
@@ -194,18 +217,22 @@ def _bucketed_membership_join(
 
 
 def bucketed_semi_join(
-    left: Dataset, right: Dataset, key: str, num_buckets: int = 32
+    left: Dataset, right: Dataset, key: str, num_buckets: int | None = None
 ) -> Dataset:
     """Left rows whose key EXISTS in right (big x big semi join: one
     shuffle, right shipped as distinct keys only).  For ontology-sized
     right sides prefer the broadcast lookup (SURVEY §2.4)."""
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     return _bucketed_membership_join(left, right, key, num_buckets, True)
 
 
 def bucketed_anti_join(
-    left: Dataset, right: Dataset, key: str, num_buckets: int = 32
+    left: Dataset, right: Dataset, key: str, num_buckets: int | None = None
 ) -> Dataset:
     """Left rows whose key does NOT exist in right (NOT EXISTS)."""
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     return _bucketed_membership_join(left, right, key, num_buckets, False)
 
 
@@ -215,7 +242,7 @@ def asof_join(
     key: str,
     ts_col: str,
     right_ts_col: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """As-of join (SURVEY §2.4 notes the reference has none; a general
     engine needs it): for each left row, attach the latest right row with
@@ -229,6 +256,8 @@ def asof_join(
     right side reuses the same name).
     """
     right_ts_col = right_ts_col or ts_col
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     l_map, r_map = _plan_columns(
         list(left.schema().names), list(right.schema().names), key
     )
@@ -308,7 +337,7 @@ def interval_join(
     hi_col: str,
     key: str | None = None,
     bin_width: int | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """Range join: each point row pairs with every interval row whose
     ``[lo, hi)`` window contains the point's ``t`` (SURVEY custom-operator
@@ -338,6 +367,8 @@ def interval_join(
     """
     if (key is None) == (bin_width is None):
         raise ValueError("exactly one of key / bin_width must be given")
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(points, intervals)
     join_key = key if key is not None else "__bin"
     l_map, r_map = _plan_columns(
         list(points.schema().names), list(intervals.schema().names), join_key

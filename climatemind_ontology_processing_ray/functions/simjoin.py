@@ -61,7 +61,7 @@ def similarity_join(
     ngram: int = 3,
     threshold_num: int = 6,
     threshold_den: int = 10,
-    num_parts: int = _NUM_PARTS,
+    num_parts: int | None = None,
     verify_broadcast_threshold: int = 200_000,
     df_broadcast_threshold: int = 2_000_000,
 ) -> Dataset:
@@ -71,6 +71,10 @@ def similarity_join(
     """
     from .agg import grouped_sum
     from .join import bucketed_hash_join, hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
 
     t = threshold_num / threshold_den
 
@@ -303,8 +307,6 @@ def similarity_join(
     if len(cand_docs) <= verify_broadcast_threshold:
         import ray
 
-        from .dedup import _hash64
-
         docs_ref = ray.put(cand_docs)
 
         # ---- hash prefilter over ZERO-COPY numpy broadcasts.  A dict of
@@ -319,16 +321,27 @@ def similarity_join(
         # re-verified EXACTLY on the string shingles — output equals the
         # all-strings computation with certainty, at numpy speed.
         def prune_hashes(b: pd.DataFrame) -> pd.DataFrame:
+            # batch-vectorized md5: unique tokens hashed once (posting
+            # lists repeat tokens heavily), per-doc sorted segments via
+            # one lexsort — identical values to the old per-row _hash64
+            # loop (md5vec is bit-identical), no per-group Python
             from .broadcast import cached_get
+            from .md5vec import md5_u64
 
             keep = cached_get(docs_ref)
             d = b[b.doc.isin(keep)]
-            agg = d.groupby("doc", sort=False)["token"].agg(
-                lambda s: np.sort(
-                    np.fromiter((_hash64(x) for x in s), dtype=np.uint64, count=len(s))
-                )
+            if not len(d):
+                return pd.DataFrame({"doc": [], "h": []})
+            codes, uniq = pd.factorize(d["token"], sort=False)
+            h = md5_u64(list(uniq))[codes]
+            docs_np = d["doc"].to_numpy()
+            order = np.lexsort((h, docs_np))
+            docs_s, h_s = docs_np[order], h[order]
+            bounds = np.flatnonzero(docs_s[1:] != docs_s[:-1]) + 1
+            return pd.DataFrame(
+                {"doc": docs_s[np.concatenate([[0], bounds])],
+                 "h": np.split(h_s, bounds)}
             )
-            return pd.DataFrame({"doc": agg.index, "h": agg.to_numpy()})
 
         hp = tok.map_batches(prune_hashes, batch_format="pandas").to_pandas()
         # a doc's shingles could span input blocks: merge + re-sort

@@ -19,19 +19,41 @@ key; phase 2's input is ontology-sized x num_salts.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from ..functions.partitioning import adaptive_parts
+
 TRIPLE_KEY = ["subject", "object", "predicate"]
 
 
+def _salt_vec(values, num_salts: int) -> np.ndarray:
+    """Vectorized deterministic salt: fixed-key SipHash over the string
+    column (pd.util.hash_array iterates in C; no PYTHONHASHSEED
+    dependence, no per-row Python — replaces the round-3 per-row crc32).
+    Salt assignment is pure partitioning: every downstream merge groups
+    on the real key, and the sources cap keeps the lexicographically
+    smallest urls under ANY partitioning (each partial keeps its own
+    smallest ``cap``, and a globally-smallest url is always among its
+    partition's smallest), so outputs are salt-invariant."""
+    arr = np.asarray(values, dtype=object)
+    return (pd.util.hash_array(arr, categorize=False) % np.uint64(num_salts)).astype(
+        np.int32
+    )
+
+
 def _salt_of(value: str, num_salts: int) -> int:
-    # deterministic across processes (no PYTHONHASHSEED dependence)
-    return zlib.crc32(value.encode("utf-8", "ignore")) % num_salts
+    return int(_salt_vec([value], num_salts)[0])
+
+
+def _part_vec(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
+    """Vectorized partition id over multiple key columns (fixed-key row
+    hash, C-speed)."""
+    h = pd.util.hash_pandas_object(df[cols], index=False, categorize=False)
+    return (h.to_numpy() % np.uint64(num_parts)).astype(np.int32)
 
 
 def partial_triple_agg(
@@ -52,14 +74,12 @@ def partial_triple_agg(
         sources=("url", lambda s: sorted(set(s))[:sources_cap]),
     )
     out = grouped.reset_index()
-    out["salt"] = [
-        _salt_of(u[0] if u else s, num_salts)
-        for s, u in zip(out["subject"], out["sources"])
-    ]
+    first_url = [u[0] if u else s for s, u in zip(out["subject"], out["sources"])]
+    out["salt"] = _salt_vec(first_url, num_salts)
     return out
 
 
-_NUM_PARTS = 64
+_NUM_PARTS = 64  # legacy fallback (adaptive_parts sizes real exchanges)
 
 
 def _merge_partition(g: pd.DataFrame, keys: list[str], sources_cap: int) -> pd.DataFrame:
@@ -100,12 +120,18 @@ _FANIN_ROWS = 16_384
 
 
 def canonicalize_partials(
-    partials: Dataset, sources_cap: int = 8, fanin_rows: int = _FANIN_ROWS
+    partials: Dataset,
+    sources_cap: int = 8,
+    fanin_rows: int = _FANIN_ROWS,
+    num_parts: int | None = None,
 ) -> Dataset:
     """Shuffle phases over pre-combined partial rows: streaming fan-in
     combine, salted coarse groupby, fan-in, then final coarse groupby
     (each hot key spread across its salts first; per-key merging is
-    vectorized inside each partition)."""
+    vectorized inside each partition).  Exchange fan-out scales with the
+    input row estimate (functions/partitioning.py)."""
+    if num_parts is None:
+        num_parts = adaptive_parts(partials)
 
     def combine_salted(b: pd.DataFrame) -> pd.DataFrame:
         return _merge_partition(b, TRIPLE_KEY + ["salt"], sources_cap)
@@ -127,12 +153,7 @@ def canonicalize_partials(
 
     def tag_salted(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__part"] = [
-            zlib.crc32(f"{s}|{o}|{p}|{sl}".encode("utf-8", "ignore")) % _NUM_PARTS
-            for s, o, p, sl in zip(
-                b["subject"], b["object"], b["predicate"], b["salt"]
-            )
-        ]
+        b["__part"] = _part_vec(b, TRIPLE_KEY + ["salt"], num_parts)
         return b
 
     def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
@@ -140,10 +161,7 @@ def canonicalize_partials(
 
     def tag_final(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__part"] = [
-            zlib.crc32(f"{s}|{o}|{p}".encode("utf-8", "ignore")) % _NUM_PARTS
-            for s, o, p in zip(b["subject"], b["object"], b["predicate"])
-        ]
+        b["__part"] = _part_vec(b, TRIPLE_KEY, num_parts)
         return b
 
     def merge_final(g: pd.DataFrame) -> pd.DataFrame:
@@ -214,7 +232,7 @@ def canonicalize_mentions(
         df = pd.DataFrame(
             {
                 "surface_norm": batch["surface_norm"],
-                "salt": [_salt_of(u, num_salts) for u in batch["url"]],
+                "salt": _salt_vec(batch["url"].to_numpy(dtype=object), num_salts),
             }
         )
         return (
@@ -239,7 +257,9 @@ def canonicalize_mentions(
     index_ref = ray.put(surface_index)
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        idx = ray.get(index_ref)
+        from ..functions.broadcast import cached_get
+
+        idx = cached_get(index_ref)
         batch["node_label"] = [idx.get(s) for s in batch["surface_norm"]]
         return batch
 

@@ -1734,3 +1734,117 @@ def test_simhash_strip_chunking_matches_single_strip(ray_session, monkeypatch):
     assert len(full) > 50  # near-identical texts collide heavily
     # budget=7 forces many strips per partition (ships in the closure)
     assert pairs(budget=7) == full
+
+
+# ------------------------------------------------------------------ #
+# round-4 vectorized hashing (md5vec / shingle fast path)
+# ------------------------------------------------------------------ #
+
+
+def test_md5_u64_matches_hashlib():
+    """md5vec must be bit-identical to hashlib's md5 prefix for every
+    block-count regime: empty, sub-block, the 55/56/64-byte padding
+    boundaries, multi-block, and multi-byte UTF-8."""
+    import hashlib
+    import random
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.functions.md5vec import md5_u64
+
+    rng = random.Random(7)
+    cases = ["", "a" * 55, "a" * 56, "a" * 63, "a" * 64, "a" * 65, "héllo ☃" * 12]
+    for length in list(range(1, 70)) + [119, 120, 121, 127, 128, 200]:
+        cases.append("".join(rng.choices(string.printable, k=length)))
+    got = md5_u64(pa.array(cases))
+    want = np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            for s in cases
+        ],
+        dtype=np.uint64,
+    )
+    assert (got == want).all()
+
+
+def test_split_words_matches_python_split():
+    """Arrow tokenization == text.lower().split() on the corpora the
+    oracles run on (ASCII, arbitrary whitespace, edge empties)."""
+    from climatemind_ontology_processing_ray.functions.shingle import split_words
+
+    texts = [
+        "  Hello   World\t\nfoo ",
+        "",
+        "a",
+        "one two three",
+        None,
+        "trailing space ",
+        "\t\n",
+        "UPPER lower MiXeD",
+    ]
+    flat, off = split_words(texts)
+    got = [flat.to_pylist()[off[i] : off[i + 1]] for i in range(len(texts))]
+    want = [(t or "").lower().split() for t in texts]
+    assert got == want
+
+
+def test_doc_shingle_hashes_set_semantics():
+    """Fast wordmix shingles mirror _word_ngrams set semantics: same
+    cardinality per doc (incl. the short-doc single-shingle rule and empty
+    docs), sorted unique output."""
+    import random
+
+    import numpy as np
+
+    from climatemind_ontology_processing_ray.functions.dedup import _word_ngrams
+    from climatemind_ontology_processing_ray.functions.shingle import (
+        doc_shingle_hashes,
+    )
+
+    rng = random.Random(11)
+    vocab = ["climate", "change", "global", "warming", "the", "a", "of"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 25))) for _ in range(500)]
+    texts += ["", "one", "one two", "one two three"]
+    hu, off = doc_shingle_hashes(texts, 3)
+    for i, t in enumerate(texts):
+        seg = hu[off[i] : off[i + 1]]
+        assert len(seg) == len(_word_ngrams(t, 3))
+        assert (np.sort(seg) == seg).all()
+        assert len(np.unique(seg)) == len(seg)
+
+
+def test_minhash_wordmix_matches_md5_impl(docs_ds):
+    """Both hash impls must find the same verified near-dup pairs on the
+    fixture corpus (exact-Jaccard verification makes the outputs
+    comparable; only near-threshold banding luck could differ)."""
+    from climatemind_ontology_processing_ray.functions.dedup import minhash_lsh_pairs
+
+    def run(impl):
+        out = minhash_lsh_pairs(
+            docs_ds, "doc_id", threshold=0.5, hash_impl=impl
+        ).take_all()
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out)
+
+    assert run("wordmix") == run("md5")
+
+
+def test_simhash64_batch_matches_scalar():
+    import numpy as np
+
+    from climatemind_ontology_processing_ray.functions.dedup import (
+        simhash64,
+        simhash64_batch,
+    )
+
+    texts = [
+        "the quick brown fox",
+        "",
+        "one",
+        "completely different content about ray data pipelines",
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    got = simhash64_batch(texts)
+    want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
