@@ -170,11 +170,15 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     # reference ontology feeds through HermiT (make_graph_class.py:71-82);
     # memberships are inferred below after individuals are parsed.
     restriction_defs: list[tuple[str, str, str, str]] = []
+    # intersection-DEFINED classes: C ≡ D1 ⊓ ... ⊓ ∃P.{v} ⊓ ∃P.D — the
+    # next equivalentClass pattern after the bare restriction (reference
+    # behavior envelope make_graph_class.py:71-82); each entry is
+    # (class_label, conjuncts) where a conjunct is ("class", D) /
+    # ("hasValue", P, v) / ("someValuesFrom", P, D); membership requires
+    # ALL conjuncts and is inferred in the same fixpoint below.
+    intersection_defs: list[tuple[str, tuple[tuple[str, ...], ...]]] = []
 
-    def _restriction_parts(container) -> tuple[str, str, str] | None:
-        restr = container.find(q(OWL, "Restriction"))
-        if restr is None:
-            return None
+    def _one_restriction(restr) -> tuple[str, str, str] | None:
         on_prop = restr.find(q(OWL, "onProperty"))
         if on_prop is None:
             return None
@@ -186,6 +190,43 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         if sv is not None:
             return (p_iri, "someValuesFrom", sv.get(_RESOURCE, ""))
         return None
+
+    def _restriction_parts(container) -> tuple[str, str, str] | None:
+        restr = container.find(q(OWL, "Restriction"))
+        if restr is None:
+            return None
+        return _one_restriction(restr)
+
+    def _intersection_conjuncts(container) -> tuple[tuple[str, ...], ...] | None:
+        """Parse ``owl:Class/owl:intersectionOf`` (rdf Collection) under an
+        equivalentClass; None when absent or any conjunct needs full DL."""
+        cls_el = container.find(q(OWL, "Class"))
+        if cls_el is None:
+            return None
+        inter = cls_el.find(q(OWL, "intersectionOf"))
+        if inter is None:
+            return None
+        conjuncts: list[tuple[str, ...]] = []
+        for child in inter:
+            res = child.get(_ABOUT) or child.get(_RESOURCE)
+            if child.tag == q(OWL, "Restriction"):
+                parts = _one_restriction(child)
+                if parts is None:
+                    return None
+                p_iri, kind, v_iri = parts
+                if p_iri not in prop_label:
+                    return None
+                if kind == "hasValue" and v_iri in indiv_label:
+                    conjuncts.append((kind, prop_label[p_iri], indiv_label[v_iri]))
+                elif kind == "someValuesFrom" and v_iri in class_label:
+                    conjuncts.append((kind, prop_label[p_iri], class_label[v_iri]))
+                else:
+                    return None
+            elif res is not None and res in class_label:
+                conjuncts.append(("class", class_label[res]))
+            else:
+                return None
+        return tuple(conjuncts) if conjuncts else None
 
     for iri, el in class_els:
         label = class_label[iri]
@@ -199,6 +240,9 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             # anonymous restriction equivalence -> defined class
             parts = _restriction_parts(eq)
             if parts is None:
+                conj = _intersection_conjuncts(eq)
+                if conj is not None:
+                    intersection_defs.append((label, conj))
                 continue  # other anonymous expressions need full DL
             p_iri, kind, v_iri = parts
             if p_iri not in prop_label:
@@ -318,7 +362,7 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     # be a defined class), then materialize inferred memberships into
     # direct_classes — mirroring owlready2's post-sync_reasoner ``is_a``
     # as consumed at make_graph_class.py:134.
-    if restriction_defs:
+    if restriction_defs or intersection_defs:
 
         def _anc(cls: str) -> set[str]:
             seen: set[str] = set()
@@ -350,6 +394,35 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                     if ok:
                         member[s].add(cls)
                         changed = True
+            if intersection_defs:
+                # per-individual outgoing edges, rebuilt per round (cheap:
+                # ontology-sized), so each conjunct check is a lookup
+                out_edges: dict[str, list[tuple[str, str]]] = {}
+                for s, p, o in obj_edges:
+                    out_edges.setdefault(s, []).append((p, o))
+
+                def _satisfies(x: str, conj: tuple[str, ...]) -> bool:
+                    if conj[0] == "class":
+                        return any(conj[1] in _anc(c) for c in member.get(x, ()))
+                    _, prop, target = conj
+                    for p, o in out_edges.get(x, ()):
+                        if p != prop:
+                            continue
+                        if conj[0] == "hasValue" and o == target:
+                            return True
+                        if conj[0] == "someValuesFrom" and any(
+                            target in _anc(c) for c in member.get(o, ())
+                        ):
+                            return True
+                    return False
+
+                for cls, conjuncts in intersection_defs:
+                    for x in member:
+                        if cls in member[x]:
+                            continue
+                        if all(_satisfies(x, c) for c in conjuncts):
+                            member[x].add(cls)
+                            changed = True
         for lab, mems in member.items():
             cur = individuals[lab]["direct_classes"]
             extra = sorted(mems - set(cur))

@@ -344,3 +344,72 @@ def test_owl_file_feeds_pipeline(ray_session, tmp_path):
     golden = golden_edge_set(snap)
     # near-total recall at 300 pages; precision within the trap budget
     assert len(got & golden) / len(golden) > 0.9
+
+
+def test_intersection_defined_class_memberships():
+    """intersectionOf in equivalentClass (the next pattern after bare
+    restrictions, reference make_graph_class.py:71-82 behavior envelope):
+    C ≡ D ⊓ ∃P.{v} classifies exactly the individuals satisfying ALL
+    conjuncts, changing `all classes`; partial satisfaction does not."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Pcauses">
+    <rdfs:label>causes/promotes</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Human">
+    <rdfs:label>human driver</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#Impact">
+    <rdfs:label>impact</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#HumanWarmingCause">
+    <rdfs:label>human warming cause</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="urn:x#Human"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="urn:x#Pcauses"/>
+            <owl:someValuesFrom rdf:resource="urn:x#Impact"/>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#factory">
+    <rdf:type rdf:resource="urn:x#Human"/>
+    <rdfs:label>factory emissions</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#warming"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#volcano">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>volcano</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#warming"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#bicycle">
+    <rdf:type rdf:resource="urn:x#Human"/>
+    <rdfs:label>bicycle lobby</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#warming">
+    <rdf:type rdf:resource="urn:x#Impact"/>
+    <rdfs:label>warming</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # both conjuncts -> member (and visible in the hierarchy closure)
+    assert "human warming cause" in snap.individuals["factory emissions"][
+        "direct_classes"
+    ]
+    # one conjunct each -> NOT members
+    assert "human warming cause" not in snap.individuals["volcano"]["direct_classes"]
+    assert "human warming cause" not in snap.individuals["bicycle lobby"][
+        "direct_classes"
+    ]
+    assert "human warming cause" in snap.node_all_classes("factory emissions")
