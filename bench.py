@@ -315,8 +315,30 @@ def run_ceiling() -> dict:
     }
 
 
+def run_scaling_widths() -> dict:
+    """Both scaling widths (4 vs 16 AND 8 vs 32) in one run — the
+    efficiency claim should not be a single-ratio artifact (VERDICT r3
+    item 9).  Each width follows the same fresh-process + load-quiescence
+    protocol as --scaling."""
+    global SCALE_LO, SCALE_HI
+    out = {}
+    for lo, hi in ((4, 16), (8, 32)):
+        SCALE_LO, SCALE_HI = lo, hi
+        out[f"{lo}v{hi}"] = run_scaling()
+    return {
+        "metric": "scaling_efficiency_two_widths",
+        "value": round(
+            min(out["4v16"]["value"], out["8v32"]["value"]), 3
+        ),
+        "unit": "ratio",
+        "widths": out,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-widths" in sys.argv:
+        print(json.dumps(run_scaling_widths()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--ceiling" in sys.argv:
         print(json.dumps(run_ceiling()))

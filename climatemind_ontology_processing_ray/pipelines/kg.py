@@ -130,9 +130,23 @@ def run_kg_pipeline(
                     stats.append(f)
             corpus_fp = "|".join(stats)
         else:
-            sample = pages.select_columns(["url"]).limit(64).take_all()
-            corpus_fp = f"rows={pages.count()}|" + "|".join(
-                r["url"] for r in sample
+            # NO full execution just to fingerprint (r3 verdict item 4:
+            # pages.count() ran the whole upstream once): row count comes
+            # from plan metadata when known, else the discriminator is the
+            # prefix sample alone — limit(64) executes only the first
+            # block(s) under streaming.  Two corpora that share schema,
+            # metadata row estimate AND their first 64 (url, text-digest)
+            # rows are treated as the same corpus for resume purposes.
+            from ..functions.partitioning import estimate_rows
+
+            sample = (
+                pages.select_columns(["url", "text"]).limit(64).take_all()
+            )
+            sig = hashlib.sha1(
+                "|".join(f"{r['url']}\x1f{r['text']}" for r in sample).encode()
+            ).hexdigest()[:16]
+            corpus_fp = (
+                f"rows~{estimate_rows(pages)}|schema={pages.schema()}|{sig}"
             )
         fp = hashlib.sha1(
             (corpus_fp + snap.to_json()).encode()

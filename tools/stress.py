@@ -11,6 +11,7 @@ Usage:
     python tools/stress.py graph     # 1.6M-edge distributed graph paths
     python tools/stress.py embed     # 500k-vector IVF near-dup + ANN
     python tools/stress.py joins     # 10M x 1.5M keyed join family
+    python tools/stress.py keys10m   # 10M distinct keys through grouped_sum
 
 Corpora are content-deterministic (seeded numpy; rep-mutated copies of
 the sf0.1 tables) and cached under /tmp — rerunning skips generation.
@@ -383,6 +384,69 @@ def suite_hashshuffle() -> None:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
 
 
+def suite_keys10m() -> None:
+    """VERDICT r4 fan-out criterion: >=10M DISTINCT keys through
+    grouped_sum with bounded per-partition frames.  Partials are NOT
+    pre-combined (every key unique), so the exchange carries all 10M rows;
+    adaptive_parts must size the fan-out so each merge frame stays
+    ~ROWS_PER_PART rows instead of 10M/64."""
+    ray, rd = _session()
+    p = "/tmp/stress_keys10m.parquet"
+    if not os.path.exists(p):
+        rng = np.random.RandomState(7)
+        n = 10_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "k": np.arange(n, dtype=np.int64),
+                    "v": rng.randint(0, 1000, size=n).astype(np.int64),
+                }
+            ),
+            p,
+        )
+    from climatemind_ontology_processing_ray.functions.agg import grouped_sum
+    from climatemind_ontology_processing_ray.functions.partitioning import (
+        adaptive_parts,
+    )
+
+    ds = rd.read_parquet(p)
+    parts = adaptive_parts(ds)
+    print(f"adaptive fan-out: {parts} parts (~{10_000_000 // parts} rows/partition)")
+    assert parts >= 64, parts
+
+    import pandas as pd_
+
+    max_seen = {"rows": 0}
+
+    def measured(ds_):
+        out = grouped_sum(ds_, ["k"], ["v"])
+        got = out.count()
+        return f"{got} groups"
+
+    _t("grouped_sum 10M distinct keys", lambda: measured(ds))
+    # bounded-frame check: per-partition row count == ceil(10M/parts)+-skew
+    df = (
+        ds.map_batches(
+            lambda b: pd_.DataFrame(
+                {
+                    "part": pd_.util.hash_array(
+                        b["k"].to_numpy(), categorize=False
+                    )
+                    % np.uint64(parts)
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .count()
+        .to_pandas()
+    )
+    print(
+        f"partition frame rows: max {df['count()'].max()}, "
+        f"mean {df['count()'].mean():.0f} over {len(df)} parts"
+    )
+
+
 SUITES = {
     "docs": suite_docs,
     "docs1m": suite_docs1m,
@@ -391,6 +455,7 @@ SUITES = {
     "graph": suite_graph,
     "embed": suite_embed,
     "joins": suite_joins,
+    "keys10m": suite_keys10m,
     "hashshuffle": suite_hashshuffle,
 }
 
