@@ -197,3 +197,133 @@ def decode_image(data: bytes) -> np.ndarray:
     else:
         raise ValueError("unrecognized image format (PNG/PPM supported)")
     return img if img.ndim == 3 else img[:, :, None]
+
+
+# --------------------------------------------------------------------- #
+# WAV (PCM) — real audio decode with zero external deps
+# --------------------------------------------------------------------- #
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> ((n_samples, channels) int16/uint8 array,
+    sample_rate).  Supports PCM (format 1) at 8-bit unsigned and 16-bit
+    signed — the uncompressed formats a data pipeline can decode without
+    ffmpeg; compressed codecs stay behind the injectable-decoder boundary.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM wav (format {audio_fmt}) unsupported")
+            if bits not in (8, 16):
+                raise ValueError(f"{bits}-bit PCM unsupported")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate, bits = fmt
+    dtype = np.int16 if bits == 16 else np.uint8
+    arr = np.frombuffer(samples, dtype=dtype)
+    n = len(arr) // channels
+    return arr[: n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) int16/uint8 -> RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype == np.int16:
+        bits = 16
+    elif samples.dtype == np.uint8:
+        bits = 8
+    else:
+        raise ValueError("int16 or uint8 samples required")
+    channels = samples.shape[1]
+    body = samples.tobytes()
+    ba = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * ba, ba, bits)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# --------------------------------------------------------------------- #
+# Y4M (YUV4MPEG2) — real uncompressed video decode, zero external deps
+# --------------------------------------------------------------------- #
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
+    """YUV4MPEG2 bytes -> ((frames, H, W) uint8 luma planes, fps_num,
+    fps_den).  Chroma (C420/C444) is parsed and skipped — pipelines that
+    need it can slice the planes the same way; luma carries the signal
+    for frame-level features.  Compressed video stays injectable."""
+    nl = data.find(b"\x0a")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    header = data[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    chroma = "420"
+    for tok in header[1:]:
+        if not tok:
+            continue
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            chroma = tok[1:]
+    if w is None or h is None:
+        raise ValueError("missing W/H in y4m header")
+    if chroma.startswith("420"):
+        frame_bytes = h * w + 2 * ((h // 2) * (w // 2))
+    elif chroma.startswith("444"):
+        frame_bytes = 3 * h * w
+    else:
+        raise ValueError(f"chroma {chroma} unsupported")
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.find(b"\x0a", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME header")
+        start = fnl + 1
+        luma = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=start)
+        frames.append(luma.reshape(h, w))
+        pos = start + frame_bytes
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w), np.uint8),
+        fps_num,
+        fps_den,
+    )
+
+
+def encode_y4m(
+    luma_frames: np.ndarray, fps_num: int = 25, fps_den: int = 1
+) -> bytes:
+    """(frames, H, W) uint8 luma -> YUV4MPEG2 (C420, neutral chroma)."""
+    f, h, w = luma_frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420\x0a".encode()]
+    chroma = np.full(((h // 2) * (w // 2),), 128, np.uint8).tobytes()
+    for i in range(f):
+        out.append(b"FRAME\x0a")
+        out.append(luma_frames[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)

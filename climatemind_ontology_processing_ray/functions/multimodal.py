@@ -2,13 +2,13 @@
 typed metadata.
 
 Heavy decode kernels (PIL / ffmpeg / torchaudio) are NOT in this
-container, so the codec step is injectable via ``decoder=``.  A REAL
-pure-python codec ships in :mod:`.codecs` (``decode_image``: PNG with
-all five scanline filters + PPM) and is exercised end-to-end through
-these stages in tests — inject it (or a production codec) for genuine
-pixel data.  The default deterministic fake decoder stays the default
-because the registry oracles pin its digests; it exercises the same
-Ray-side plumbing (schema, actor pool, batch sizing, output layout).
+container, so the codec step is injectable via ``decoder=``.  REAL
+pure-python codecs ship in :mod:`.codecs` for every UNCOMPRESSED format
+(PNG with all five scanline filters, PPM, WAV PCM, YUV4MPEG2) and are
+the DEFAULTS for the audio/video stages (no external dep needed) and
+exercised end-to-end in tests + registry oracles; only compressed
+containers remain injectable.  The image stages keep the deterministic
+fake as default because the registry oracles pin its digests.
 
 Batch sizes: binary payloads are wide — callers should pass small
 ``batch_size`` (e.g. 16-64) so batch x concurrency fits worker heaps, and
@@ -121,12 +121,15 @@ def decode_images(
 
 
 def real_decode_unavailable(*_a, **_k):
-    """Marker for the genuinely-stubbed codec path (video/audio)."""
+    """Marker for the genuinely-stubbed codec path (COMPRESSED
+    video/audio containers only — uncompressed formats decode for real:
+    PNG/PPM via codecs.decode_image, WAV PCM via codecs.decode_wav,
+    YUV4MPEG2 via codecs.decode_y4m)."""
     raise NotImplementedError(
-        "heavy codecs (ffmpeg/torchaudio) are not installed in this "
-        "container; inject `decoder=` for production use — for PNG/PPM "
-        "images a real pure-python decoder is available: "
-        "functions.codecs.decode_image"
+        "compressed codecs (ffmpeg/torchaudio) are not installed in this "
+        "container; inject `decoder=` for production use — real "
+        "pure-python decoders exist for PNG/PPM (codecs.decode_image), "
+        "WAV PCM (codecs.decode_wav) and Y4M (codecs.decode_y4m)"
     )
 
 
@@ -177,3 +180,90 @@ class ImageResizer:
         )
         out = out.append_column("content_sha256", pa.array(digests, pa.string()))
         return out
+
+
+class AudioFeatureExtractor:
+    """binary WAV column -> per-clip features (REAL decode: uncompressed
+    PCM needs no external codec, so the default decoder is
+    :func:`..functions.codecs.decode_wav` — the injectable boundary is
+    only for compressed formats).
+
+    Exact-integer features so an independent oracle can replay them:
+    ``n_samples``/``channels``/``sample_rate`` from the header,
+    ``sq_sum`` = sum of squared first-channel samples (int64, exact),
+    ``zero_crossings`` = sign changes (x<0 vs x>=0) between consecutive
+    first-channel samples.  Actor-pool stage; wide rows want small
+    batches like the image stages.
+    """
+
+    def __init__(self, audio_col: str = "audio", decoder=None):
+        from .codecs import decode_wav
+
+        self.audio_col = audio_col
+        self.decoder = decoder or decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.audio_col).to_pylist()
+        rates, nsamp, chans, sq, zc, digests = [], [], [], [], [], []
+        for p in payloads:
+            arr, rate = self.decoder(p or b"")
+            ch0 = arr[:, 0].astype(np.int64)
+            rates.append(rate)
+            nsamp.append(arr.shape[0])
+            chans.append(arr.shape[1])
+            sq.append(int((ch0 * ch0).sum()))
+            neg = ch0 < 0
+            zc.append(int(np.count_nonzero(neg[1:] != neg[:-1])))
+            digests.append(hashlib.sha256(p or b"").hexdigest())
+        out = batch.drop_columns([self.audio_col])
+        out = out.append_column("sample_rate", pa.array(rates, pa.int32()))
+        out = out.append_column("n_samples", pa.array(nsamp, pa.int64()))
+        out = out.append_column("channels", pa.array(chans, pa.int32()))
+        out = out.append_column("sq_sum", pa.array(sq, pa.int64()))
+        out = out.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        out = out.append_column("content_sha256", pa.array(digests, pa.string()))
+        return out
+
+
+class VideoFrameDecoder:
+    """binary Y4M column -> one row per DECODED frame (REAL decode for
+    uncompressed YUV4MPEG2 via :func:`..functions.codecs.decode_y4m`;
+    compressed containers stay behind ``decoder=``).
+
+    Output per frame: doc_id, frame_idx, luma_sum (int64, exact sum of
+    the Y plane), frame_h, frame_w — the flat-map row expansion shape of
+    production frame sampling, now on real pixel planes.
+    """
+
+    def __init__(self, video_col: str = "video", decoder=None):
+        from .codecs import decode_y4m
+
+        self.video_col = video_col
+        self.decoder = decoder or decode_y4m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column("doc_id").to_pylist()
+            if "doc_id" in batch.column_names
+            else list(range(batch.num_rows))
+        )
+        payloads = batch.column(self.video_col).to_pylist()
+        out_id, out_idx, out_sum, out_h, out_w = [], [], [], [], []
+        for i, p in zip(ids, payloads):
+            frames, _fn, _fd = self.decoder(p or b"")
+            sums = frames.reshape(frames.shape[0], -1).astype(np.int64).sum(axis=1)
+            for j, s in enumerate(sums):
+                out_id.append(i)
+                out_idx.append(j)
+                out_sum.append(int(s))
+                out_h.append(frames.shape[1])
+                out_w.append(frames.shape[2])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "luma_sum": pa.array(out_sum, pa.int64()),
+                "frame_h": pa.array(out_h, pa.int32()),
+                "frame_w": pa.array(out_w, pa.int32()),
+            }
+        )

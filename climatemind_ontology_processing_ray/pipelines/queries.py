@@ -4460,6 +4460,123 @@ FROM f ORDER BY doc_id, frame_offset
 # --------------------------------------------------------------------- #
 
 # name -> (callable, oracle_sql | None)
+
+def q_audio_features(sf_dir: str):
+    """REAL audio decode (X86): deterministic square-wave WAV clips are
+    synthesized per doc_id, round-tripped through encode_wav ->
+    AudioFeatureExtractor (pure-python PCM decode, functions/codecs.py),
+    and the exact-integer features are replayed by the oracle in closed
+    form — sq_sum = L * amp^2, zero_crossings = (L-1) // half_period."""
+    import numpy as np
+
+    from ..functions.multimodal import AudioFeatureExtractor
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_wav(b: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_wav
+
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            L = 400 + (d % 5) * 80
+            hp = 1 + d % 4
+            amp = 1000 + d % 97
+            i = np.arange(L)
+            wave = np.where((i // hp) % 2 == 0, amp, -amp).astype(np.int16)
+            payloads.append(encode_wav(wave, 16000))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+        )
+
+    out = (
+        ds.map_batches(to_wav, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            AudioFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    out = out[
+        ["doc_id", "sample_rate", "n_samples", "channels", "sq_sum", "zero_crossings"]
+    ]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(400 + (doc_id % 5) * 80 AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(400 + (doc_id % 5) * 80 AS BIGINT)
+         * (1000 + doc_id % 97) * (1000 + doc_id % 97) AS sq_sum,
+       CAST((400 + (doc_id % 5) * 80 - 1) // (1 + doc_id % 4) AS BIGINT)
+         AS zero_crossings
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_video_frames(sf_dir: str):
+    """REAL video decode (X19 upgrade): deterministic constant-luma Y4M
+    clips (1-3 frames, 16x8, C420) synthesized per doc_id, decoded by
+    VideoFrameDecoder (pure-python YUV4MPEG2 parse) into one row per
+    frame with the exact luma-plane sum; the oracle replays the closed
+    form 128 * ((doc_id*7 + frame*13) % 256) per generated frame."""
+    import numpy as np
+
+    from ..functions.multimodal import VideoFrameDecoder
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_y4m(b: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_y4m
+
+        payloads = []
+        for d in b.column("doc_id").to_pylist():
+            nf = 1 + d % 3
+            frames = np.stack(
+                [
+                    np.full((8, 16), (d * 7 + f * 13) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+            )
+            payloads.append(encode_y4m(frames, 30, 1))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "video": pa.array(payloads, pa.binary())}
+        )
+
+    out = (
+        ds.map_batches(to_y4m, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            VideoFrameDecoder,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+SQL_VIDEO_FRAMES = """
+SELECT d.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(128 * ((d.doc_id * 7 + f.frame_idx * 13) % 256) AS BIGINT)
+         AS luma_sum,
+       CAST(8 AS BIGINT) AS frame_h, CAST(16 AS BIGINT) AS frame_w
+FROM documents d
+JOIN (SELECT UNNEST(RANGE(0, 3)) AS frame_idx) f
+  ON f.frame_idx < 1 + d.doc_id % 3
+ORDER BY d.doc_id, f.frame_idx
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -4571,6 +4688,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "new_users_daily": (q_new_users_daily, SQL_NEW_USERS_DAILY),
     "frame_digests": (q_frame_digests, SQL_FRAME_DIGESTS),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
 }

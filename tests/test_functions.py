@@ -1848,3 +1848,49 @@ def test_simhash64_batch_matches_scalar():
     got = simhash64_batch(texts)
     want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_wav_y4m_codecs_roundtrip_and_features():
+    """Real pure-python WAV/Y4M codecs: byte-exact round trips, and the
+    actor stages' exact-integer features match hand computation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.functions.codecs import (
+        decode_wav,
+        decode_y4m,
+        encode_wav,
+        encode_y4m,
+    )
+    from climatemind_ontology_processing_ray.functions.multimodal import (
+        AudioFeatureExtractor,
+        VideoFrameDecoder,
+    )
+
+    rng = np.random.RandomState(0)
+    stereo = rng.randint(-30000, 30000, size=(1000, 2)).astype(np.int16)
+    arr, rate = decode_wav(encode_wav(stereo, 22050))
+    assert rate == 22050 and (arr == stereo).all()
+    mono8 = rng.randint(0, 255, size=(500,)).astype(np.uint8)
+    arr8, r8 = decode_wav(encode_wav(mono8, 8000))
+    assert r8 == 8000 and (arr8[:, 0] == mono8).all()
+
+    frames = rng.randint(0, 255, size=(4, 8, 16)).astype(np.uint8)
+    got, fn, fd = decode_y4m(encode_y4m(frames, 30, 1))
+    assert (got == frames).all() and (fn, fd) == (30, 1)
+
+    # square wave: sq_sum = L*amp^2, crossings = (L-1)//half_period
+    L, hp, amp = 480, 3, 1200
+    i = np.arange(L)
+    wave = np.where((i // hp) % 2 == 0, amp, -amp).astype(np.int16)
+    tbl = pa.table({"doc_id": [7], "audio": pa.array([encode_wav(wave, 16000)], pa.binary())})
+    out = AudioFeatureExtractor()(tbl)
+    assert out.column("sq_sum").to_pylist() == [L * amp * amp]
+    assert out.column("zero_crossings").to_pylist() == [(L - 1) // hp]
+    assert out.column("n_samples").to_pylist() == [L]
+
+    vt = pa.table({"doc_id": [3], "video": pa.array([encode_y4m(frames)], pa.binary())})
+    vout = VideoFrameDecoder()(vt)
+    assert vout.column("frame_idx").to_pylist() == [0, 1, 2, 3]
+    want = [int(f.astype(np.int64).sum()) for f in frames]
+    assert vout.column("luma_sum").to_pylist() == want
