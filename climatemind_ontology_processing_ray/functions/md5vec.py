@@ -8,9 +8,9 @@ costs ~1 µs of allocator/dispatch per call, which dominated minhash /
 simhash / simjoin shingling at 10^5-10^8 hashes per run (VERDICT r3
 item 1: "the single largest avoidable CPU term at scale").
 
-``md5_u64`` runs the md5 compression function as 64 rounds of uint32
-numpy ops over ALL inputs at once (lanes = strings, the classic SIMD-md5
-layout).  Strings are scattered into a padded (N, blocks*64) byte matrix
+``md5_u64`` runs the md5 compression function (public spec: RFC 1321)
+as 64 rounds of uint32 numpy ops over ALL inputs at once (lanes =
+strings, the classic SIMD-md5 layout).  Strings are scattered into a padded (N, blocks*64) byte matrix
 straight from the Arrow data buffer — no per-row Python.  Inputs of
 different block counts are processed per block-count group; shingles and
 words are almost always single-block (≤ 55 bytes).
