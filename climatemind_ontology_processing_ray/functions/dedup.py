@@ -38,6 +38,22 @@ from .partitioning import adaptive_parts
 _MERSENNE = (1 << 61) - 1
 
 
+def _mod_mersenne61(y: np.ndarray) -> np.ndarray:
+    """Exact ``y % (2^61-1)`` for uint64 arrays WITHOUT hardware division.
+
+    x86 64-bit DIV latency is data-dependent (measured 14x spread between
+    dividend bit patterns on this host — a full-range batch paid 0.65s
+    where another paid 0.05s for identical shapes), which made signature
+    time depend on hash values.  For a Mersenne modulus the reduction is
+    shift/add: y = (y >> 61) + (y & M) < 2^61 + 7, then one conditional
+    subtract — branch-free, value-independent, bit-identical to ``% M``
+    (for y = 2^64-1 the fold gives at most M+7, one subtract suffices;
+    equality y == M also folds to M and subtracts to 0, matching %)."""
+    m = np.uint64(_MERSENNE)
+    y = (y >> np.uint64(61)) + (y & m)
+    return y - (y >= m).astype(np.uint64) * m
+
+
 def _word_ngrams(text: str, n: int) -> set[str]:
     words = text.lower().split()
     if len(words) < n:
@@ -122,7 +138,7 @@ def minhash_signature(
         return np.full(len(a), np.uint64(_MERSENNE), dtype=np.uint64)
     # (perm, shingle) — modest sizes; object dtype avoided via Python ints
     h = shingle_hashes.astype(np.uint64)
-    prod = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    prod = _mod_mersenne61(a[:, None] * h[None, :] + b[:, None])
     return prod.min(axis=1)
 
 
@@ -136,7 +152,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 1729,
-    verify_broadcast_threshold: int = 100_000,
+    verify_broadcast_threshold: int = 2_000_000,
     hash_impl: str = "wordmix",
 ) -> Dataset:
     """Near-duplicate pairs: shingle -> minhash -> banded LSH buckets ->
@@ -207,9 +223,9 @@ def minhash_lsh_pairs(
             ne_idx = np.flatnonzero(nonempty)
             for p0 in range(0, num_perm, 8):  # chunk perms: bounded memory
                 p1 = min(p0 + 8, num_perm)
-                prod = (
+                prod = _mod_mersenne61(
                     a[p0:p1, None] * big[None, :] + b[p0:p1, None]
-                ) % np.uint64(_MERSENNE)
+                )
                 sigs[ne_idx, p0:p1] = np.minimum.reduceat(prod, offs, axis=1).T
         return sigs
 
@@ -274,9 +290,9 @@ def minhash_lsh_pairs(
             ne_idx = np.flatnonzero(nonempty)
             for p0 in range(0, num_perm, 8):  # chunk perms: bounded memory
                 p1 = min(p0 + 8, num_perm)
-                prod = (
+                prod = _mod_mersenne61(
                     a[p0:p1, None] * big[None, :] + b[p0:p1, None]
-                ) % np.uint64(_MERSENNE)
+                )
                 sigs[ne_idx, p0:p1] = np.minimum.reduceat(prod, offs, axis=1).T
         out_id, out_bhash, out_part = [], [], []
         for r, i in enumerate(ids):
@@ -359,7 +375,7 @@ def _verify_pairs_jaccard(
     shingle_fn,
     threshold: float,
     num_parts: int = _NUM_PARTS,
-    broadcast_threshold: int = 100_000,
+    broadcast_threshold: int = 2_000_000,
 ) -> Dataset:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
     distributed (id, sorted-unique shingle hashes) table.
@@ -413,37 +429,68 @@ def _verify_pairs_jaccard(
         keep_candidates, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(shingle_fn, batch_format="pyarrow", zero_copy_batch=True)
 
-    # small candidate sets (the common case: near-dup pairs are
+    # small-to-medium candidate sets (the common case: near-dup pairs are
     # output-sized): collect the PRUNED shingle table — one compact hash
-    # array per candidate id, NOT the corpus — and verify by broadcast.
-    # The join path below kicks in when even the candidate set is too big
-    # to hold; neither path materializes a corpus-sized driver structure.
+    # array per candidate id, NOT the corpus — and verify by broadcast as
+    # a ZERO-COPY numpy triplet (sorted ids, offsets, flat hashes).  The
+    # triplet maps from plasma in microseconds per worker (the round-3
+    # dict-of-arrays broadcast re-unpickled per worker, which forced a
+    # 100k-doc threshold; numpy buffers lifted it to 2M docs — the r4
+    # measurement: 866k candidate pairs at 1M docs spent 48s shipping
+    # shingle lists through the join path's two exchanges, vs ~4s here).
+    # The join path below stays as the unbounded fallback; neither path
+    # materializes a corpus-sized driver structure (flat size = candidate
+    # docs x shingles/doc; callers with very long docs should lower the
+    # threshold).
     if len(cand_ids) <= broadcast_threshold:
         sdf = shingles_ds.to_pandas()
-        pruned = {
-            i: np.asarray(s, dtype=np.uint64)
-            for i, s in zip(sdf[id_col], sdf["shingles"])
-        }
-        pruned_ref = ray.put(pruned)
+        ids_np = sdf[id_col].to_numpy()
+        order = np.argsort(ids_np, kind="mergesort")
+        ids_sorted = ids_np[order]
+        arrays = [
+            np.asarray(sdf["shingles"].iloc[i], dtype=np.uint64) for i in order
+        ]
+        lens = np.fromiter((len(x) for x in arrays), dtype=np.int64, count=len(arrays))
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = (
+            np.concatenate(arrays) if arrays else np.empty(0, np.uint64)
+        )
+        ids_sorted_ref = ray.put(ids_sorted)
+        off_ref = ray.put(offsets)
+        flat_ref = ray.put(flat)
 
         def verify_broadcast(batch: pd.DataFrame) -> pd.DataFrame:
             from .broadcast import cached_get
 
-            m = cached_get(pruned_ref)
+            I = cached_get(ids_sorted_ref)
+            O = cached_get(off_ref)
+            H = cached_get(flat_ref)
+            a_ids = batch["id_a"].to_numpy()
+            b_ids = batch["id_b"].to_numpy()
+            sa = np.searchsorted(I, a_ids)
+            sb = np.searchsorted(I, b_ids)
+            empty = H[:0]
             out_a, out_b, out_j = [], [], []
-            for x, y in zip(batch["id_a"], batch["id_b"]):
-                a = m.get(x)
-                b = m.get(y)
-                a = a if a is not None else np.empty(0, np.uint64)
-                b = b if b is not None else np.empty(0, np.uint64)
+            for k in range(len(a_ids)):
+                ia, ib = sa[k], sb[k]
+                a = (
+                    H[O[ia] : O[ia + 1]]
+                    if ia < len(I) and I[ia] == a_ids[k]
+                    else empty
+                )
+                b = (
+                    H[O[ib] : O[ib + 1]]
+                    if ib < len(I) and I[ib] == b_ids[k]
+                    else empty
+                )
                 if len(a) == 0 and len(b) == 0:
                     j = 1.0
                 else:
                     inter = np.intersect1d(a, b, assume_unique=True).size
                     j = inter / (len(a) + len(b) - inter)
                 if j >= threshold:
-                    out_a.append(x)
-                    out_b.append(y)
+                    out_a.append(a_ids[k])
+                    out_b.append(b_ids[k])
                     out_j.append(j)
             return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 

