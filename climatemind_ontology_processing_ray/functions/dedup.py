@@ -677,12 +677,24 @@ def simhash64_batch(texts) -> np.ndarray:
 
     flat, woff = split_words(texts)
     wh = _word_h(flat)
-    bits = np.unpackbits(wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    cum = np.zeros((len(wh) + 1, 64), np.int32)
-    np.cumsum(bits, axis=0, dtype=np.int32, out=cum[1:])
-    ones = cum[woff[1:]] - cum[woff[:-1]]  # (ndoc, 64)
-    counts = (woff[1:] - woff[:-1])[:, None]
-    sig = np.packbits(2 * ones > counts, axis=1, bitorder="little")
+    ndoc = len(woff) - 1
+    lens = woff[1:] - woff[:-1]
+    ones = np.zeros((ndoc, 64), np.int32)
+    ne = lens > 0
+    if ne.any():
+        # per-doc bit sums via reduceat over the TRANSPOSED (64, W) bit
+        # matrix: contiguous inner loop per bit lane (cumsum / reduceat
+        # along axis 0 of the (W, 64) layout ran a strided unbuffered
+        # inner loop — measured ~60x slower on this host); only nonempty
+        # segments are reduced (reduceat's empty-segment trap)
+        bits_t = np.ascontiguousarray(
+            np.unpackbits(
+                wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).T,
+            dtype=np.int32,
+        )
+        ones[ne] = np.add.reduceat(bits_t, woff[:-1][ne], axis=1).T
+    sig = np.packbits(2 * ones > lens[:, None], axis=1, bitorder="little")
     return np.ascontiguousarray(sig).view(np.uint64).ravel()
 
 
