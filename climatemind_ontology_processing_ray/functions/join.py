@@ -87,10 +87,16 @@ def _union_types(left, right, l_map, r_map) -> dict:
         names = list(sch.names)
         types = list(getattr(sch, "types", []) or [])
         for name, typ in zip(names, types):
-            # pandas-backed schemas carry numpy dtypes — leave those
-            # untyped (pa.nulls(n, None)), the pre-existing behavior
             if isinstance(typ, pa.DataType):
                 out.setdefault(m[name], typ)
+            else:
+                # pandas-backed schemas carry numpy dtypes; numeric ones
+                # map 1:1 to Arrow.  object stays untyped (could be str
+                # or list) — join_bucket handles the residual null type.
+                try:
+                    out.setdefault(m[name], pa.from_numpy_dtype(typ))
+                except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                    pass
     return out
 
 
@@ -156,6 +162,8 @@ def bucketed_hash_join(
 
     l_other = [n for n in l_names if n != key]
     r_other = [n for n in r_names if n != key and n not in l_names]
+    # pa.Table.join column order: left side's columns, then right non-keys
+    all_names_out = [key] + l_other + r_other
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # Arrow-native per-bucket join (VERDICT r3 item 7): the pandas
@@ -169,6 +177,21 @@ def bucketed_hash_join(
         side = g.column("__side")
         l = g.filter(pc.equal(side, 0)).select([key] + l_other)
         r = g.filter(pc.equal(side, 1)).select([key] + r_other)
+        # A one-sided bucket (object-dtype fill columns never promoted by
+        # a concat with the other side) can still carry null-typed fields,
+        # which pa.Table.join rejects.  Such a column is all-null here, so
+        # drop it, join, and re-attach nulls at the joined length.
+        null_l = [n for n in l_other if pa.types.is_null(l.schema.field(n).type)]
+        null_r = [n for n in r_other if pa.types.is_null(r.schema.field(n).type)]
+        if null_l or null_r:
+            l = l.drop_columns(null_l)
+            r = r.drop_columns(null_r)
+            out = l.join(r, keys=key, join_type="inner")
+            for name in null_l + null_r:
+                out = out.append_column(
+                    name, pa.nulls(out.num_rows, types.get(name) or pa.string())
+                )
+            return out.select(all_names_out)
         return l.join(r, keys=key, join_type="inner")
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
