@@ -37,10 +37,16 @@ def tumbling_window(
             .reset_index()
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key_cols + ["window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    # coarse-partition exchange, NOT groupby().aggregate(Sum): the native
+    # path folds per key in Python inside AggregateMap — at thousands of
+    # window keys per combined block that fold dominated the query
+    # (events_hourly 3.8s / events_sliding 7.1s at sf0.01, ~0.6s after)
+    from .agg import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_cols + ["window_start"],
+        ["n", "total"],
     )
 
 
@@ -71,10 +77,12 @@ def sliding_window(
             .reset_index()
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key_cols + ["window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    from .agg import grouped_sum  # see tumbling_window: avoids per-key fold
+
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_cols + ["window_start"],
+        ["n", "total"],
     )
 
 

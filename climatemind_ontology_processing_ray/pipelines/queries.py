@@ -583,12 +583,15 @@ def q_top_users(sf_dir: str):
             .reset_index()
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("total_value", alias_name="total_value"))
-        .to_pandas()
-    )
+    from ..functions.agg import grouped_sum
+
+    # grouped_sum, not groupby().aggregate(Sum): user_id is corpus-
+    # cardinality and the native path folds per key in Python
+    out = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        ["total_value"],
+    ).to_pandas()
     out["total_value"] = _round2(out["total_value"])
     out = out.sort_values(
         ["total_value", "user_id"], ascending=[False, True], kind="mergesort"
