@@ -259,6 +259,103 @@ def bucketed_anti_join(
     return _bucketed_membership_join(left, right, key, num_buckets, False)
 
 
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    num_buckets: int | None = None,
+    num_salts: int = 16,
+    hot_keys: set | None = None,
+    sample_rows: int = 250_000,
+    hot_frac: float = 0.01,
+) -> Dataset:
+    """Inner join robust to hot keys (the salted-join scale pattern).
+
+    ``bucketed_hash_join`` sends every row of a key to ONE bucket, so a
+    key holding 30% of the left side serializes 30% of the join in a
+    single task.  Here hot keys' left rows spread round-robin over
+    ``num_salts`` salts and the matching right rows REPLICATE across all
+    salts; the exchange hashes (key, salt), so a hot key occupies up to
+    ``num_salts`` buckets instead of one.  Join equality inside a bucket
+    is on (key, salt), which is exactly key-equality because right-side
+    hot rows exist at every salt.
+
+    Output is identical to ``bucketed_hash_join`` for ANY choice of hot
+    set (salting only rebalances partitions), so hot-key detection can be
+    a bounded driver-side sample of the left side: keys above
+    ``hot_frac`` of ``sample_rows`` sampled rows are salted.  Pass
+    ``hot_keys`` explicitly to skip the sampling pass (e.g. reuse one
+    detection across the many joins of a pipeline).
+
+    Right-side replication assumes hot keys are rare and the right side's
+    rows per hot key are bounded (the dimension side) — the classic skew
+    assumption; document holds for num_salts * sum(right rows of hot
+    keys) extra exchange rows.
+    """
+    import ray
+
+    from .broadcast import cached_get
+
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
+    if hot_keys is None:
+        sample = left.limit(sample_rows).select_columns([key]).to_pandas()
+        counts = sample[key].value_counts()
+        hot_keys = set(counts[counts >= max(2, int(len(sample) * hot_frac))].index)
+    hot_ref = ray.put(frozenset(hot_keys))
+
+    l_map, r_map = _plan_columns(
+        list(left.schema().names), list(right.schema().names), key
+    )
+    l_names = list(l_map.values())
+    r_names = list(r_map.values())
+    all_names = l_names + [n for n in r_names if n not in l_names]
+    types = _union_types(left, right, l_map, r_map)
+    l_other = [n for n in l_names if n != key]
+    r_other = [n for n in r_names if n != key and n not in l_names]
+    all_names_out = [key] + l_other + r_other
+
+    def tag(b: pd.DataFrame, side: str) -> pd.DataFrame:
+        hot = cached_get(hot_ref)
+        rename = l_map if side == "l" else r_map
+        b = b.rename(columns=rename)
+        # SQL inner-join null semantics (pandas merge would match NaN==NaN)
+        b = b[b[key].notna()]
+        for name in all_names:
+            if name not in b.columns:
+                b[name] = None
+        b = b[all_names]
+        is_hot = b[key].isin(hot).to_numpy()
+        if side == "l":
+            # round-robin within the batch; any assignment is correct
+            salt = np.where(is_hot, np.arange(len(b)) % num_salts, 0)
+            b = b.assign(__salt=salt.astype("int16"))
+        else:
+            cold = b[~is_hot].assign(__salt=np.int16(0))
+            hot_rows = b[is_hot]
+            reps = [hot_rows.assign(__salt=np.int16(s)) for s in range(num_salts)]
+            b = pd.concat([cold] + reps, ignore_index=True)
+        h = pd.util.hash_array(b[key].to_numpy())
+        bucket = (h + b["__salt"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return b.assign(
+            __side=np.int8(0 if side == "l" else 1),
+            __bucket=bucket.astype(np.int32),
+        )
+
+    l_tagged = left.map_batches(lambda b: tag(b, "l"), batch_format="pandas")
+    r_tagged = right.map_batches(lambda b: tag(b, "r"), batch_format="pandas")
+    unioned = l_tagged.union(r_tagged)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _quiet_size_estimator()
+        l = g[g["__side"] == 0][[key, "__salt"] + l_other]
+        r = g[g["__side"] == 1][[key, "__salt"] + r_other]
+        out = l.merge(r, on=[key, "__salt"], how="inner")
+        return out[all_names_out]
+
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

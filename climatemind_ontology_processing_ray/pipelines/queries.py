@@ -445,6 +445,52 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_skew_join(sf_dir: str):
+    """Salted skew-robust join (events ⋈ customer on user key): hot keys'
+    left rows spread over salts, right rows replicate across salts, so a
+    heavy-hitter key occupies num_salts buckets instead of serializing in
+    one (functions/join.py:skew_join).  The hot set is pinned here so the
+    salted path is exercised deterministically — output is provably
+    invariant to the choice (salting only rebalances partitions)."""
+    from ..functions.join import skew_join
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename_columns(["user_id", "c_mktsegment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = skew_join(ev, cust, "user_id", num_salts=8, hot_keys=set(range(10)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("c_mktsegment", sort=False)
+            .agg(n=("value", "size"), total_value=("value", "sum"))
+            .reset_index()
+        )
+
+    from ..functions.agg import grouped_sum
+
+    out = grouped_sum(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"],
+        ["n", "total_value"],
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = _round2(out["total_value"])
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_SKEW_JOIN = """
+SELECT c.c_mktsegment,
+       COUNT(*)                 AS n,
+       ROUND(SUM(e.value), 2)   AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 def q_native_join(sf_dir: str):
     """Ray Data's built-in hash-partitioned Dataset.join (available in this
     Ray release); falls back to the explicit bucketed join elsewhere."""
@@ -4587,6 +4633,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "orders_join_agg": (q_orders_join_agg, SQL_ORDERS_JOIN_AGG),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "skew_join": (q_skew_join, SQL_SKEW_JOIN),
     "native_join": (q_native_join, SQL_NATIVE_JOIN),
     "part_brand_rollup": (q_part_brand_rollup, SQL_PART_BRAND),
     "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),

@@ -931,6 +931,43 @@ def test_count_min_never_undercounts_and_merges(ray_session):
     assert (mat == mat2).all()
 
 
+def test_skew_join_matches_bucketed_join(ray_session):
+    """skew_join output is invariant to the hot-key choice and identical
+    to bucketed_hash_join on a corpus where one key holds ~30% of rows."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.join import (
+        bucketed_hash_join,
+        skew_join,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = np.where(rng.random(4000) < 0.3, 0, rng.integers(1, 40, 4000))
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": keys, "x": np.arange(4000)})
+    ).repartition(6)
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(40), "label": [f"L{i}" for i in range(40)]})
+    ).repartition(3)
+
+    def collect(ds):
+        return (
+            ds.to_pandas()
+            .astype({"k": "int64", "x": "int64"})
+            .sort_values(["k", "x"])
+            .reset_index(drop=True)[["k", "x", "label"]]
+        )
+
+    base = collect(bucketed_hash_join(left, right, "k", num_buckets=8))
+    assert len(base) == 4000  # every key matches exactly one right row
+    # pinned hot set, auto-detected hot set, and empty hot set all agree
+    for hot in ({0}, None, set()):
+        got = collect(
+            skew_join(left, right, "k", num_buckets=8, num_salts=4, hot_keys=hot)
+        )
+        pd.testing.assert_frame_equal(got, base)
+
+
 def test_interval_join_both_paths_match_bruteforce(ray_session):
     """Keyed (equality-prefix) and keyless (binned) range joins both
     reproduce the brute-force O(n*m) pair set, including intervals that

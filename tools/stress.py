@@ -447,6 +447,50 @@ def suite_keys10m() -> None:
     )
 
 
+def suite_skew() -> None:
+    """Hot-key join skew: 10M left rows with ONE key holding 30% of them
+    joined to a 100k-row dimension.  bucketed_hash_join serializes the
+    hot key's 3M rows in one bucket task; skew_join spreads them over 16
+    salts.  Both must return identical row counts."""
+    ray, rd = _session()
+    p = "/tmp/stress_skew_left.parquet"
+    if not os.path.exists(p):
+        rng = np.random.RandomState(11)
+        n = 10_000_000
+        k = np.where(
+            rng.rand(n) < 0.3, 0, rng.randint(1, 100_000, size=n)
+        ).astype(np.int64)
+        pq.write_table(
+            pa.table({"k": k, "x": np.arange(n, dtype=np.int64)}), p
+        )
+    pdim = "/tmp/stress_skew_dim.parquet"
+    if not os.path.exists(pdim):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": np.arange(100_000, dtype=np.int64),
+                    "label": np.arange(100_000, dtype=np.int64) % 97,
+                }
+            ),
+            pdim,
+        )
+    from climatemind_ontology_processing_ray.functions.join import (
+        bucketed_hash_join,
+        skew_join,
+    )
+
+    left = rd.read_parquet(p).materialize()
+    dim = rd.read_parquet(pdim).materialize()
+    _t(
+        "bucketed join, 30% hot key",
+        lambda: f"{bucketed_hash_join(left, dim, 'k').count()} rows",
+    )
+    _t(
+        "skew join (16 salts), 30% hot key",
+        lambda: f"{skew_join(left, dim, 'k', num_salts=16).count()} rows",
+    )
+
+
 SUITES = {
     "docs": suite_docs,
     "docs1m": suite_docs1m,
@@ -456,6 +500,7 @@ SUITES = {
     "embed": suite_embed,
     "joins": suite_joins,
     "keys10m": suite_keys10m,
+    "skew": suite_skew,
     "hashshuffle": suite_hashshuffle,
 }
 
