@@ -41,17 +41,28 @@ def _quiet_size_estimator() -> None:
     logging.getLogger("ray.data._internal.pandas_block").setLevel(logging.ERROR)
 
 
-def _adaptive_buckets(left, right) -> int:
+def _adaptive_buckets(left, right, rows_per_bucket: int | None = None) -> int:
     """Join fan-out ∝ the larger side's row estimate (free from read /
     materialized metadata; functions/partitioning.py) — per-bucket frames
-    stay merge-sized as inputs grow instead of a fixed 32-way fan-out."""
+    stay merge-sized as inputs grow instead of a fixed 32-way fan-out.
+
+    ``rows_per_bucket`` tunes granularity per join kind: the Arrow hash
+    join works well at the exchange default (~16k rows/bucket), but the
+    pandas per-bucket kinds (asof, interval) are dominated by the sort
+    exchange's per-reduce-partition fetch cost, which grows with bucket
+    COUNT at fixed data (interleaved 10M x 15M asof: 32 buckets 27s,
+    58 buckets 48-64s, 916 buckets 107-152s) — so they ask for ~512k-row
+    buckets (10-30 at stress shape, matching the measured optimum, while
+    per-bucket frames stay worker-heap-sized at any scale)."""
     from .partitioning import adaptive_parts, estimate_rows
 
     rows = max(
         (r for r in (estimate_rows(left), estimate_rows(right)) if r is not None),
         default=None,
     )
-    return adaptive_parts(rows=rows, default=32)
+    if rows_per_bucket is None:
+        return adaptive_parts(rows=rows, default=32)
+    return adaptive_parts(rows=rows, rows_per_part=rows_per_bucket, default=32)
 
 
 def hash_bucket(values, num_buckets: int) -> np.ndarray:
@@ -377,7 +388,7 @@ def asof_join(
     """
     right_ts_col = right_ts_col or ts_col
     if num_buckets is None:
-        num_buckets = _adaptive_buckets(left, right)
+        num_buckets = _adaptive_buckets(left, right, rows_per_bucket=524_288)
     l_map, r_map = _plan_columns(
         list(left.schema().names), list(right.schema().names), key
     )
@@ -488,7 +499,7 @@ def interval_join(
     if (key is None) == (bin_width is None):
         raise ValueError("exactly one of key / bin_width must be given")
     if num_buckets is None:
-        num_buckets = _adaptive_buckets(points, intervals)
+        num_buckets = _adaptive_buckets(points, intervals, rows_per_bucket=524_288)
     join_key = key if key is not None else "__bin"
     l_map, r_map = _plan_columns(
         list(points.schema().names), list(intervals.schema().names), join_key

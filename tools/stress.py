@@ -31,6 +31,17 @@ import pyarrow.parquet as pq
 
 SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# self-sufficient invocation (`python tools/stress.py ...` from anywhere):
+# the repo root must be importable in THIS process and in ray workers
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = (
+    _ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _ROOT
+)
+
 
 def _session():
     import ray
