@@ -152,7 +152,11 @@ def bucketed_hash_join(
     bucket); fan-out scales with the larger side's row estimate.
     """
     if num_buckets is None:
-        num_buckets = _adaptive_buckets(left, right)
+        # ~64k input rows/bucket: the measured optimum for the Arrow
+        # bucket join's sort exchange at the 10M x 15M stress shape
+        # (256 buckets 47.9s vs 128 at 69.9s — too-coarse wave
+        # quantization — and 916 at 70.9s — per-reduce fetch overhead)
+        num_buckets = _adaptive_buckets(left, right, rows_per_bucket=65_536)
     l_map, r_map = _plan_columns(
         list(left.schema().names), list(right.schema().names), key
     )
