@@ -183,6 +183,9 @@ def run_bench() -> dict:
         "scale_features",
         "mad_outliers",
         "length_correlation",
+        "asof_join",
+        "skew_join",
+        "top_users",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:
