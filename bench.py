@@ -322,12 +322,31 @@ def run_scaling_widths() -> dict:
     """Both scaling widths (4 vs 16 AND 8 vs 32) in one run — the
     efficiency claim should not be a single-ratio artifact (VERDICT r3
     item 9).  Each width follows the same fresh-process + load-quiescence
-    protocol as --scaling."""
+    protocol as --scaling.  Two width-specific adjustments, both
+    recorded in the output: (a) the input scales with the width (8v32
+    runs 2x the pages of 4v16) so the wide hi leg is dominated by
+    compute, not the ~2-3s of fixed sort-barrier/task-ramp overhead a
+    11s run cannot amortize — each PAIR still compares identical input;
+    (b) the raw host ceiling (plain multiprocessing, no Ray) is measured
+    at the same width, because a single SMT host stops adding memory
+    bandwidth past ~16 workers — `normalized` = engine efficiency /
+    host ceiling is the number a real N->4N NODE cluster (which adds
+    bandwidth with nodes) would see."""
     global SCALE_LO, SCALE_HI
+    user_mult = os.environ.get("GRAFT_SCALE_MULT")
     out = {}
     for lo, hi in ((4, 16), (8, 32)):
         SCALE_LO, SCALE_HI = lo, hi
-        out[f"{lo}v{hi}"] = run_scaling()
+        if user_mult is None:
+            os.environ["GRAFT_SCALE_MULT"] = str(SCALE_MULT_DEFAULT * lo // 4)
+        width = run_scaling()
+        _wait_for_quiet()
+        ceil = run_ceiling()
+        width["host_ceiling"] = ceil["value"]
+        width["normalized"] = round(width["value"] / ceil["value"], 3)
+        out[f"{lo}v{hi}"] = width
+    if user_mult is None:
+        os.environ.pop("GRAFT_SCALE_MULT", None)
     return {
         "metric": "scaling_efficiency_two_widths",
         "value": round(
