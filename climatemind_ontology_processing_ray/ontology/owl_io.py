@@ -30,11 +30,19 @@ scm-eqc1/scm-sco, tested against a fixpoint oracle in
 ``tests/test_owl.py``); and restriction-DEFINED classes — C ≡ ∃P.{v}
 (hasValue) and C ≡ ∃P.D (someValuesFrom a named class) — classify
 individuals by a parse-time fixpoint over the asserted object edges,
-materialized into ``direct_classes``.  Memberships that require full DL
-reasoning beyond these patterns — intersection/union class expressions,
-property domain/range inference, inverse/transitive property chains —
-are NOT derived; the reference pipeline's own edge set does not depend
-on them.
+materialized into ``direct_classes``.  ``intersectionOf`` / ``unionOf``
+class expressions in ``equivalentClass`` classify both individuals
+(ALL / ANY conjunct semantics) and named classes (scm-int: C ≡ D1⊓D2 ⇒
+C ⊑ Di; scm-uni: C ≡ D1⊔D2 ⇒ Di ⊑ C), and ``owl:TransitiveProperty``
+declarations make ∃P restrictions range over the transitive closure of
+P's asserted edges.  NOTE: matching ``sync_reasoner()``'s default
+``infer_property_values=False`` (``make_graph_class.py:82``), inferred
+property assertions (e.g. transitive-closure edges) are NOT
+materialized into ``obj_edges`` — only classification is.  Memberships
+that require full DL reasoning beyond these patterns — complementOf,
+cardinality restrictions, property domain/range inference, inverse
+properties, property chains — are NOT derived; the reference
+pipeline's own edge set does not depend on them.
 """
 
 from __future__ import annotations
@@ -122,9 +130,19 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     indiv_els: list = []
     class_els: list = []
 
+    transitive_prop_iris: set[str] = set()
+
     def node_kind(el) -> str | None:
         tag = el.tag
+        if tag == q(OWL, "TransitiveProperty"):
+            # standalone <owl:TransitiveProperty rdf:about=.../> declaration
+            transitive_prop_iris.add(el.get(_ABOUT, ""))
+            return "object"
         if tag == q(OWL, "ObjectProperty"):
+            # Protégé style: <rdf:type rdf:resource="...#TransitiveProperty"/>
+            for t in el.findall(q(RDF, "type")):
+                if t.get(_RESOURCE, "") == f"{OWL}TransitiveProperty":
+                    transitive_prop_iris.add(el.get(_ABOUT, ""))
             return "object"
         if tag == q(OWL, "AnnotationProperty"):
             return "annotation"
@@ -177,6 +195,9 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     # ("hasValue", P, v) / ("someValuesFrom", P, D); membership requires
     # ALL conjuncts and is inferred in the same fixpoint below.
     intersection_defs: list[tuple[str, tuple[tuple[str, ...], ...]]] = []
+    # union-DEFINED classes: C ≡ D1 ⊔ ... ⊔ ∃P.{v} — ANY-disjunct
+    # membership semantics (same conjunct grammar as intersection_defs).
+    union_defs: list[tuple[str, tuple[tuple[str, ...], ...]]] = []
 
     def _one_restriction(restr) -> tuple[str, str, str] | None:
         on_prop = restr.find(q(OWL, "onProperty"))
@@ -197,13 +218,16 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             return None
         return _one_restriction(restr)
 
-    def _intersection_conjuncts(container) -> tuple[tuple[str, ...], ...] | None:
-        """Parse ``owl:Class/owl:intersectionOf`` (rdf Collection) under an
-        equivalentClass; None when absent or any conjunct needs full DL."""
+    def _composite_conjuncts(
+        container, collection: str
+    ) -> tuple[tuple[str, ...], ...] | None:
+        """Parse ``owl:Class/owl:intersectionOf`` or ``owl:unionOf`` (rdf
+        Collection) under an equivalentClass; None when absent or any
+        member needs full DL."""
         cls_el = container.find(q(OWL, "Class"))
         if cls_el is None:
             return None
-        inter = cls_el.find(q(OWL, "intersectionOf"))
+        inter = cls_el.find(q(OWL, collection))
         if inter is None:
             return None
         conjuncts: list[tuple[str, ...]] = []
@@ -240,9 +264,13 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             # anonymous restriction equivalence -> defined class
             parts = _restriction_parts(eq)
             if parts is None:
-                conj = _intersection_conjuncts(eq)
+                conj = _composite_conjuncts(eq, "intersectionOf")
                 if conj is not None:
                     intersection_defs.append((label, conj))
+                else:
+                    disj = _composite_conjuncts(eq, "unionOf")
+                    if disj is not None:
+                        union_defs.append((label, disj))
                 continue  # other anonymous expressions need full DL
             p_iri, kind, v_iri = parts
             if p_iri not in prop_label:
@@ -291,6 +319,19 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             class_parents[a] = class_parents.get(a, ()) + (b,)
         if a not in class_parents.get(b, ()):
             class_parents[b] = class_parents.get(b, ()) + (a,)
+
+    # scm-int / scm-uni class subsumption (HermiT's "classes to new
+    # superclasses" reclassification, make_graph_class.py:76-82):
+    # C ≡ D1 ⊓ D2 entails C ⊑ Di for every NAMED conjunct;
+    # C ≡ D1 ⊔ D2 entails Di ⊑ C for every NAMED disjunct.
+    for cls, conjuncts in intersection_defs:
+        for conj in conjuncts:
+            if conj[0] == "class" and conj[1] not in class_parents.get(cls, ()):
+                class_parents[cls] = class_parents.get(cls, ()) + (conj[1],)
+    for cls, disjuncts in union_defs:
+        for disj in disjuncts:
+            if disj[0] == "class" and cls not in class_parents.get(disj[1], ()):
+                class_parents[disj[1]] = class_parents.get(disj[1], ()) + (cls,)
 
     # ---- pass 2: individuals ------------------------------------------
     individuals: dict[str, dict] = {}
@@ -362,7 +403,30 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     # be a defined class), then materialize inferred memberships into
     # direct_classes — mirroring owlready2's post-sync_reasoner ``is_a``
     # as consumed at make_graph_class.py:134.
-    if restriction_defs or intersection_defs:
+    if restriction_defs or intersection_defs or union_defs:
+        # ∃P over a transitive P ranges over the closure of P's asserted
+        # edges (classification only — closure edges are NOT added to
+        # obj_edges, matching infer_property_values=False).
+        transitive_labels = {
+            prop_label[iri] for iri in transitive_prop_iris if iri in prop_label
+        }
+        infer_edges = list(obj_edges)
+        for tprop in transitive_labels:
+            adj: dict[str, set[str]] = {}
+            for s, p, o in obj_edges:
+                if p == tprop:
+                    adj.setdefault(s, set()).add(o)
+            for start in adj:
+                seen: set[str] = set()
+                stack = list(adj[start])
+                while stack:
+                    n = stack.pop()
+                    if n in seen:
+                        continue
+                    seen.add(n)
+                    stack.extend(adj.get(n, ()))
+                for o in seen - adj[start]:
+                    infer_edges.append((start, tprop, o))
 
         def _anc(cls: str) -> set[str]:
             seen: set[str] = set()
@@ -378,11 +442,32 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         member: dict[str, set[str]] = {
             lab: set(node["direct_classes"]) for lab, node in individuals.items()
         }
+        # per-individual outgoing edges (infer_edges is static across the
+        # fixpoint), so each conjunct check is a lookup
+        out_edges: dict[str, list[tuple[str, str]]] = {}
+        for s, p, o in infer_edges:
+            out_edges.setdefault(s, []).append((p, o))
+
+        def _satisfies(x: str, conj: tuple[str, ...]) -> bool:
+            if conj[0] == "class":
+                return any(conj[1] in _anc(c) for c in member.get(x, ()))
+            _, prop, target = conj
+            for p, o in out_edges.get(x, ()):
+                if p != prop:
+                    continue
+                if conj[0] == "hasValue" and o == target:
+                    return True
+                if conj[0] == "someValuesFrom" and any(
+                    target in _anc(c) for c in member.get(o, ())
+                ):
+                    return True
+            return False
+
         changed = True
         while changed:
             changed = False
             for cls, prop, kind, target in restriction_defs:
-                for s, p, o in obj_edges:
+                for s, p, o in infer_edges:
                     if p != prop or cls in member.get(s, ()) or s not in member:
                         continue
                     if kind == "hasValue":
@@ -394,35 +479,20 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                     if ok:
                         member[s].add(cls)
                         changed = True
-            if intersection_defs:
-                # per-individual outgoing edges, rebuilt per round (cheap:
-                # ontology-sized), so each conjunct check is a lookup
-                out_edges: dict[str, list[tuple[str, str]]] = {}
-                for s, p, o in obj_edges:
-                    out_edges.setdefault(s, []).append((p, o))
-
-                def _satisfies(x: str, conj: tuple[str, ...]) -> bool:
-                    if conj[0] == "class":
-                        return any(conj[1] in _anc(c) for c in member.get(x, ()))
-                    _, prop, target = conj
-                    for p, o in out_edges.get(x, ()):
-                        if p != prop:
-                            continue
-                        if conj[0] == "hasValue" and o == target:
-                            return True
-                        if conj[0] == "someValuesFrom" and any(
-                            target in _anc(c) for c in member.get(o, ())
-                        ):
-                            return True
-                    return False
-
-                for cls, conjuncts in intersection_defs:
-                    for x in member:
-                        if cls in member[x]:
-                            continue
-                        if all(_satisfies(x, c) for c in conjuncts):
-                            member[x].add(cls)
-                            changed = True
+            for cls, conjuncts in intersection_defs:
+                for x in member:
+                    if cls in member[x]:
+                        continue
+                    if all(_satisfies(x, c) for c in conjuncts):
+                        member[x].add(cls)
+                        changed = True
+            for cls, disjuncts in union_defs:
+                for x in member:
+                    if cls in member[x]:
+                        continue
+                    if any(_satisfies(x, d) for d in disjuncts):
+                        member[x].add(cls)
+                        changed = True
         for lab, mems in member.items():
             cur = individuals[lab]["direct_classes"]
             extra = sorted(mems - set(cur))

@@ -413,3 +413,118 @@ def test_intersection_defined_class_memberships():
         "direct_classes"
     ]
     assert "human warming cause" in snap.node_all_classes("factory emissions")
+
+
+def test_union_defined_class_memberships_and_subsumption():
+    """unionOf in equivalentClass (reference make_graph_class.py:71-82
+    behavior envelope): C ≡ D1 ⊔ ∃P.{v} classifies individuals
+    satisfying ANY disjunct, and each NAMED disjunct is reclassified
+    under C (scm-uni: Di ⊑ C)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Pcauses">
+    <rdfs:label>causes/promotes</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Flood">
+    <rdfs:label>flooding</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#Hazard">
+    <rdfs:label>coastal hazard</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:unionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="urn:x#Flood"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="urn:x#Pcauses"/>
+            <owl:hasValue rdf:resource="urn:x#erosion"/>
+          </owl:Restriction>
+        </owl:unionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#surge">
+    <rdf:type rdf:resource="urn:x#Flood"/>
+    <rdfs:label>storm surge</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#wavecut">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>wave action</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#erosion"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#drought">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>drought</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#erosion">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>erosion</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # EITHER disjunct -> member
+    assert "coastal hazard" in snap.individuals["storm surge"]["direct_classes"]
+    assert "coastal hazard" in snap.individuals["wave action"]["direct_classes"]
+    # neither -> not a member
+    assert "coastal hazard" not in snap.individuals["drought"]["direct_classes"]
+    # scm-uni: the named disjunct itself is subsumed by the union class
+    assert "coastal hazard" in snap.class_ancestors("flooding")
+
+
+def test_transitive_property_restriction_membership():
+    """owl:TransitiveProperty + C ≡ ∃P.{v}: membership follows the
+    transitive closure of P (HermiT classification), but closure edges
+    are NOT materialized into obj_edges (sync_reasoner's default
+    infer_property_values=False, reference make_graph_class.py:82)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Pupstream">
+    <rdfs:label>is upstream of</rdfs:label>
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#TransitiveProperty"/>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#SeaFeeder">
+    <rdfs:label>sea feeder</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pupstream"/>
+        <owl:hasValue rdf:resource="urn:x#sea"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#glacier">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>glacier</rdfs:label>
+    <wp:Pupstream rdf:resource="urn:x#river"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#river">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>river</rdfs:label>
+    <wp:Pupstream rdf:resource="urn:x#sea"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#pond">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>pond</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#sea">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>sea</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # direct assertion -> member; 2-hop closure -> ALSO a member
+    assert "sea feeder" in snap.individuals["river"]["direct_classes"]
+    assert "sea feeder" in snap.individuals["glacier"]["direct_classes"]
+    assert "sea feeder" not in snap.individuals["pond"]["direct_classes"]
+    # closure edges are classification-only: obj_edges stays asserted
+    assert ("glacier", "is upstream of", "sea") not in snap.obj_edges
+    assert len([e for e in snap.obj_edges if e[1] == "is upstream of"]) == 2
