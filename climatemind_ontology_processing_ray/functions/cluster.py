@@ -44,6 +44,13 @@ def _batch_matrix(batch: pa.Table, vec_col: str, quant: int) -> np.ndarray:
     col = batch.column(vec_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):
+        # Ray's ArrowTensorArray (a pandas round-trip upstream converts
+        # list<float> to the tensor extension type): (n, d) ndarray
+        mat = col.to_numpy(zero_copy_only=False)
+        if mat.dtype == object:
+            mat = np.stack([np.asarray(r, dtype=np.float64) for r in mat])
+        return quantize(mat, quant)
     # fixed-width list -> zero-copy reshape; ragged would raise
     flat = col.values.to_numpy(zero_copy_only=False)
     d = len(col[0])
@@ -81,24 +88,18 @@ def init_centroids(
     return np.array([np.asarray(q) for q in rows["__q"]], dtype=np.int64)
 
 
-def kmeans_assign(
+def kmeans_centroids(
     ds: Dataset,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
     quant: int = 1000,
-    include_dist: bool = False,
-) -> Dataset:
-    """(id, cluster) after ``iters`` Lloyd iterations.  Fully
-    deterministic and partitioning-independent (see module docstring);
-    the DuckDB oracle is an unrolled CTE of the same integer recurrence
-    (``pipelines/queries.py:_sql_kmeans``)."""
-    # Each Lloyd pass re-executes the lazy upstream otherwise (iters+2
-    # full re-reads).  The projected (id, vec) set IS the algorithm's
-    # working set — pin it in the object store once (spillable); at fleet
-    # scale the same role is played by a checkpointed parquet projection.
-    ds = ds.select_columns([id_col, vec_col]).materialize()
+) -> np.ndarray:
+    """Final (k, d) int64 centroid matrix after ``iters`` Lloyd
+    iterations.  Expects an already-projected (id, vec) dataset — callers
+    that re-scan the input afterwards (``kmeans_assign``, ``semdedup``)
+    materialize it once and share the pinned handle."""
     centroids = init_centroids(ds, id_col, vec_col, k, quant)
     d = centroids.shape[1]
 
@@ -134,6 +135,29 @@ def kmeans_assign(
         new[nonempty] = np.floor_divide(sums[nonempty], counts[nonempty, None])
         centroids = new
 
+    return centroids
+
+
+def kmeans_assign(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+    include_dist: bool = False,
+) -> Dataset:
+    """(id, cluster) after ``iters`` Lloyd iterations.  Fully
+    deterministic and partitioning-independent (see module docstring);
+    the DuckDB oracle is an unrolled CTE of the same integer recurrence
+    (``pipelines/queries.py:_sql_kmeans``)."""
+    # Each Lloyd pass re-executes the lazy upstream otherwise (iters+2
+    # full re-reads).  The projected (id, vec) set IS the algorithm's
+    # working set — pin it in the object store once (spillable); at fleet
+    # scale the same role is played by a checkpointed parquet projection.
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    centroids = kmeans_centroids(ds, id_col, vec_col, k, iters, quant)
+
     cref = ray.put(centroids)
 
     def final(batch: pa.Table, *, _cref=cref) -> pa.Table:
@@ -152,3 +176,76 @@ def kmeans_assign(
         return pa.table(cols)
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def semdedup(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+    threshold: float = 0.99,
+    strip: int = 1024,
+) -> Dataset:
+    """SemDeDup (semantic deduplication, Abbas et al. 2023,
+    arXiv:2303.09540 — deterministic variant): k-means-cluster the
+    embeddings, then inside each cluster drop every vector that has ANY
+    smaller-id neighbor at cosine >= ``threshold``.  Output
+    ``(id, cluster, kept)`` — one row per input vector.
+
+    The "any smaller-id near-neighbor in the same cluster" removal rule
+    (rather than a greedy chain) makes the output order-free and
+    SQL-expressible (an EXISTS over within-cluster pairs, see
+    ``pipelines/queries.py:SQL_SEMDEDUP``); cosine runs on the ORIGINAL
+    float vectors (LIST_COSINE_SIMILARITY semantics), clustering on the
+    quantized integers (exact, partitioning-independent).
+
+    Scale shape: clustering is the k×d mini-reduce of
+    :func:`kmeans_centroids`; the dedup adds ONE groupby(cluster)
+    exchange.  Per-cluster work is all-pairs BY DESIGN — SemDeDup's
+    contract is that ``k`` grows with the corpus (k ≈ N / target
+    cluster size), which bounds every cluster; similarity is computed
+    in ``strip``-row blocks so no cluster ever materializes an m×m
+    matrix.
+    """
+    import pandas as pd
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    cref = ray.put(kmeans_centroids(ds, id_col, vec_col, k, iters, quant))
+
+    def tag(batch: pa.Table, *, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        x = _batch_matrix(batch, vec_col, quant)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                vec_col: batch.column(vec_col),
+                "cluster": pa.array(_assign(x, c), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n = len(g)
+        kept = np.ones(n, dtype=bool)
+        cols = np.arange(n)
+        for lo in range(0, n, strip):
+            hi = min(lo + strip, n)
+            sims = m[lo:hi] @ m.T  # (strip, n) — bounded by strip
+            earlier = cols[None, :] < np.arange(lo, hi)[:, None]
+            kept[lo:hi] = ~((sims >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "kept": kept,
+            }
+        )
+
+    return tagged.groupby("cluster").map_groups(per_cluster, batch_format="pandas")

@@ -160,3 +160,55 @@ def weighted_sample(
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_shards(ds: Dataset, id_col: str = "doc_id", *, n_shards: int = 16) -> Dataset:
+    """Deterministic training-shard assignment + intra-shard shuffle order
+    (the write side of a data-loader layout): ``shard`` = first md5 digest
+    byte of the id mod ``n_shards``; ``pos`` = 1-based rank of the digest
+    (big-endian, tie → id) inside the shard.
+
+    Content-addressing instead of an RNG means the "random" permutation is
+    identical at any parallelism level, resumable, and SQL-checkable
+    (``ORDER BY MD5(CAST(id AS VARCHAR))``).  Scale shape: one vectorized
+    md5 pass (``md5vec.md5_u64`` — no per-row hashlib), ONE groupby(shard)
+    exchange, and a per-shard sort bounded by rows/n_shards; at fleet
+    scale ``n_shards`` grows with the corpus so per-shard rank frames stay
+    bounded, and each shard writes its own output partition (resumable
+    output contract, SURVEY §1.3).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .md5vec import md5_u64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        u = md5_u64(pc.cast(ids, pa.string()))
+        # md5_u64 packs digest[:8] little-endian; byteswap recovers the
+        # big-endian value whose numeric order == hex-string order
+        return pa.table(
+            {
+                id_col: ids.cast(pa.int64()),
+                "shard": pa.array(
+                    (u & np.uint64(0xFF)).astype(np.int64) % n_shards, pa.int64()
+                ),
+                "__h": pa.array(u.byteswap(), pa.uint64()),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+    )

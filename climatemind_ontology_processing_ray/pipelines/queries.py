@@ -1305,6 +1305,36 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic training-shard layout: content-addressed shard id +
+    intra-shard shuffle rank (md5-ordered), reproducible at any
+    parallelism and resumable — the write-side contract of a data-loader
+    sharding stage."""
+    from ..functions.sample import shuffle_shards
+
+    out = shuffle_shards(
+        _read(sf_dir, "documents", ["doc_id"]), "doc_id", n_shards=16
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["shard"] = out["shard"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# engine orders by digest[:8] (16 hex chars) then id — mirror exactly
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || SUBSTR(hx, 1, 2)) AS INTEGER) % 16 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY CAST(('0x' || SUBSTR(hx, 1, 2)) AS INTEGER) % 16
+         ORDER BY SUBSTR(hx, 1, 16), doc_id) AS BIGINT) AS pos
+FROM h ORDER BY doc_id
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     from ..functions.dedup import exact_dedup
 
@@ -1483,6 +1513,143 @@ reach(s, d) AS (
   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
 SELECT s AS id, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup clusters resolved to a keep decision: inside every
+    MinHash-LSH connected component keep the member with the HIGHEST
+    integer quality composite (tie -> lowest doc_id) — the production
+    dedup policy (cluster, keep best, drop the rest).  Composition:
+    minhash_lsh_pairs -> dup_clusters (pair-bounded) -> broadcast-member
+    filter -> quality scoring on members only -> one groupby(cluster)
+    argmax.  The member map is output-sized (2x pair count), so the
+    broadcast is the same documented small-side pattern as dup_clusters;
+    above that threshold the filter becomes a bucketed_semi_join."""
+    from ..functions.broadcast import cached_get
+    from ..functions.dedup import dup_clusters, minhash_lsh_pairs
+    from ..functions.text import TextQualityScorer
+
+    docs = _augmented_docs(sf_dir, min_chars=20)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", ngram=3, num_perm=64, bands=16, threshold=0.8
+    )
+    cl = dup_clusters(pairs).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "quality_milli": pd.Series([], dtype="int64"),
+            "kept": pd.Series([], dtype=bool),
+        }
+    )
+    if len(cl) == 0 or "id" not in cl.columns:
+        return empty
+    cmap_ref = ray.put(
+        dict(zip(cl["id"].astype("int64"), cl["cluster"].astype("int64")))
+    )
+
+    def members_only(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = cached_get(cmap_ref)
+        sel = b[b["doc_id"].isin(cmap.keys())].copy()
+        sel["cluster"] = sel["doc_id"].map(cmap).astype("int64")
+        return sel
+
+    members = docs.map_batches(members_only, batch_format="pandas")
+    scored = members.map_batches(
+        TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
+    )
+
+    def quality(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(b["n_words"].to_numpy(), 1)
+        c = np.maximum(b["n_chars"].to_numpy(), 1)
+        s = b["n_stop_words"].to_numpy()
+        u = b["n_uniq_words"].to_numpy()
+        a = b["n_alpha_chars"].to_numpy()
+        num = 400 * np.minimum(4 * s, w) * c + 300 * u * c + 300 * a * w
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "cluster": b["cluster"].astype("int64"),
+                "quality_milli": (num // (w * c)).astype("int64"),
+            }
+        )
+
+    def pick_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["quality_milli", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        g["kept"] = np.arange(len(g)) == 0
+        return g
+
+    out = (
+        scored.map_batches(quality, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(pick_best, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "cluster", "quality_milli", "kept"]
+    ]
+
+
+def _sql_dedup_keep_best() -> str:
+    """dup_clusters' recursive closure + the quality_milli composite on
+    the member docs + a per-cluster argmax window."""
+    from ..functions.text import _STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""
+WITH RECURSIVE docs AS ({SQL_AUG}),
+grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(
+           CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3 THEN
+             LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) - 1),
+               i -> STRING_SPLIT(LOWER(text), ' ')[i] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+1] || ' ' ||
+                    STRING_SPLIT(LOWER(text), ' ')[i+2])
+           ELSE [LOWER(text)] END) AS g
+  FROM docs WHERE LENGTH(text) >= 20
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM prs
+  UNION SELECT id_b, id_a FROM prs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+clus AS (SELECT s AS id, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s),
+q AS (
+  SELECT d.doc_id,
+         CAST((400 * LEAST(
+                 4 * LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z0-9'']+'),
+                                     w -> w IN ({stop_list}))),
+                 GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z0-9'']+')), 1))
+               * GREATEST(LEN(d.text), 1)
+             + 300 * LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z0-9'']+')))
+               * GREATEST(LEN(d.text), 1)
+             + 300 * LEN(REGEXP_EXTRACT_ALL(d.text, '[A-Za-z]'))
+               * GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z0-9'']+')), 1))
+            // (GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z0-9'']+')), 1)
+                * GREATEST(LEN(d.text), 1)) AS BIGINT) AS quality_milli
+  FROM docs d JOIN clus ON clus.id = d.doc_id
+)
+SELECT clus.id AS doc_id, clus.cluster, q.quality_milli,
+       (ROW_NUMBER() OVER (PARTITION BY clus.cluster
+                           ORDER BY q.quality_milli DESC, clus.id ASC) = 1) AS kept
+FROM clus JOIN q ON q.doc_id = clus.id
+ORDER BY doc_id
 """
 
 
@@ -2726,18 +2893,24 @@ def q_kmeans(sf_dir: str):
 
 
 def _sql_kmeans(
-    k: int = 8, iters: int = 3, quant: int = 1000, with_dist: bool = False
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+    with_dist: bool = False,
+    source: str = "embeddings",
 ) -> str:
     """Unrolled Lloyd CTE: assignment = exact-int squared-L2 argmin
-    (ROW_NUMBER ties → lowest cluster), update = FLOOR(sum/count)."""
+    (ROW_NUMBER ties → lowest cluster), update = FLOOR(sum/count).
+    ``source`` lets composed oracles (semdedup) cluster an augmented CTE
+    instead of the raw table."""
     ctes = [
         f"""v AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {quant} + 0.5) AS BIGINT) AS x
-  FROM embeddings)""",
+  FROM {source})""",
         f"""ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
-  FROM (SELECT DISTINCT vec_id FROM embeddings) ORDER BY vec_id LIMIT {k})""",
+  FROM (SELECT DISTINCT vec_id FROM {source}) ORDER BY vec_id LIMIT {k})""",
         """c0 AS (
   SELECT ids.cl, v.dim, v.x AS cx FROM v JOIN ids USING (vec_id))""",
     ]
@@ -2782,6 +2955,54 @@ SELECT vec_id, cl AS cluster{dist_col} FROM (
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
   FROM df) WHERE rn = 1 ORDER BY vec_id"""
     )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540 deterministic variant): integer k-means
+    over the augmented embeddings, then within-cluster cosine>=0.99
+    removal of any vector with a smaller-id near neighbor.  The injected
+    exact copies (vec_id % 20 == 0 at +AUG_OFFSET) are the removals."""
+    from ..functions.cluster import semdedup
+
+    out = semdedup(
+        _augmented_embeddings(sf_dir),
+        "vec_id",
+        "embedding",
+        k=8,
+        iters=3,
+        quant=1000,
+        threshold=0.99,
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["kept"] = out["kept"].astype(bool)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_semdedup() -> str:
+    """Cluster the augmented table with the unrolled Lloyd CTE, then
+    EXISTS-style removal: a vector is dropped iff some smaller-id member
+    of ITS cluster sits at cosine >= 0.99."""
+    inner = _sql_kmeans(source="emb")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {AUG_OFFSET}, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+asg AS (SELECT * FROM ({inner})),
+rem AS (
+  SELECT DISTINCT b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  JOIN asg ca ON ca.vec_id = a.vec_id
+  JOIN asg cb ON cb.vec_id = b.vec_id
+  WHERE ca.cluster = cb.cluster
+    AND LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.99
+)
+SELECT asg.vec_id, asg.cluster,
+       asg.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
+FROM asg ORDER BY asg.vec_id
+"""
 
 
 def q_url_canonical_dedup(sf_dir: str):
@@ -4660,10 +4881,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "top_events_per_user": (q_top_events_per_user, SQL_TOP_EVENTS_PER_USER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBED_NEARDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh": (q_ann_lsh, SQL_ANN_RECALL),
@@ -4698,6 +4921,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "kmeans_clusters": (q_kmeans, _sql_kmeans),
+    "semdedup": (q_semdedup, _sql_semdedup),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
     "cluster_quota_sample": (q_cluster_quota_sample, _sql_cluster_quota),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),

@@ -21,6 +21,9 @@ SUBSET = [
     "token_counts",
     "fingerprint",
     "dedup_exact",
+    "semdedup",
+    "dedup_keep_best",
+    "shuffle_shards",
     "embedding_neardup",
     "ann_topk",
     "events_hourly",
@@ -59,7 +62,7 @@ def test_query_matches_oracle(ray_session, con, name):
     if hasattr(ray_df, "to_pandas"):
         ray_df = ray_df.to_pandas()
     assert sql is not None
-    sql_df = con.execute(sql).df()
+    sql_df = con.execute(sql() if callable(sql) else sql).df()
     assert sorted(ray_df.columns) == sorted(sql_df.columns)
     assert len(ray_df) == len(sql_df)
     a, b = _canon(ray_df), _canon(sql_df)
