@@ -186,6 +186,9 @@ def run_bench() -> dict:
         "asof_join",
         "skew_join",
         "top_users",
+        "semdedup",
+        "dedup_keep_best",
+        "shuffle_shards",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

@@ -304,6 +304,16 @@ def suite_embed() -> None:
     q = np.random.default_rng(3).normal(0, 1, (16, 32))
     _t("ann_ivf @500k", lambda: f"{ivf_topk(ds, q, k=10).count()} rows")
 
+    from climatemind_ontology_processing_ray.functions.cluster import semdedup
+
+    def _semdedup():
+        out = semdedup(
+            ds, "vec_id", "embedding", k=64, iters=2, threshold=0.999
+        ).to_pandas()
+        return f"{int((~out['kept']).sum())} removed of {len(out)}"
+
+    _t("semdedup @500k (k=64)", _semdedup)
+
 
 def suite_joins() -> None:
     ray, rd = _session()
