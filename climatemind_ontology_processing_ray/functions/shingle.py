@@ -102,7 +102,10 @@ def shingle_hashes(
     out_off = np.concatenate([[0], np.cumsum(sc)])
     out = np.empty(int(out_off[-1]), np.uint64)
     # full-window docs: one gather per gram position, folded across all
-    # shingles of the batch at once
+    # shingles of the batch at once.  The fold runs in place through two
+    # preallocated buffers (same ops as mix_step/mix_finish, bit-identical)
+    # — the out-of-place version allocated ~5 full-width temporaries per
+    # step, which dominated the fold at 2.6M shingles/batch.
     fsc = np.where(full, sc, 0)
     total_full = int(fsc.sum())
     if total_full:
@@ -110,9 +113,21 @@ def shingle_hashes(
         intra = np.arange(total_full) - np.repeat(np.cumsum(fsc) - fsc, fsc)
         pos = starts + intra
         h = np.full(total_full, _FOLD_SEED, np.uint64)
+        tmp = np.empty(total_full, np.uint64)
         for k in range(n):
-            h = mix_step(h, wh[pos + k])
-        h = mix_finish(h)
+            # mix_step(h, wh[pos + k]) in place
+            np.take(wh, pos + k, out=tmp)
+            np.bitwise_xor(h, tmp, out=h)
+            np.multiply(h, _P1, out=h)
+            np.left_shift(h, np.uint64(27), out=tmp)
+            np.right_shift(h, np.uint64(37), out=h)
+            np.bitwise_or(h, tmp, out=h)
+        # mix_finish(h) in place
+        for f in (_F1, _F2, None):
+            np.right_shift(h, np.uint64(33), out=tmp)
+            np.bitwise_xor(h, tmp, out=h)
+            if f is not None:
+                np.multiply(h, f, out=h)
         dest = np.repeat(out_off[:-1], fsc) + intra
         out[dest] = h
     # short docs (k < n words): fold over exactly k words, grouped by k so
