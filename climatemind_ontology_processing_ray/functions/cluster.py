@@ -270,11 +270,21 @@ def semdedup(
         n = len(ids)
         kept = np.ones(n, dtype=bool)
         cols = np.arange(n)
+        # float32 screen + float64 recompute of hits (see dedup.py
+        # bucket_pairs: sgemm halves the traffic of the dominant matmul;
+        # the 1e-4 margin is orders above float32 dot error)
+        m32 = m.astype(np.float32)
+        screen = np.float32(threshold - 1e-4)
         for lo in range(0, n, strip):
             hi = min(lo + strip, n)
-            sims = m[lo:hi] @ m.T  # (strip, n) — bounded by strip
+            sims32 = m32[lo:hi] @ m32.T  # (strip, n) — bounded by strip
             earlier = cols[None, :] < np.arange(lo, hi)[:, None]
-            kept[lo:hi] = ~((sims >= threshold) & earlier).any(axis=1)
+            ra, cb = np.where((sims32 >= screen) & earlier)
+            if len(ra):
+                exact = np.einsum("ij,ij->i", m[ra + lo], m[cb])
+                hit = np.zeros(hi - lo, dtype=bool)
+                hit[ra[exact >= threshold]] = True
+                kept[lo:hi] = ~hit
         return pa.table(
             {
                 id_col: pa.array(ids[order], pa.int64()),

@@ -1292,42 +1292,62 @@ def _embedding_neardup_ivf(
     cents_ref = ray.put(cents)
     k_assign = min(nassign, len(cents))
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         from .broadcast import cached_get
+        from .cluster import _float_matrix
 
         cm = cached_get(cents_ref)
-        vecs = _normalize(
-            np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-        )
+        vecs = _normalize(_float_matrix(batch.column(vec_col)))
         sims = vecs @ cm.T  # (batch, n_centroids)
         top = np.argsort(-sims, axis=1)[:, :k_assign]
-        ids = batch[id_col].to_numpy()
-        # vectorized replication: one repeat + one bulk tolist (the
-        # per-row Python loop was measured as a major term at 500k rows)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # Arrow-native replication: one repeat + a FixedSizeList over the
+        # flat float64 buffer — the earlier pandas stage's .tolist()
+        # materialized ~32M python floats at 500k rows x nassign
         n = len(ids)
         row_idx = np.repeat(np.arange(n), k_assign)
-        return pd.DataFrame(
+        rep = vecs[row_idx]
+        return pa.table(
             {
-                id_col: ids[row_idx],
-                "centroid": top.reshape(-1).astype(np.int64),
-                "vec": vecs[row_idx].tolist(),  # pre-normalized
+                id_col: pa.array(ids[row_idx]),
+                "centroid": pa.array(top.reshape(-1).astype(np.int64), pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep.reshape(-1), pa.float64()), rep.shape[1]
+                ),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+    _EMPTY_PAIRS = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        from .cluster import _float_matrix
+
+        if g.num_rows < 2:
+            return _EMPTY_PAIRS
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _float_matrix(g.column("vec"))
         # chunked strips: a full m x m similarity matrix is O(GB) per
         # bucket at ~15k members; strips bound peak memory and the match
         # extraction is fully vectorized (upper-triangle by id order)
-        out_frames = []
+        # float32 screen with a 1e-4 margin (relative dot error for unit
+        # vectors is ~d*eps32 ≈ 2e-6 at d=32 — orders below the margin),
+        # then a float64 recompute of the rare hits: sgemm halves the
+        # memory traffic of the bucket matmul, which IS this operator's
+        # cost at ~15k-member buckets
+        mat32 = mat.astype(np.float32)
+        out_a, out_b, out_c = [], [], []
         chunk = 1024
+        screen = np.float32(threshold - 1e-4)
         for i0 in range(0, len(mat), chunk):
             i1 = min(i0 + chunk, len(mat))
-            sims = mat[i0:i1] @ mat.T  # (chunk, m)
-            ra, cb = np.where(sims >= threshold)
+            sims32 = mat32[i0:i1] @ mat32.T  # (chunk, m)
+            ra, cb = np.where(sims32 >= screen)
             if not len(ra):
                 continue
             ia = ids[ra + i0]
@@ -1335,18 +1355,23 @@ def _embedding_neardup_ivf(
             keep = ia < ib
             if not keep.any():
                 continue
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ia[keep],
-                        "id_b": ib[keep],
-                        "cosine": sims[ra[keep], cb[keep]],
-                    }
-                )
-            )
-        if not out_frames:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        return pd.concat(out_frames, ignore_index=True)
+            ra, cb = ra[keep], cb[keep]
+            exact = np.einsum("ij,ij->i", mat[ra + i0], mat[cb])
+            final = exact >= threshold
+            if not final.any():
+                continue
+            out_a.append(ia[keep][final])
+            out_b.append(ib[keep][final])
+            out_c.append(exact[final])
+        if not out_a:
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
 
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -1360,9 +1385,9 @@ def _embedding_neardup_ivf(
         return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__part")
 
     return (
-        ds.map_batches(assign, batch_format="pandas")
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("centroid")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(pair_part, batch_format="pandas")
         .groupby("__part")
         .map_groups(pair_dedup, batch_format="pandas")
