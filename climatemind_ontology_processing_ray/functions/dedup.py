@@ -1244,15 +1244,17 @@ def embedding_neardup_pairs(
         bvecs = bvecs / np.maximum(np.linalg.norm(bvecs, axis=1, keepdims=True), 1e-12)
         sims = bvecs @ m.T  # (batch, N)
         bids = batch[id_col].to_numpy()
-        out_a, out_b, out_c = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for c in hits:
-                if bids[r] < ids_all[c]:  # upper triangle only, no self
-                    out_a.append(bids[r])
-                    out_b.append(ids_all[c])
-                    out_c.append(sims[r, c])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        # vectorized upper-triangle hit extraction (the per-row python
+        # loop over N columns was the stage's hot spot)
+        ra, cb = np.where(sims >= threshold)
+        keep = bids[ra] < ids_all[cb]
+        return pd.DataFrame(
+            {
+                "id_a": bids[ra[keep]],
+                "id_b": ids_all[cb[keep]],
+                "cosine": sims[ra[keep], cb[keep]],
+            }
+        )
 
     return ds.map_batches(block, batch_format="pandas", batch_size=2048)
 
