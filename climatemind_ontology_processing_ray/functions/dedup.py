@@ -17,13 +17,12 @@ Shuffle structure (the part that matters at 100 TB):
            ``ray.put`` once, not per batch.  (At 10^12 scale swap the
            broadcast for IVF bucketing, see ann.py.)
 
-All hashing is seeded/deterministic (md5 / crc, never ``hash()``).
+All hashing is seeded/deterministic (md5 / fixed-key array hashes, never ``hash()``).
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 from itertools import combinations
 
 import numpy as np
@@ -36,6 +35,28 @@ from ray.data import Dataset
 from .partitioning import adaptive_parts
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _bucket_of(values, num_parts: int) -> np.ndarray:
+    """Vectorized partition ids for a key column (pd.util.hash_array:
+    fixed-key, Cython for numeric and object dtypes — replaces the
+    former per-row ``zlib.crc32(str(v))`` loops)."""
+    from .join import hash_bucket
+
+    return hash_bucket(values, num_parts).astype(np.int64)
+
+
+def _pair_bucket(a_vals, b_vals, num_parts: int) -> np.ndarray:
+    """Vectorized partition ids for (id_a, id_b) pairs: hash each side
+    with the fixed-key array hash, fold with the mix step.  Any
+    deterministic function of the pair co-locates duplicates, which is
+    the only requirement of the pair-dedup exchanges."""
+    from .shingle import mix_finish, mix_step
+
+    ha = pd.util.hash_array(np.asarray(a_vals), categorize=False)
+    hb = pd.util.hash_array(np.asarray(b_vals), categorize=False)
+    h = mix_finish(mix_step(ha, hb))
+    return (h % np.uint64(num_parts)).astype(np.int64)
 
 
 def _mod_mersenne61(y: np.ndarray) -> np.ndarray:
@@ -329,24 +350,42 @@ def minhash_lsh_pairs(
         )
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # singleton buckets (the vast majority) drop in one vectorized mask;
-        # only true collision buckets loop
-        g = g[g.duplicated("band_hash", keep=False)]
-        out: set[tuple] = set()
-        for _, sub in g.groupby("band_hash", sort=False):
-            ids = sorted(set(sub[id_col]))
-            out.update(combinations(ids, 2))
-        if not out:
+        # fully vectorized collision-bucket pairing: sort by (band_hash,
+        # id), run-length the buckets, materialize every in-bucket i<j
+        # pair as repeat + offset aranges, then lexsort-dedup — the
+        # python set/combinations loop was the stage's hot spot on
+        # dup-heavy corpora (200-member buckets -> 19.9k pairs each)
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        dup = np.zeros(len(bh), dtype=bool)
+        if len(bh) > 1:
+            dup[1:] = (bh[1:] == bh[:-1]) & (ids[1:] == ids[:-1])
+        bh, ids = bh[~dup], ids[~dup]
+        n = len(bh)
+        if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        arr = sorted(out)
-        return pd.DataFrame({"id_a": [p[0] for p in arr], "id_b": [p[1] for p in arr]})
+        starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
+        lens = np.diff(np.concatenate([starts, [n]]))
+        row_pos = np.arange(n) - np.repeat(starts, lens)
+        cnt_row = np.repeat(lens, lens) - 1 - row_pos
+        total = int(cnt_row.sum())
+        if total == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        i_idx = np.repeat(np.arange(n), cnt_row)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt_row) - cnt_row, cnt_row)
+        j_idx = i_idx + 1 + off
+        a, b = ids[i_idx], ids[j_idx]  # in-run sort + dedup ⇒ a < b
+        porder = np.lexsort((b, a))
+        a, b = a[porder], b[porder]
+        keep = np.ones(total, dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["__part"] = [
-            zlib.crc32(f"{x}|{y}".encode()) % parts
-            for x, y in zip(batch["id_a"], batch["id_b"])
-        ]
+        batch["__part"] = _pair_bucket(batch["id_a"], batch["id_b"], parts)
         return batch
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -524,9 +563,7 @@ def _verify_pairs_jaccard(
                 "id_b": batch[id_col],
                 "is_shingle": True,
                 "shingles": batch["shingles"],
-                "__part": [
-                    zlib.crc32(str(i).encode()) % num_parts for i in batch[id_col]
-                ],
+                "__part": _bucket_of(batch[id_col], num_parts),
             }
         )
 
@@ -541,10 +578,7 @@ def _verify_pairs_jaccard(
                         "id_b": batch["id_b"],
                         "is_shingle": False,
                         "shingles": [[]] * len(batch),
-                        "__part": [
-                            zlib.crc32(str(i).encode()) % num_parts
-                            for i in batch[side]
-                        ],
+                        "__part": _bucket_of(batch[side], num_parts),
                     }
                 )
             )
@@ -561,10 +595,7 @@ def _verify_pairs_jaccard(
                 "shingles": [lookup.get(j, []) for j in p["jid"]],
             }
         )
-        out["__pp"] = [
-            zlib.crc32(f"{x}|{y}".encode()) % num_parts
-            for x, y in zip(out["id_a"], out["id_b"])
-        ]
+        out["__pp"] = _pair_bucket(out["id_a"], out["id_b"], num_parts)
         return out
 
     def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
@@ -1015,8 +1046,8 @@ def dup_clusters(
     # per-part frames <~100k pairs even at 10^8 edges)
     num_parts = adaptive_parts(rows=pairs.count(), rows_per_part=4096, cap=1024)
 
-    def _part_of(values) -> list[int]:
-        return [zlib.crc32(str(v).encode()) % num_parts for v in values]
+    def _part_of(values) -> np.ndarray:
+        return _bucket_of(values, num_parts)
 
     labels = pairs.map_batches(seed_labels, batch_format="pandas")
     if ids is not None:
@@ -1377,10 +1408,7 @@ def _embedding_neardup_ivf(
 
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["__part"] = [
-            zlib.crc32(f"{x}|{y}".encode()) % parts
-            for x, y in zip(batch["id_a"], batch["id_b"])
-        ]
+        batch["__part"] = _pair_bucket(batch["id_a"], batch["id_b"], parts)
         return batch
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:

@@ -25,7 +25,6 @@ Dataset and the per-iteration contribution becomes a bucketed hash join
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 
@@ -37,8 +36,11 @@ from ray.data import Dataset
 _NUM_PARTS = 64
 
 
-def _part_of(values, num_parts: int = _NUM_PARTS) -> list[int]:
-    return [zlib.crc32(str(v).encode("utf-8", "ignore")) % num_parts for v in values]
+def _part_of(values, num_parts: int = _NUM_PARTS) -> np.ndarray:
+    # vectorized fixed-key partition ids (was a per-row crc32 loop)
+    from .join import hash_bucket
+
+    return hash_bucket(values, num_parts).astype(np.int64)
 
 
 def distinct_edges(

@@ -72,8 +72,10 @@ def hash_bucket(values, num_buckets: int) -> np.ndarray:
     dependence) and runs in Cython for both numeric and object dtypes.
     """
     arr = np.asarray(values)
-    if arr.dtype == object:
-        arr = arr.astype("O")
+    if arr.dtype.kind in ("U", "S"):
+        # hash_array rejects numpy fixed-width string dtypes (e.g. a
+        # python list of grams asarray'd to '<U12') — box to object
+        arr = arr.astype(object)
     hashed = pd.util.hash_array(arr, categorize=False)
     return (hashed % np.uint64(num_buckets)).astype(np.int32)
 

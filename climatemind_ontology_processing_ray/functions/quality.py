@@ -30,6 +30,13 @@ from ray.data.aggregate import Sum
 _NUM_PARTS = 64
 
 
+def _gram_part(values) -> "np.ndarray":
+    # vectorized fixed-key partition ids (was a per-row crc32 loop)
+    from .join import hash_bucket
+
+    return hash_bucket(values, _NUM_PARTS).astype(np.int64)
+
+
 def _round4(x: float) -> float:
     return float(np.sign(x) * np.floor(abs(x) * 10_000 + 0.5) / 10_000)
 
@@ -123,10 +130,10 @@ def ngram_doc_frequency(
         df = pd.DataFrame(
             {"gram": list(counts.keys()), "partial_df": list(counts.values())}
         )
-        import zlib
+        from .join import hash_bucket
 
         df["partial_df"] = df["partial_df"].astype("int64")
-        df["__part"] = [zlib.crc32(g.encode()) % _NUM_PARTS for g in df["gram"]]
+        df["__part"] = hash_bucket(df["gram"], _NUM_PARTS).astype(np.int64)
         return df
 
     def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -253,8 +260,6 @@ def duplicate_spans(
     groupby; the per-doc island merge is the final doc-hash groupby with
     vectorized merging inside partitions.
     """
-    import zlib
-
     freq = ngram_doc_frequency(ds, id_col, text_col, n=L, min_docs=min_docs)
 
     def freq_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -264,7 +269,7 @@ def duplicate_spans(
                 "id": -1,
                 "pos": -1,
                 "is_freq": True,
-                "__part": [zlib.crc32(g.encode()) % _NUM_PARTS for g in b["gram"]],
+                "__part": _gram_part(b["gram"]),
             }
         )
 
@@ -282,7 +287,7 @@ def duplicate_spans(
                 "id": out_id,
                 "pos": out_p,
                 "is_freq": False,
-                "__part": [zlib.crc32(g.encode()) % _NUM_PARTS for g in out_g],
+                "__part": _gram_part(out_g),
             }
         )
 
@@ -290,7 +295,7 @@ def duplicate_spans(
         freq_set = set(g.loc[g["is_freq"].to_numpy(), "jkey"])
         hits = g[~g["is_freq"].to_numpy() & g["jkey"].isin(freq_set)]
         out = hits[["id", "pos"]].copy()
-        out["__dpart"] = [zlib.crc32(str(i).encode()) % _NUM_PARTS for i in out["id"]]
+        out["__dpart"] = _gram_part(out["id"])
         return out
 
     def merge_islands(g: pd.DataFrame) -> pd.DataFrame:

@@ -143,12 +143,10 @@ def running_aggregate(
     one Ray group per key.  Output: all input columns + running_total
     (float64), rn (int64).
     """
-    import zlib
+    from .join import hash_bucket
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
-        return b.assign(
-            __part=[zlib.crc32(str(k).encode()) % 64 for k in b[key_col]]
-        )
+        return b.assign(__part=hash_bucket(b[key_col], 64).astype(np.int64))
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="mergesort")
@@ -177,12 +175,10 @@ def grouped_topk(
     :func:`running_aggregate`: one shuffle, vectorized per-partition
     ``groupby().head(k)``.
     """
-    import zlib
+    from .join import hash_bucket
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
-        return b.assign(
-            __part=[zlib.crc32(str(kk).encode()) % 64 for kk in b[key_col]]
-        )
+        return b.assign(__part=hash_bucket(b[key_col], 64).astype(np.int64))
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], ascending=[True, ascending], kind="mergesort")
