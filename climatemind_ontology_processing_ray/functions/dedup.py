@@ -139,6 +139,98 @@ def exact_dedup(ds: Dataset, id_col: str, text_col: str = "text") -> Dataset:
     )
 
 
+def line_dedup(
+    ds: Dataset, id_col: str, text_col: str = "text", sep: str = "\n"
+) -> Dataset:
+    """Cross-document LINE-level exact dedup (the RefinedWeb / Dolma
+    "repeated paragraph removal" pass): split every document on ``sep``,
+    keep each distinct line only at its FIRST occurrence corpus-wide
+    (min ``(doc_id, position)``), drop every later copy, and reassemble
+    the surviving lines per document in original order.
+
+    Output: ``(id_col, text_col)`` — one row per input document (a doc
+    whose every line lost survives with text ``""``).
+
+    Shuffle structure (two hash exchanges, both line-bounded):
+
+    1. explode to (doc, pos, line) and exchange on ``hash(line)`` — all
+       copies of a line co-locate, so the per-partition winner
+       (vectorized ``drop_duplicates`` after a (doc, pos) sort) is the
+       global winner; equality is decided on the line text itself, so a
+       partition-key collision can never merge distinct lines;
+    2. exchange winners on ``hash(doc)`` and reassemble with a
+       vectorized per-partition sort + ``groupby().agg(join)``.
+
+    Both exchanges carry each line exactly once; nothing is
+    corpus-bounded on any single node."""
+    from .join import hash_bucket
+
+    parts = adaptive_parts(ds)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        lines = b[text_col].fillna("").str.split(sep)
+        n = lines.str.len().to_numpy()
+        ids = np.repeat(b[id_col].to_numpy(), n)
+        pos = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
+        flat = lines.explode()
+        flat = flat[flat.notna()].to_numpy(dtype=object)
+        out = pd.DataFrame({id_col: ids, "pos": pos.astype("int64"), "line": flat})
+        out["__part"] = hash_bucket(out["line"].to_numpy(), parts)
+        return out
+
+    def first_per_line(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        g = g.drop_duplicates("line", keep="first").drop(columns="__part")
+        g["__dpart"] = hash_bucket(g[id_col].to_numpy(), parts)
+        return g
+
+    def tag_ids(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col]].copy()
+        b["__dpart"] = hash_bucket(b[id_col].to_numpy(), parts)
+        b["pos"] = np.int64(0)
+        b["line"] = ""
+        b["__is_doc"] = True
+        return b
+
+    # a doc whose every line lost must still emit a row: ship the (tiny)
+    # id spine through the same doc exchange and emit "" for ids with no
+    # surviving line — keeps the operator fully distributed (no
+    # driver-side membership set)
+    def reassemble_with_spine(g: pd.DataFrame) -> pd.DataFrame:
+        spine = g[g["__is_doc"].to_numpy()]
+        lines = g[~g["__is_doc"].to_numpy()]
+        lines = lines.sort_values([id_col, "pos"], kind="mergesort")
+        agg = (
+            lines.groupby(id_col, sort=False)["line"]
+            .agg(sep.join)
+            .reset_index()
+            .rename(columns={"line": text_col})
+        )
+        missing = spine[~spine[id_col].isin(agg[id_col])][[id_col]]
+        if len(missing):
+            agg = pd.concat(
+                [agg, missing.assign(**{text_col: ""})], ignore_index=True
+            )
+        return agg
+
+    def tag_lines(g: pd.DataFrame) -> pd.DataFrame:
+        g = first_per_line(g)
+        g["__is_doc"] = False
+        return g
+
+    exploded = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(tag_lines, batch_format="pandas")
+    )
+    spine = ds.map_batches(tag_ids, batch_format="pandas")
+    return (
+        exploded.union(spine)
+        .groupby("__dpart")
+        .map_groups(reassemble_with_spine, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------- #
 # MinHash + LSH
 # --------------------------------------------------------------------- #

@@ -475,6 +475,94 @@ def oov_stats(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def rarity_score(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> Dataset:
+    """CCNet-style n-gram language-model quality surrogate: per-document
+    bigram "rarity" — the corpus-integer analogue of perplexity-based
+    head/middle/tail bucketing (CCNet trains a 5-gram KenLM; the
+    distributed SHAPE here is identical, the score swaps ``-log p`` for
+    the exact-integer surprise ``TOTAL // count(gram)`` so no float log
+    ever crosses a partition or engine boundary).
+
+    score(doc) = sum over the doc's bigram OCCURRENCES of
+    ``TOTAL // cnt(gram)`` where ``cnt`` is the corpus-wide occurrence
+    count and ``TOTAL = sum of all bigram occurrences``.  Rare grams
+    score high; boilerplate scores low.  Docs with < 2 whitespace tokens
+    are excluded (no bigram).
+
+    Shuffle structure (scales to open vocabularies — no broadcast):
+
+    1. streaming scalar pre-pass for TOTAL (two ints per block);
+    2. per-batch (doc, gram, m) occurrence partials, ONE hash(gram)
+       exchange — every occurrence of a gram co-locates, so the global
+       count AND each doc's contribution compute inside the partition;
+    3. one ``grouped_sum`` on doc id for the per-doc total.
+
+    Output: (id_col, rarity int64).
+    """
+    from .agg import grouped_sum
+    from .join import hash_bucket
+
+    if num_parts is None:
+        from .partitioning import adaptive_parts
+
+        num_parts = adaptive_parts(ds)
+
+    def _grams(b: pd.DataFrame) -> pd.DataFrame:
+        # tokens = LOWER(text) split on single spaces, EMPTIES KEPT —
+        # mirrors SQL STRING_SPLIT exactly
+        toks = b[text_col].fillna("").str.lower().str.split(" ")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_gram = np.maximum(n_tok - 1, 0)
+        total = int(n_gram.sum())
+        if total == 0:
+            return pd.DataFrame({id_col: [], "gram": [], "m": []})
+        flat = toks.explode().to_numpy(dtype=object)
+        starts = np.cumsum(n_tok) - n_tok
+        offs = np.arange(total) - np.repeat(np.cumsum(n_gram) - n_gram, n_gram)
+        idx = offs + np.repeat(starts, n_gram)
+        left = pd.Series(flat[idx], dtype=object)
+        right = pd.Series(flat[idx + 1], dtype=object)
+        ids = np.repeat(b[id_col].to_numpy(), n_gram)
+        occ = pd.DataFrame({id_col: ids, "gram": left + " " + right})
+        out = occ.groupby([id_col, "gram"], sort=False).size().reset_index(name="m")
+        out["m"] = out["m"].astype("int64")
+        return out
+
+    def total_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.split(" ")
+        n = np.maximum(toks.str.len().to_numpy(dtype=np.int64) - 1, 0)
+        return pd.DataFrame({"t_p": [int(n.sum())]})
+
+    total = int(
+        ds.map_batches(total_partial, batch_format="pandas").sum("t_p")
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = _grams(b)
+        out["__part"] = hash_bucket(out["gram"].to_numpy(), num_parts)
+        return out
+
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("gram", sort=False)["m"].transform("sum").to_numpy()
+        contrib = g["m"].to_numpy() * (total // cnt)
+        part = pd.DataFrame({id_col: g[id_col].to_numpy(), "rarity": contrib})
+        out = part.groupby(id_col, sort=False)["rarity"].sum().reset_index()
+        out["rarity"] = out["rarity"].astype("int64")
+        return out
+
+    partials = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(score_partition, batch_format="pandas")
+    )
+    return grouped_sum(partials, [id_col], ["rarity"])
+
+
 def cooccurrence_pmi(
     mentions,
     n_docs: int,

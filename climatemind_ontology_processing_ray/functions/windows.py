@@ -345,6 +345,47 @@ def ntile(
     )
 
 
+def window_fractions(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    num_parts: int = 64,
+) -> Dataset:
+    """Per-key distribution window functions in exact integer micros:
+
+    - ``pr_micro`` — FLOOR(PERCENT_RANK() * 1e6) computed as
+      ``(rank-1) * 10^6 // (n-1)`` (0 when the key has one row),
+    - ``cd_micro`` — FLOOR(CUME_DIST() * 1e6) computed as
+      ``rows_le * 10^6 // n`` (``rows_le`` counts every row whose
+      order value is <= the current one, i.e. the RANGE-frame count).
+
+    Pure integer arithmetic — no float percent ever crosses a partition
+    or an engine boundary, so the result hash-matches the SQL window
+    oracle bit-for-bit.  Same shape as :func:`window_rank`: one coarse
+    hash(key) exchange, vectorized per-partition rank math."""
+    from .join import hash_bucket
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def fractions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        n = grp[order_col].transform("size").to_numpy().astype("int64")
+        rnk = grp[order_col].rank(method="min").to_numpy().astype("int64")
+        # rows_le = rank of the LAST member of the tie run = max-rank
+        rows_le = grp[order_col].rank(method="max").to_numpy().astype("int64")
+        pr = np.where(n > 1, (rnk - 1) * 1_000_000 // np.maximum(n - 1, 1), 0)
+        cd = rows_le * 1_000_000 // n
+        return g.assign(
+            pr_micro=pr.astype("int64"), cd_micro=cd.astype("int64")
+        ).drop(columns="__part")
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
+        fractions, batch_format="pandas"
+    )
+
+
 def window_rank(
     ds: Dataset,
     key_col: str,

@@ -4725,6 +4725,167 @@ FROM f ORDER BY doc_id, frame_offset
 """
 
 
+def q_window_fractions(sf_dir: str):
+    """Distribution window functions (PERCENT_RANK / CUME_DIST) in exact
+    integer micros — one coarse hash(key) exchange, vectorized rank math
+    (functions/windows.py:window_fractions)."""
+    from ..functions.windows import window_fractions
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = window_fractions(ds, "event_type", "value").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out = out[["event_id", "event_type", "pr_micro", "cd_micro"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_WINDOW_FRACTIONS = """
+SELECT event_id, event_type,
+  CAST(CASE WHEN cnt > 1 THEN (rnk - 1) * 1000000 // (cnt - 1)
+       ELSE 0 END AS BIGINT) AS pr_micro,
+  CAST(le * 1000000 // cnt AS BIGINT) AS cd_micro
+FROM (
+  SELECT event_id, event_type,
+    RANK() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events)
+ORDER BY event_id
+"""
+
+
+_LINE_WORDS = 8
+
+
+def _multiline_docs(sf_dir: str) -> rd.Dataset:
+    """The augmented corpus re-laid-out as 8-word lines — gives the
+    line-level dedup real cross-document repeats (the augmented copy of
+    every 20th doc shares all full lines with its source)."""
+    docs = _augmented_docs(sf_dir)
+
+    def to_lines(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split(" ")
+        b = b.copy()
+        b["text"] = [
+            "\n".join(
+                " ".join(ws[i : i + _LINE_WORDS])
+                for i in range(0, len(ws), _LINE_WORDS)
+            )
+            for ws in toks
+        ]
+        return b[["doc_id", "text"]]
+
+    return docs.map_batches(to_lines, batch_format="pandas")
+
+
+def q_line_dedup(sf_dir: str):
+    """Cross-document line-level exact dedup (RefinedWeb/Dolma repeated-
+    paragraph removal): first occurrence corpus-wide wins, docs are
+    reassembled from surviving lines (functions/dedup.py:line_dedup;
+    two line-bounded hash exchanges, no driver-side state)."""
+    from ..functions.dedup import line_dedup
+
+    out = line_dedup(_multiline_docs(sf_dir), "doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+
+
+SQL_LINE_DEDUP = f"""
+WITH aug AS ({{aug}}),
+w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM aug),
+docs2 AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(
+           LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(ws) / {_LINE_WORDS}.0) AS BIGINT)),
+             i -> ARRAY_TO_STRING(ws[i * {_LINE_WORDS} + 1 : i * {_LINE_WORDS} + {_LINE_WORDS}], ' ')),
+           CHR(10)) AS text
+  FROM w),
+lines AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, CHR(10))) AS line,
+         UNNEST(RANGE(1, LEN(STRING_SPLIT(text, CHR(10))) + 1)) AS pos
+  FROM docs2),
+winners AS (
+  SELECT doc_id, pos, line FROM lines
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1)
+SELECT d.doc_id, COALESCE(agg.text, '') AS text
+FROM docs2 d LEFT JOIN (
+  SELECT doc_id, ARRAY_TO_STRING(LIST(line ORDER BY pos), CHR(10)) AS text
+  FROM winners GROUP BY doc_id) agg
+USING (doc_id)
+ORDER BY d.doc_id
+""".format(aug=SQL_AUG)
+
+
+def q_rarity_score(sf_dir: str):
+    """CCNet-style n-gram LM quality surrogate: per-doc bigram rarity
+    under exact-integer surprise TOTAL // count(gram)
+    (functions/text.py:rarity_score; one hash(gram) exchange + one
+    grouped_sum — no broadcast, open-vocabulary safe)."""
+    from ..functions.text import rarity_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = rarity_score(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rarity"] = out["rarity"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "rarity"]]
+
+
+SQL_RARITY = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+  WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 2),
+grams AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM toks),
+occ AS (SELECT doc_id, g, COUNT(*) AS m FROM grams GROUP BY 1, 2),
+cnt AS (SELECT g, SUM(m) AS c FROM occ GROUP BY 1),
+tot AS (SELECT SUM(c) AS t FROM cnt)
+SELECT o.doc_id, CAST(SUM(o.m * ((SELECT t FROM tot) // c.c)) AS BIGINT) AS rarity
+FROM occ o JOIN cnt c USING (g)
+GROUP BY o.doc_id ORDER BY o.doc_id
+"""
+
+
+_KNN_K = 5
+_KNN_QUANT = 32768
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact blocked k-NN graph over the embedding column under integer-
+    quantized dot similarity (functions/ann.py:knn_graph; one hash(block)
+    exchange, strip-chunked in-block matmul — the IVF-cell discipline)."""
+    from ..functions.ann import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = knn_graph(ds, k=_KNN_K, quant=_KNN_QUANT).to_pandas()
+    for c in ("vec_id", "neighbor_id", "dot", "nn_rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+
+
+SQL_KNN_GRAPH = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KNN_QUANT} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, CAST(dot AS BIGINT) AS dot,
+       CAST(rn AS BIGINT) AS nn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rn
+  FROM s)
+WHERE rn <= {_KNN_K}
+ORDER BY vec_id, nn_rank
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -4966,6 +5127,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "scale_features": (q_scale_features, SQL_SCALE_FEATURES),
     "mad_outliers": (q_mad_outliers, _sql_mad_outliers),
+    "window_fractions": (q_window_fractions, SQL_WINDOW_FRACTIONS),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "rarity_score": (q_rarity_score, SQL_RARITY),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
 }
 
 

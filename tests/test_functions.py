@@ -1934,3 +1934,142 @@ def test_wav_y4m_codecs_roundtrip_and_features():
     assert vout.column("frame_idx").to_pylist() == [0, 1, 2, 3]
     want = [int(f.astype(np.int64).sum()) for f in frames]
     assert vout.column("luma_sum").to_pylist() == want
+
+
+def test_window_fractions_exact_integer_semantics(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import window_fractions
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "k": rng.integers(0, 9, 300),
+            "v": rng.integers(0, 6, 300),  # heavy ties
+        }
+    )
+    # one singleton key (percent_rank denominator n-1 == 0 edge)
+    df.loc[len(df)] = [999, 99, 3]
+    out = (
+        window_fractions(ray.data.from_pandas(df).repartition(5), "k", "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    grp = exp.groupby("k")
+    n = grp["v"].transform("size").to_numpy().astype("int64")
+    rnk = grp["v"].rank(method="min").to_numpy().astype("int64")
+    le = grp["v"].rank(method="max").to_numpy().astype("int64")
+    exp["pr_micro"] = np.where(n > 1, (rnk - 1) * 10**6 // np.maximum(n - 1, 1), 0)
+    exp["cd_micro"] = le * 10**6 // n
+    exp = exp.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["id", "k", "v", "pr_micro", "cd_micro"]].astype("int64"),
+        exp.astype("int64"),
+    )
+    assert out.loc[out["id"] == 999, "pr_micro"].item() == 0
+    assert out.loc[out["id"] == 999, "cd_micro"].item() == 10**6
+
+
+def test_line_dedup_first_occurrence_and_reassembly(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.dedup import line_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha\nbeta\ngamma",
+                "beta\ndelta",          # beta lost to doc 1
+                "alpha\nbeta",          # everything lost -> ""
+                "delta\nalpha\nzeta",   # delta lost to doc 2
+            ],
+        }
+    )
+    out = (
+        line_dedup(ray.data.from_pandas(df).repartition(3), "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["alpha\nbeta\ngamma", "delta", "", "zeta"]
+    # in-doc repeat: first position wins, later copy dropped
+    df2 = pd.DataFrame({"doc_id": [7], "text": ["x\ny\nx"]})
+    out2 = line_dedup(ray.data.from_pandas(df2), "doc_id").to_pandas()
+    assert out2["text"].tolist() == ["x\ny"]
+
+
+def test_rarity_score_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import rarity_score
+
+    rng = np.random.default_rng(5)
+    vocab = np.array(["a", "b", "c", "dd", "eee"])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120), "text": texts})
+    out = (
+        rarity_score(ray.data.from_pandas(df).repartition(6))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    doc_grams = {}
+    for d, t in zip(df["doc_id"], df["text"]):
+        ws = t.lower().split(" ")
+        gs = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        doc_grams[d] = gs
+        cnt.update(gs)
+    total = sum(cnt.values())
+    exp = {
+        d: sum(total // cnt[g] for g in gs)
+        for d, gs in doc_grams.items()
+        if gs
+    }
+    got = dict(zip(out["doc_id"], out["rarity"]))
+    assert got == exp
+
+
+def test_knn_graph_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.ann import knn_graph
+    from climatemind_ontology_processing_ray.functions.cluster import quantize
+
+    rng = np.random.default_rng(9)
+    n, d = 200, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 3, n)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [v.tolist() for v in vecs],
+            "label": labels,
+        }
+    )
+    out = (
+        knn_graph(ray.data.from_pandas(df).repartition(5), k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    q = quantize(vecs.astype(np.float64), 32768)
+    for i in rng.choice(n, 25, replace=False):
+        mask = (labels == labels[i]) & (np.arange(n) != i)
+        cand = np.flatnonzero(mask)
+        dots = q[cand] @ q[i]
+        order = np.lexsort((cand, -dots))[:4]
+        exp_nb = cand[order].tolist()
+        got = out[out["vec_id"] == i]
+        assert got["neighbor_id"].tolist() == exp_nb
+        assert got["dot"].tolist() == dots[order].tolist()
