@@ -321,3 +321,43 @@ def knn_graph(
         .groupby("__part")
         .map_groups(block_knn, batch_format="pandas")
     )
+
+
+def dense_topk_int(
+    ds: Dataset,
+    query,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    quant: int = 32768,
+) -> pd.DataFrame:
+    """Exact dense top-k for ONE query vector under the integer-quantized
+    dot (same arithmetic as :func:`knn_graph` — bit-identical to BIGINT
+    SQL at any parallelism).  Broadcast the quantized query via
+    ``ray.put``; each batch computes its dots with one matvec and emits
+    its LOCAL top-k; the k x #blocks candidates reduce on the driver
+    (k-bounded, not corpus-bounded).  Output: (id_col, dot, rank) with
+    ties broken on ascending id."""
+    from .cluster import _batch_matrix, quantize
+
+    qv = quantize(np.asarray(query, dtype=np.float64), quant).astype(np.float64)
+    q_ref = ray.put(qv)
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        mat = _batch_matrix(batch, vec_col, quant).astype(np.float64)
+        dots = mat @ q  # exact ints in fp64 (< 2^52)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -dots))[:k]
+        return pd.DataFrame(
+            {id_col: ids[order], "dot": dots[order].astype(np.int64)}
+        )
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(["dot", id_col], ascending=[False, True], kind="mergesort")
+    out = cand.head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -181,3 +181,35 @@ def bm25_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+RRF_SCALE = 10**9
+
+
+def rrf_fuse(
+    rank_frames: list[pd.DataFrame],
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion of k-bounded rank lists (hybrid retrieval:
+    a sparse BM25 leg + a dense embedding leg is the canonical pair).
+
+    Exact-integer RRF: score = sum over lists of ``RRF_SCALE // (c + rank)``
+    — the floor'd fixed-point of 1/(c+rank), bit-identical in SQL.  Inputs
+    are the k-bounded OUTPUTS of the retrieval legs (each frame:
+    (id_col, rank)), so the fusion is rank-list-sized, never
+    corpus-sized — driver-side by design.  Ties break ascending id."""
+    scores: dict = {}
+    for f in rank_frames:
+        for i, r in zip(f[id_col], f["rank"]):
+            scores[i] = scores.get(i, 0) + RRF_SCALE // (c + int(r))
+    out = pd.DataFrame(
+        {id_col: list(scores.keys()), "rrf": list(scores.values())}
+    )
+    out["rrf"] = out["rrf"].astype("int64")
+    return (
+        out.sort_values(["rrf", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -3866,7 +3866,9 @@ def q_bm25_search(sf_dir: str):
     return bm25_topk(ds, _TFIDF_TERMS, k=_TFIDF_K)
 
 
-def _sql_bm25_search() -> str:
+def _sql_bm25_core(k: int) -> str:
+    """Integer-rational BM25 top-k statement (reused by the bm25_search
+    oracle and as the sparse leg of the rrf_fusion oracle)."""
     from ..functions.search import IDF_SCALE
 
     tf_cols = []
@@ -3908,8 +3910,12 @@ SELECT doc_id, CAST({score} AS BIGINT) AS score
 FROM scored
 WHERE ({score}) > 0
 ORDER BY score DESC, doc_id ASC
-LIMIT {_TFIDF_K}
+LIMIT {k}
 """
+
+
+def _sql_bm25_search() -> str:
+    return _sql_bm25_core(_TFIDF_K)
 
 
 def q_distinct_users(sf_dir: str):
@@ -4886,6 +4892,73 @@ ORDER BY vec_id, nn_rank
 """
 
 
+_RRF_POOL = 20
+_RRF_C = 60
+_RRF_K = 10
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: integer-rational BM25 (sparse leg, documents) +
+    integer-quantized dense top-k (embeddings, query = vec 0) fused with
+    exact-integer reciprocal-rank fusion
+    (functions/search.py:rrf_fuse, functions/ann.py:dense_topk_int).
+    Both legs are k-bounded streaming passes over the corpus; the fusion
+    is rank-list-sized."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.ann import dense_topk_int
+    from ..functions.search import bm25_topk, rrf_fuse
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sparse = bm25_topk(docs, _TFIDF_TERMS, k=_RRF_POOL)
+    sparse["rank"] = np.arange(1, len(sparse) + 1, dtype=np.int64)
+
+    q_tab = _pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q_tab.filter(pc.equal(q_tab.column("vec_id"), pa.scalar(0)))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dense = dense_topk_int(emb, qvec, k=_RRF_POOL, quant=_KNN_QUANT).rename(
+        columns={"vec_id": "doc_id"}
+    )
+
+    out = rrf_fuse(
+        [sparse[["doc_id", "rank"]], dense[["doc_id", "rank"]]],
+        "doc_id",
+        k=_RRF_K,
+        c=_RRF_C,
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "rrf"]]
+
+
+def _sql_rrf_fusion() -> str:
+    bm25 = _sql_bm25_core(_RRF_POOL)
+    return f"""
+WITH s AS MATERIALIZED ({bm25}),
+sr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM s),
+qv AS (SELECT LIST_TRANSFORM(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KNN_QUANT} + 0.5) AS BIGINT)) AS v
+       FROM embeddings WHERE vec_id = 0),
+qe AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KNN_QUANT} + 0.5) AS BIGINT)) AS v
+       FROM embeddings),
+d AS MATERIALIZED (
+  SELECT e.vec_id AS doc_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1), i -> e.v[i] * q.v[i])) AS dot
+  FROM qv q CROSS JOIN qe e
+  ORDER BY dot DESC, e.vec_id LIMIT {_RRF_POOL}),
+dr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS r FROM d)
+SELECT doc_id,
+       CAST(COALESCE(1000000000 // ({_RRF_C} + sr.r), 0)
+          + COALESCE(1000000000 // ({_RRF_C} + dr.r), 0) AS BIGINT) AS rrf
+FROM sr FULL OUTER JOIN dr USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT {_RRF_K}
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -5131,6 +5204,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "rarity_score": (q_rarity_score, SQL_RARITY),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion),
 }
 
 

@@ -2073,3 +2073,20 @@ def test_knn_graph_matches_bruteforce(ray_session):
         got = out[out["vec_id"] == i]
         assert got["neighbor_id"].tolist() == exp_nb
         assert got["dot"].tolist() == dots[order].tolist()
+
+
+def test_rrf_fuse_exact_integer_fusion():
+    from climatemind_ontology_processing_ray.functions.search import RRF_SCALE, rrf_fuse
+
+    sparse = pd.DataFrame({"id": [3, 1, 7], "rank": [1, 2, 3]})
+    dense = pd.DataFrame({"id": [1, 9], "rank": [1, 2]})
+    out = rrf_fuse([sparse, dense], "id", k=4, c=60)
+    exp = {
+        3: RRF_SCALE // 61,
+        1: RRF_SCALE // 62 + RRF_SCALE // 61,
+        7: RRF_SCALE // 63,
+        9: RRF_SCALE // 62,
+    }
+    assert dict(zip(out["id"], out["rrf"])) == exp
+    # id 1 appears in both lists -> highest fused score
+    assert out["id"].iloc[0] == 1
