@@ -281,8 +281,6 @@ def knn_graph(
         return batch.append_column("__part", pa.array(pids, pa.int32()))
 
     def block_knn(g: pd.DataFrame) -> pd.DataFrame:
-        import pandas as pd  # local: keep module deps explicit
-
         out_id, out_nb, out_dot, out_rank = [], [], [], []
         for _, sub in g.groupby(block_col, sort=False):
             ids = sub[id_col].to_numpy()
@@ -297,22 +295,32 @@ def knn_graph(
             for s in range(0, m, 1024):
                 strip = q_s[s : s + 1024]
                 dots = strip @ q_s.T  # exact ints in fp64 (< 2^52)
-                for r in range(len(strip)):
-                    row = dots[r]
-                    row[s + r] = -np.inf  # exclude self
-                    # ids_s ascending => stable argsort on -row breaks
-                    # ties toward the smaller neighbor id
-                    top = np.argsort(-row, kind="mergesort")[:kk]
-                    out_id.extend([ids_s[s + r]] * kk)
-                    out_nb.extend(ids_s[top])
-                    out_dot.extend(row[top].astype(np.int64))
-                    out_rank.extend(range(1, kk + 1))
+                rows = np.arange(len(strip))
+                dots[rows, s + rows] = -np.inf  # exclude self
+                # ids_s ascending => STABLE argsort on -dots breaks ties
+                # toward the smaller neighbor id (whole strip at once)
+                top = np.argsort(-dots, axis=1, kind="stable")[:, :kk]
+                out_id.append(np.repeat(ids_s[s : s + len(strip)], kk))
+                out_nb.append(ids_s[top].ravel())
+                out_dot.append(
+                    np.take_along_axis(dots, top, axis=1).ravel().astype(np.int64)
+                )
+                out_rank.append(np.tile(np.arange(1, kk + 1), len(strip)))
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "dot": np.array([], dtype=np.int64),
+                    "nn_rank": np.array([], dtype=np.int64),
+                }
+            )
         return pd.DataFrame(
             {
-                id_col: out_id,
-                "neighbor_id": out_nb,
-                "dot": np.asarray(out_dot, dtype=np.int64),
-                "nn_rank": np.asarray(out_rank, dtype=np.int64),
+                id_col: np.concatenate(out_id),
+                "neighbor_id": np.concatenate(out_nb),
+                "dot": np.concatenate(out_dot),
+                "nn_rank": np.concatenate(out_rank).astype(np.int64),
             }
         )
 

@@ -512,8 +512,67 @@ def suite_skew() -> None:
     )
 
 
+def suite_textops() -> None:
+    """Round-4 text-pipeline additions at 1M docs: line-level dedup
+    (RefinedWeb repeated-paragraph removal shape) and the bigram rarity
+    LM surrogate — both open-vocabulary exchanges, no broadcast."""
+    ray, rd = _session()
+    _mutated_docs("/tmp/stress_docs_1m", reps=200, shards=5)
+    ds = rd.read_parquet("/tmp/stress_docs_1m", columns=["doc_id", "text"])
+    from climatemind_ontology_processing_ray.functions.dedup import line_dedup
+    from climatemind_ontology_processing_ray.functions.text import rarity_score
+
+    def to_lines(b):
+        toks = b["text"].str.split(" ")
+        b = b.copy()
+        b["text"] = [
+            "\n".join(" ".join(ws[i : i + 8]) for i in range(0, len(ws), 8))
+            for ws in toks
+        ]
+        return b
+
+    lines = ds.map_batches(to_lines, batch_format="pandas")
+    _t("line_dedup @1M", lambda: f"{line_dedup(lines, 'doc_id').count()} docs")
+    _t("rarity_score @1M", lambda: f"{rarity_score(ds).count()} docs")
+
+
+def suite_knn() -> None:
+    """knn_graph at 500k x 32-d, blocked by the generating cluster id
+    (labels = IVF-style cells, ~7.8k vectors per all-pairs block — the
+    strip-chunked in-block matmul's stress shape)."""
+    ray, rd = _session()
+    p = "/tmp/stress_emb_labeled.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(7)
+        n, d = 500_000, 32
+        centers = rng.normal(0, 1, (64, d))
+        lab = rng.integers(0, 64, n)
+        x = centers[lab] + rng.normal(0, 0.3, (n, d))
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(
+                        x.astype(np.float32).tolist(), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(lab.astype(np.int32), pa.int32()),
+                }
+            ),
+            p,
+        )
+    ds = rd.read_parquet(p)
+    from climatemind_ontology_processing_ray.functions.ann import knn_graph
+
+    _t(
+        "knn_graph @500k (64 cells)",
+        lambda: f"{knn_graph(ds, id_col='vec_id', vec_col='embedding', block_col='label', k=5).count()} edges",
+    )
+
+
 SUITES = {
     "docs": suite_docs,
+    "textops": suite_textops,
+    "knn": suite_knn,
     "docs1m": suite_docs1m,
     "singletons": suite_singletons,
     "events": suite_events,
