@@ -35,14 +35,17 @@ class expressions in ``equivalentClass`` classify both individuals
 (ALL / ANY conjunct semantics) and named classes (scm-int: C ≡ D1⊓D2 ⇒
 C ⊑ Di; scm-uni: C ≡ D1⊔D2 ⇒ Di ⊑ C), and ``owl:TransitiveProperty``
 declarations make ∃P restrictions range over the transitive closure of
-P's asserted edges.  NOTE: matching ``sync_reasoner()``'s default
+P's asserted edges.  ``rdfs:domain`` / ``rdfs:range`` declarations on
+object properties (named classes) classify edge endpoints (prp-dom /
+prp-rng), seeded before the defined-class fixpoint so the two compose.
+NOTE: matching ``sync_reasoner()``'s default
 ``infer_property_values=False`` (``make_graph_class.py:82``), inferred
 property assertions (e.g. transitive-closure edges) are NOT
 materialized into ``obj_edges`` — only classification is.  Memberships
 that require full DL reasoning beyond these patterns — complementOf,
-cardinality restrictions, property domain/range inference, inverse
-properties, property chains — are NOT derived; the reference
-pipeline's own edge set does not depend on them.
+cardinality restrictions, inverse properties, property chains — are
+NOT derived; the reference pipeline's own edge set does not depend on
+them.
 """
 
 from __future__ import annotations
@@ -162,6 +165,12 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                     return "class"
         return None
 
+    # rdfs:domain / rdfs:range declarations on object properties (named
+    # classes only — anonymous domain/range expressions stay out of the
+    # documented envelope): prop IRI -> class IRI
+    prop_domain_iri: dict[str, str] = {}
+    prop_range_iri: dict[str, str] = {}
+
     for el in root:
         kind = node_kind(el)
         iri = el.get(_ABOUT)
@@ -170,6 +179,13 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         if kind in ("object", "annotation", "data"):
             prop_kind[iri] = kind
             prop_label[iri] = first_label(el) or _frag(iri)
+            if kind == "object":
+                dom = el.find(q(RDFS, "domain"))
+                if dom is not None and dom.get(_RESOURCE):
+                    prop_domain_iri[iri] = dom.get(_RESOURCE)
+                rng = el.find(q(RDFS, "range"))
+                if rng is not None and rng.get(_RESOURCE):
+                    prop_range_iri[iri] = rng.get(_RESOURCE)
         elif kind == "class":
             class_label[iri] = first_label(el) or _frag(iri)
             class_els.append((iri, el))
@@ -403,7 +419,27 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     # be a defined class), then materialize inferred memberships into
     # direct_classes — mirroring owlready2's post-sync_reasoner ``is_a``
     # as consumed at make_graph_class.py:134.
-    if restriction_defs or intersection_defs or union_defs:
+    # rdfs:domain / rdfs:range classification (prp-dom / prp-rng): an
+    # asserted edge s P o with domain(P)=D classifies s as D (and range
+    # as R for o).  Label space, classification only — edges untouched.
+    domain_by_label = {
+        prop_label[p]: class_label.get(c, _frag(c))
+        for p, c in prop_domain_iri.items()
+        if p in prop_label
+    }
+    range_by_label = {
+        prop_label[p]: class_label.get(c, _frag(c))
+        for p, c in prop_range_iri.items()
+        if p in prop_label
+    }
+
+    if (
+        restriction_defs
+        or intersection_defs
+        or union_defs
+        or domain_by_label
+        or range_by_label
+    ):
         # ∃P over a transitive P ranges over the closure of P's asserted
         # edges (classification only — closure edges are NOT added to
         # obj_edges, matching infer_property_values=False).
@@ -442,6 +478,17 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         member: dict[str, set[str]] = {
             lab: set(node["direct_classes"]) for lab, node in individuals.items()
         }
+        # domain/range memberships are a single static pass (obj_edges
+        # never grow during classification), seeded BEFORE the
+        # defined-class fixpoint so they can satisfy its conjuncts
+        if domain_by_label or range_by_label:
+            for s, p, o in obj_edges:
+                d = domain_by_label.get(p)
+                if d is not None and s in member:
+                    member[s].add(d)
+                r = range_by_label.get(p)
+                if r is not None and o in member:
+                    member[o].add(r)
         # per-individual outgoing edges (infer_edges is static across the
         # fixpoint), so each conjunct check is a lookup
         out_edges: dict[str, list[tuple[str, str]]] = {}

@@ -528,3 +528,73 @@ def test_transitive_property_restriction_membership():
     # closure edges are classification-only: obj_edges stays asserted
     assert ("glacier", "is upstream of", "sea") not in snap.obj_edges
     assert len([e for e in snap.obj_edges if e[1] == "is upstream of"]) == 2
+
+
+def test_domain_range_classification_and_fixpoint_composition():
+    """rdfs:domain / rdfs:range on an object property classify the edge
+    endpoints (prp-dom / prp-rng), and a domain-inferred membership can
+    satisfy a someValuesFrom conjunct in the same fixpoint."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Pdrives">
+    <rdfs:label>drives</rdfs:label>
+    <rdfs:domain rdf:resource="urn:x#Driverish"/>
+    <rdfs:range rdf:resource="urn:x#Impactish"/>
+  </owl:ObjectProperty>
+  <owl:ObjectProperty rdf:about="urn:x#Pnear">
+    <rdfs:label>near</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Driverish">
+    <rdfs:label>driver</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#Impactish">
+    <rdfs:label>impact</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#NearDriver">
+    <rdfs:label>near a driver</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pnear"/>
+        <owl:someValuesFrom rdf:resource="urn:x#Driverish"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#co2">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>co2 rise</rdfs:label>
+    <wp:Pdrives rdf:resource="urn:x#heat"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#heat">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>heat stress</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#town">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>town</rdfs:label>
+    <wp:Pnear rdf:resource="urn:x#co2"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#farm">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>farm</rdfs:label>
+    <wp:Pnear rdf:resource="urn:x#heat"/>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # prp-dom: the edge source gains the domain class
+    assert "driver" in snap.individuals["co2 rise"]["direct_classes"]
+    # prp-rng: the edge target gains the range class
+    assert "impact" in snap.individuals["heat stress"]["direct_classes"]
+    # composition: town is near co2, whose Driverish membership is ONLY
+    # domain-inferred -> someValuesFrom fires off the seeded membership
+    assert "near a driver" in snap.individuals["town"]["direct_classes"]
+    # heat is an impact, not a driver -> farm stays out
+    assert "near a driver" not in snap.individuals["farm"]["direct_classes"]
+    # classification only: no new edges materialized
+    assert all(p in ("drives", "near") for _, p, _ in snap.obj_edges)
