@@ -189,6 +189,11 @@ def run_bench() -> dict:
         "semdedup",
         "dedup_keep_best",
         "shuffle_shards",
+        "window_fractions",
+        "line_dedup",
+        "rarity_score",
+        "knn_graph",
+        "rrf_fusion",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

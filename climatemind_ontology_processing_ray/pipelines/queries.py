@@ -4959,6 +4959,82 @@ ORDER BY rrf DESC, doc_id LIMIT {_RRF_K}
 """
 
 
+_CTT_K = 5
+
+
+def q_cluster_top_terms(sf_dir: str):
+    """Topic labeling for curation/mixture decisions: k-means clusters
+    over the embeddings joined to the documents by id, then the top-5
+    terms per cluster by exact token count.  Composition: integer-exact
+    kmeans_assign -> bucketed hash join -> map-side (cluster, term)
+    partials -> grouped_sum -> per-cluster top-k (cluster count is
+    k-bounded, so the final head is a k x vocab frame)."""
+    from ..functions.agg import grouped_sum
+    from ..functions.cluster import kmeans_assign
+    from ..functions.join import bucketed_hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    assign = kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "vec_id",
+        "embedding",
+        k=8,
+        iters=3,
+        quant=1000,
+    ).map_batches(
+        lambda b: b.rename(columns={"vec_id": "doc_id"}), batch_format="pandas"
+    )
+    joined = bucketed_hash_join(docs, assign, "doc_id")
+
+    def term_partials(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode()
+        out = pd.DataFrame(
+            {
+                "cluster": np.repeat(b["cluster"].to_numpy(), n),
+                "term": flat.to_numpy(dtype=object),
+            }
+        )
+        out = out[out["term"] != ""]
+        agg = out.groupby(["cluster", "term"], sort=False).size().reset_index(name="n")
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    counts = grouped_sum(
+        joined.map_batches(term_partials, batch_format="pandas"),
+        ["cluster", "term"],
+        ["n"],
+    ).to_pandas()
+    counts = counts.sort_values(
+        ["cluster", "n", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = counts.groupby("cluster", sort=False).head(_CTT_K).reset_index(drop=True)
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _sql_cluster_top_terms() -> str:
+    inner = _sql_kmeans()
+    return f"""
+WITH asg AS (SELECT * FROM ({inner})),
+toks AS (
+  SELECT doc_id,
+         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) AS term
+  FROM documents),
+cnt AS (
+  SELECT a.cluster, t.term, COUNT(*) AS n
+  FROM toks t JOIN asg a ON t.doc_id = a.vec_id GROUP BY 1, 2)
+SELECT CAST(cluster AS BIGINT) AS cluster, term, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, term) AS rn
+  FROM cnt)
+WHERE rn <= {_CTT_K}
+ORDER BY cluster, n DESC, term
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -5205,6 +5281,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rarity_score": (q_rarity_score, SQL_RARITY),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion),
+    "cluster_top_terms": (q_cluster_top_terms, _sql_cluster_top_terms),
 }
 
 
