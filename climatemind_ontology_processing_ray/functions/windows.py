@@ -433,3 +433,62 @@ def window_rank(
     return ds.map_batches(tag, batch_format="pandas").groupby("__part").map_groups(
         ranks, batch_format="pandas"
     )
+
+
+def session_first(
+    ds: Dataset,
+    ts_col: str,
+    key_cols: list[str],
+    gap_us: int,
+    out_cols: list[str],
+    num_parts: int | None = None,
+) -> Dataset:
+    """Streaming rate-limit dedup (event throttling): keep only the FIRST
+    event of every per-key session, where a session breaks when the gap
+    to the key's PREVIOUS event exceeds ``gap_us`` microseconds.  The
+    alerting/notification dedup primitive: "emit at most one event per
+    key per quiet period".
+
+    Gaps compare as exact int64 MICROSECONDS (timestamp ns // 1000), so
+    the result is bit-stable against a SQL ``LAG(epoch_us(ts))`` window —
+    no float seconds ever cross the engine boundary.
+
+    Shape: one coarse hash exchange on the key columns (a key's events
+    co-locate), then ONE vectorized sort + shift per partition — the
+    ``sessionize`` discipline, never a Ray group per key."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        if len(key_cols) == 1:
+            kv = b[key_cols[0]].to_numpy()
+        else:
+            s = b[key_cols[0]].astype(str)
+            for k in key_cols[1:]:
+                s = s + "\x00" + b[k].astype(str)
+            kv = s.to_numpy()
+        return b.assign(__part=hash_bucket(kv, num_parts))
+
+    def first_of_session(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g[out_cols]
+        g = g.sort_values(key_cols + [ts_col] + out_cols, kind="mergesort")
+        new_key = np.zeros(len(g), dtype=bool)
+        new_key[0] = True
+        for k in key_cols:
+            new_key |= ~g[k].eq(g[k].shift()).to_numpy()
+        # exact integer microseconds, unit-safe against datetime64[ns|us]
+        us = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = gap_us + 1
+        gap[1:] = us[1:] - us[:-1]
+        return g.loc[new_key | (gap > gap_us), out_cols]
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(first_of_session, batch_format="pandas")
+    )

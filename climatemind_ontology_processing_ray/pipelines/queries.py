@@ -5157,6 +5157,126 @@ ORDER BY d.doc_id, f.frame_idx
 """
 
 
+_FUZZY_DIST = 2
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Entity-resolution fuzzy join: part pairs in the same brand whose
+    names are within Levenshtein distance 2 (functions/fuzzy.py — one
+    hash(block) exchange, distinct-name-bounded char-bag-pruned
+    pair-lane-vectorized DP, output-sized expansion).  Generalizes the
+    reference's label-matching entity linking (make_graph_class.py-era
+    driver loop) to distributed record linkage."""
+    from ..functions.fuzzy import fuzzy_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    out = fuzzy_join(
+        ds, "p_partkey", "p_name", "p_brand", max_dist=_FUZZY_DIST
+    ).to_pandas()
+    if "key_a" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "key_a": pd.Series([], dtype="int64"),
+                "key_b": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+SQL_FUZZY_NAME_PAIRS = f"""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_DIST}
+ORDER BY key_a, key_b
+"""
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1_000_000
+_DSIR_TARGET = "src0"
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023) of every document
+    against the src0 target slice under the hashed-unigram model,
+    exact-integer likelihood ratio (functions/dsir.py — two streaming
+    passes, one B-bounded count exchange, zero-copy numpy broadcast)."""
+    from ..functions.dsir import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = dsir_weights(
+        ds,
+        "doc_id",
+        "text",
+        "source",
+        _DSIR_TARGET,
+        buckets=_DSIR_BUCKETS,
+        scale=_DSIR_SCALE,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["dsir_weight"] = out["dsir_weight"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_dsir_weights() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+  FROM documents),
+bk AS (
+  SELECT doc_id, source, {_SQL_H64} % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, md5(w) AS m FROM toks)),
+cnt AS (
+  SELECT b, COUNT(*) AS raw_n,
+         COUNT(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS tgt_n
+  FROM bk GROUP BY 1)
+SELECT t.doc_id,
+       CAST(SUM((c.tgt_n * {_DSIR_SCALE}) // c.raw_n) AS BIGINT)
+         AS dsir_weight
+FROM bk t JOIN cnt c USING (b)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+_THROTTLE_GAP_US = 14_400_000_000  # one event per (user, type) per 4 h
+
+
+def q_throttle_events(sf_dir: str):
+    """Streaming rate-limit dedup: first event of every (user, type)
+    session under a 4-hour inactivity gap
+    (functions/windows.py:session_first — one key-hash exchange, exact
+    int64-microsecond gap comparison, vectorized per-partition pass)."""
+    from ..functions.windows import session_first
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = session_first(
+        ds,
+        "ts",
+        ["user_id", "event_type"],
+        gap_us=_THROTTLE_GAP_US,
+        out_cols=["event_id", "user_id", "event_type"],
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_THROTTLE_EVENTS = f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type FROM o
+WHERE gap IS NULL OR gap > {_THROTTLE_GAP_US}
+ORDER BY event_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -5282,6 +5402,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion),
     "cluster_top_terms": (q_cluster_top_terms, _sql_cluster_top_terms),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
+    "dsir_weights": (q_dsir_weights, _sql_dsir_weights),
+    "throttle_events": (q_throttle_events, SQL_THROTTLE_EVENTS),
 }
 
 

@@ -1,0 +1,188 @@
+"""Tests for the round-4 curation operators: blocked fuzzy join
+(functions/fuzzy.py), DSIR importance weights (functions/dsir.py) and
+session-first throttling (functions/windows.py:session_first)."""
+
+import hashlib
+import random
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _ref_lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[lb]
+
+
+def test_levenshtein_pairs_matches_scalar_dp():
+    from climatemind_ontology_processing_ray.functions.fuzzy import (
+        _byte_matrix,
+        levenshtein_pairs,
+    )
+
+    rng = random.Random(11)
+    names = ["", "a", "ab", "red widget", "rex widget", "ted bolts"]
+    names += [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 14)))
+        for _ in range(60)
+    ]
+    mat, lens = _byte_matrix(names)
+    ia, ib = np.meshgrid(np.arange(len(names)), np.arange(len(names)))
+    ia, ib = ia.ravel(), ib.ravel()
+    got = levenshtein_pairs(mat, lens, ia, ib)
+    exp = np.array([_ref_lev(names[i], names[j]) for i, j in zip(ia, ib)])
+    assert (got == exp).all()
+
+
+def test_fuzzy_join_matches_bruteforce(ray_session):
+    from climatemind_ontology_processing_ray.functions.fuzzy import fuzzy_join
+
+    rng = random.Random(5)
+    adjs = ["red", "rex", "ted", "blue", "blu", "hot"]
+    nouns = ["bolt", "bolts", "ring", "king", "widget", "wident"]
+    rows = [
+        {
+            "key": i,
+            "name": f"{rng.choice(adjs)} {rng.choice(nouns)}",
+            "block": f"B{rng.randint(0, 2)}",
+        }
+        for i in range(120)
+    ]
+    df = pd.DataFrame(rows)
+    out = (
+        fuzzy_join(
+            rd.from_pandas(df).repartition(7),
+            "key",
+            "name",
+            "block",
+            max_dist=2,
+        )
+        .to_pandas()
+        .sort_values(["key_a", "key_b"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            if df.block[i] != df.block[j]:
+                continue
+            d = _ref_lev(df.name[i], df.name[j])
+            if d <= 2:
+                a, b = sorted((int(df.key[i]), int(df.key[j])))
+                exp.append((a, b, d))
+    exp = pd.DataFrame(exp, columns=["key_a", "key_b", "dist"]).sort_values(
+        ["key_a", "key_b"]
+    ).reset_index(drop=True)
+    assert len(out) == len(exp) > 0
+    assert (out.to_numpy() == exp.to_numpy()).all()
+
+
+def test_dsir_weights_matches_bruteforce(ray_session):
+    from climatemind_ontology_processing_ray.functions.dsir import dsir_weights
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+                for _ in range(40)
+            ],
+            "source": [rng.choice(["tgt", "other"]) for _ in range(40)],
+        }
+    )
+    B, SCALE = 64, 1_000_000
+    out = (
+        dsir_weights(
+            rd.from_pandas(df).repartition(5),
+            "doc_id",
+            "text",
+            "source",
+            "tgt",
+            buckets=B,
+            scale=SCALE,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def bucket(w: str) -> int:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        return h % B
+
+    raw = np.zeros(B, np.int64)
+    tgt = np.zeros(B, np.int64)
+    for _, r in df.iterrows():
+        for w in r.text.lower().split(" "):
+            raw[bucket(w)] += 1
+            if r.source == "tgt":
+                tgt[bucket(w)] += 1
+    exp = [
+        sum((tgt[bucket(w)] * SCALE) // raw[bucket(w)] for w in t.lower().split(" "))
+        for t in df.text
+    ]
+    assert out["doc_id"].tolist() == list(range(40))
+    assert out["dsir_weight"].tolist() == exp
+    # weights must separate: target-heavy docs should rank above a doc of
+    # the same length drawn from the anti-target tail in expectation —
+    # sanity-check non-degeneracy instead (weights not all equal)
+    assert out["dsir_weight"].nunique() > 1
+
+
+def test_session_first_throttling(ray_session):
+    from climatemind_ontology_processing_ray.functions.windows import session_first
+
+    rng = random.Random(9)
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = ts0
+        for _ in range(rng.randint(3, 30)):
+            t = t + pd.Timedelta(seconds=rng.randint(1, 900))
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": t,
+                    "user_id": u,
+                    "event_type": rng.choice(["a", "b"]),
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=1).reset_index(drop=True)
+    gap_us = 300 * 1_000_000
+    out = (
+        session_first(
+            rd.from_pandas(df).repartition(4),
+            "ts",
+            ["user_id", "event_type"],
+            gap_us=gap_us,
+            out_cols=["event_id", "user_id", "event_type"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    keep = []
+    for (_, _), g in df.sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    ).groupby(["user_id", "event_type"]):
+        prev = None
+        for _, r in g.iterrows():
+            us = r.ts.value // 1000
+            if prev is None or us - prev > gap_us:
+                keep.append(int(r.event_id))
+            prev = us
+    assert sorted(out["event_id"].tolist()) == sorted(keep)
+    assert 0 < len(out) < len(df)
