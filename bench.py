@@ -194,6 +194,9 @@ def run_bench() -> dict:
         "rarity_score",
         "knn_graph",
         "rrf_fusion",
+        "fuzzy_name_pairs",
+        "dsir_weights",
+        "throttle_events",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

@@ -100,43 +100,84 @@ def levenshtein_pairs(
 def _block_pairs(g: pd.DataFrame, key_col: str, name_col: str, block_col: str,
                  max_dist: int) -> pd.DataFrame:
     """All within-block key pairs at distance <= max_dist for one
-    partition's blocks (a partition holds whole blocks by construction)."""
-    # distinct (block, name) vocabulary for this partition
-    vocab = g[[block_col, name_col]].drop_duplicates().reset_index(drop=True)
-    vocab["__vid"] = np.arange(len(vocab), dtype=np.int64)
-    mat, lens = _byte_matrix(vocab[name_col])
-    # byte histograms per distinct name (char-bag pruning bound)
-    hist = np.zeros((len(vocab), 256), dtype=np.int32)
-    if len(vocab):
-        rows = np.repeat(np.arange(len(vocab)), lens)
+    partition's blocks (a partition holds whole blocks by construction).
+
+    Candidate pairs are generated as strip-chunked upper-triangle index
+    arrays over the (block, name)-sorted distinct vocabulary (the
+    repeat/arange pattern from ``dedup.partition_pairs``) — no pandas
+    string self-merge ever materializes; the char-bag prune runs on
+    COMPACT histograms (only bytes that occur in this partition)."""
+    vocab = (
+        g[[block_col, name_col]]
+        .drop_duplicates()
+        .sort_values([block_col, name_col], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    nv = len(vocab)
+    mat0, lens0 = _byte_matrix(vocab[name_col])
+    # PassJoin length filter AT GENERATION: re-order each block's
+    # vocabulary by byte length, so a name only ever pairs with the
+    # following names inside its (len, len + max_dist] window — pairs the
+    # length bound would kill are never materialized at all
+    codes0 = pd.factorize(vocab[block_col], sort=False)[0].astype(np.int64)
+    order = np.lexsort((lens0, codes0))
+    vocab = vocab.iloc[order].reset_index(drop=True)
+    mat, lens = mat0[order], lens0[order]
+    codes = codes0[order]
+    # compact char-bag histograms: lev >= max(surplus_a, surplus_b)
+    hist = np.zeros((nv, 256), dtype=np.int32)
+    if nv:
+        rows = np.repeat(np.arange(nv), lens)
         mask = np.arange(mat.shape[1]) < lens[:, None]
         np.add.at(hist, (rows, mat[mask]), 1)
+        hist = hist[:, np.flatnonzero(hist.any(axis=0))]
 
-    # candidate distinct-name pairs: self-merge on block, name_a < name_b
-    cand = vocab.merge(vocab, on=block_col, suffixes=("_a", "_b"))
-    cand = cand[cand[f"{name_col}_a"] < cand[f"{name_col}_b"]]
-    ia = cand["__vid_a"].to_numpy()
-    ib = cand["__vid_b"].to_numpy()
-    # char-bag lower bound: lev >= max(surplus_a, surplus_b)
-    frames: list[pd.DataFrame] = []
+    # per-item candidate window: following items of the same block whose
+    # length fits (composite searchsorted, offset clamped below the block
+    # stride so a window never spills into the next block)
+    if nv:
+        stride = int(lens.max()) + max_dist + 2
+        key = codes * stride + lens
+        probe = codes * stride + np.minimum(lens + max_dist, stride - 1)
+        ub = np.searchsorted(key, probe, side="right")
+        w = ub - np.arange(nv) - 1
+    else:
+        w = np.zeros(0, dtype=np.int64)
+    cum = np.cumsum(w)
     keep_ia, keep_ib, keep_d = [], [], []
-    for s in range(0, len(ia), _PAIR_STRIP):
-        sa, sb = ia[s : s + _PAIR_STRIP], ib[s : s + _PAIR_STRIP]
-        diff = hist[sa] - hist[sb]
-        lower = np.maximum(
-            diff.clip(min=0).sum(axis=1), (-diff).clip(min=0).sum(axis=1)
-        )
-        ok = lower <= max_dist
-        sa, sb = sa[ok], sb[ok]
-        if len(sa) == 0:
-            continue
-        d = levenshtein_pairs(mat, lens, sa, sb)
-        hit = d <= max_dist
-        keep_ia.append(sa[hit])
-        keep_ib.append(sb[hit])
-        keep_d.append(d[hit])
+    start = 0
+    while start < nv:
+        base = cum[start - 1] if start else 0
+        stop = int(np.searchsorted(cum, base + _PAIR_STRIP, side="left")) + 1
+        stop = min(max(stop, start + 1), nv)
+        ws = w[start:stop]
+        total = int(ws.sum())
+        if total:
+            starts = np.concatenate(([0], np.cumsum(ws)[:-1]))
+            offs = np.arange(total) - np.repeat(starts, ws)
+            ia = np.repeat(np.arange(start, stop), ws)
+            ib = ia + 1 + offs
+            diff = hist[ia] - hist[ib]
+            lower = np.maximum(
+                diff.clip(min=0).sum(axis=1), (-diff).clip(min=0).sum(axis=1)
+            )
+            ok = lower <= max_dist
+            sa, sb = ia[ok], ib[ok]
+            if len(sa):
+                d = levenshtein_pairs(mat, lens, sa, sb)
+                hit = d <= max_dist
+                keep_ia.append(sa[hit])
+                keep_ib.append(sb[hit])
+                keep_d.append(d[hit])
+        start = stop
 
-    recs = g[[block_col, name_col, key_col]]
+    # rows -> integer vocab ids (one vectorized merge, no string pairs)
+    recs = g[[block_col, name_col, key_col]].merge(
+        vocab.assign(__vid=np.arange(nv, dtype=np.int64)),
+        on=[block_col, name_col],
+    )[["__vid", key_col]]
+
+    frames: list[pd.DataFrame] = []
     if keep_ia:
         hits = pd.DataFrame(
             {
@@ -145,28 +186,21 @@ def _block_pairs(g: pd.DataFrame, key_col: str, name_col: str, block_col: str,
                 "dist": np.concatenate(keep_d),
             }
         )
-        va = vocab.rename(
-            columns={name_col: "__na", "__vid": "__vid_a"}
-        )[["__vid_a", block_col, "__na"]]
-        vb = vocab.rename(columns={name_col: "__nb", "__vid": "__vid_b"})[
-            ["__vid_b", "__nb"]
+        ea = recs.rename(columns={"__vid": "__vid_a", key_col: "key_a"})
+        eb = recs.rename(columns={"__vid": "__vid_b", key_col: "key_b"})
+        cross = hits.merge(ea, on="__vid_a").merge(eb, on="__vid_b")[
+            ["key_a", "key_b", "dist"]
         ]
-        hits = hits.merge(va, on="__vid_a").merge(vb, on="__vid_b")
-        ea = recs.rename(columns={name_col: "__na", key_col: "key_a"})
-        eb = recs.rename(columns={name_col: "__nb", key_col: "key_b"})
-        cross = hits.merge(ea, on=[block_col, "__na"]).merge(
-            eb, on=[block_col, "__nb"]
-        )[["key_a", "key_b", "dist"]]
         swap = cross["key_a"] > cross["key_b"]
         cross.loc[swap, ["key_a", "key_b"]] = cross.loc[
             swap, ["key_b", "key_a"]
         ].to_numpy()
         frames.append(cross)
 
-    # same-name pairs (distance 0): within (block, name) groups of size>=2
-    dup = recs[recs.duplicated([block_col, name_col], keep=False)]
+    # same-name pairs (distance 0): vocab ids shared by >= 2 records
+    dup = recs[recs.duplicated("__vid", keep=False)]
     if len(dup):
-        same = dup.merge(dup, on=[block_col, name_col], suffixes=("_a", "_b"))
+        same = dup.merge(dup, on="__vid", suffixes=("_a", "_b"))
         same = same[same[f"{key_col}_a"] < same[f"{key_col}_b"]]
         frames.append(
             pd.DataFrame(

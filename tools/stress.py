@@ -569,8 +569,65 @@ def suite_knn() -> None:
     )
 
 
+def suite_fuzzy() -> None:
+    """fuzzy_join at 2M records / 512 blocks: names drawn from a 4k-word
+    vocabulary as "adj noun" pairs, so the per-block DISTINCT-name count
+    (~3.5k) exercises the char-bag prune + pair-lane DP at ~6M candidate
+    pairs per block while the expansion stays output-sized."""
+    ray, rd = _session()
+    p = "/tmp/stress_fuzzy.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(13)
+        n = 2_000_000
+        alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        words = np.array(
+            [
+                "".join(rng.choice(alpha, rng.integers(3, 9)))
+                for _ in range(64)
+            ]
+        )
+        name = np.char.add(
+            np.char.add(words[rng.integers(0, 64, n)], " "),
+            words[rng.integers(0, 64, n)],
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array(np.arange(n), pa.int64()),
+                    "name": pa.array(name.tolist(), pa.string()),
+                    "block": pa.array(
+                        rng.integers(0, 512, n).astype(np.int64), pa.int64()
+                    ),
+                }
+            ),
+            p,
+        )
+    ds = rd.read_parquet(p)
+    from climatemind_ontology_processing_ray.functions.fuzzy import fuzzy_join
+    from climatemind_ontology_processing_ray.functions.dsir import dsir_weights
+
+    _t(
+        "fuzzy_join @2M (512 blocks, d<=1)",
+        lambda: f"{fuzzy_join(ds, 'key', 'name', 'block', max_dist=1).count()} pairs",
+    )
+    _mutated_docs("/tmp/stress_docs_1m", reps=200, shards=5)
+    docs = rd.read_parquet("/tmp/stress_docs_1m", columns=["doc_id", "text"])
+
+    def add_src(b):
+        b = b.copy()
+        b["source"] = np.where(b["doc_id"].to_numpy() % 10 == 0, "tgt", "raw")
+        return b
+
+    docs = docs.map_batches(add_src, batch_format="pandas")
+    _t(
+        "dsir_weights @1M",
+        lambda: f"{dsir_weights(docs, 'doc_id', 'text', 'source', 'tgt').count()} docs",
+    )
+
+
 SUITES = {
     "docs": suite_docs,
+    "fuzzy": suite_fuzzy,
     "textops": suite_textops,
     "knn": suite_knn,
     "docs1m": suite_docs1m,
