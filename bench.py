@@ -197,6 +197,8 @@ def run_bench() -> dict:
         "fuzzy_name_pairs",
         "dsir_weights",
         "throttle_events",
+        "embed_decontam",
+        "cdc_snapshot",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

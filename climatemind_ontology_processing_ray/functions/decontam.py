@@ -79,3 +79,64 @@ def decontaminate(
         )
 
     return corpus.map_batches(check, batch_format="pyarrow")
+
+
+def embedding_decontam(
+    corpus: Dataset,
+    eval_ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    quant: int,
+    threshold: int,
+) -> Dataset:
+    """Embedding-space decontamination: flag corpus rows whose maximum
+    integer-quantized dot product against ANY eval-set embedding reaches
+    ``threshold`` (in quant^2 units).  The semantic companion to the
+    n-gram ``decontaminate`` above — catches paraphrased eval leakage
+    that exact n-grams miss (the modern eval-hygiene pass).
+
+    Same broadcast shape as the n-gram variant: eval sets are SMALL by
+    construction, so the eval matrix ships once via ``ray.put`` (numpy,
+    plasma zero-copy) and the corpus streams through one vectorized
+    ``map_batches`` — no shuffle, no corpus materialization.
+
+    Quantization is ``floor(x * quant + 0.5)`` per coordinate (the
+    engine's SQL-exact convention, see functions/ann.py), so every dot
+    is an exact int64 and the DuckDB oracle reproduces it bit-for-bit.
+
+    Output: (id_col, max_dot, n_hits) for flagged rows only.
+    """
+    import numpy as np
+
+    edf = eval_ds.to_pandas()
+    E = np.floor(
+        np.stack(edf[vec_col].to_numpy()).astype(np.float64) * quant + 0.5
+    ).astype(np.int64)
+    ref = ray.put(np.ascontiguousarray(E.T))
+
+    from .broadcast import cached_get
+
+    def score(batch: pa.Table) -> pa.Table:
+        et = cached_get(ref)
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if hasattr(col, "values"):  # list<float> from parquet: flat buffer
+            x = np.asarray(col.values, dtype=np.float64).reshape(len(batch), -1)
+        else:  # Ray tensor-extension array (from_pandas ndarray cells)
+            x = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+        v = np.floor(x * quant + 0.5).astype(np.int64)
+        dots = v @ et  # exact int64 (|coords| <= quant, d*quant^2 << 2^63)
+        mx = dots.max(axis=1)
+        hits = (dots >= threshold).sum(axis=1).astype(np.int64)
+        keep = mx >= threshold
+        ids = np.asarray(batch.column(id_col))[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "max_dot": pa.array(mx[keep], pa.int64()),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pyarrow")

@@ -492,3 +492,42 @@ def session_first(
         .groupby("__part")
         .map_groups(first_of_session, batch_format="pandas")
     )
+
+
+def cdc_snapshot(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    delete_value: str,
+    out_cols: list[str],
+    num_parts: int | None = None,
+) -> Dataset:
+    """Changelog compaction (CDC latest-wins upsert): reduce an event log
+    to its current snapshot — the latest row per key by (ts, id), with
+    keys whose latest row is a ``delete_value`` tombstone dropped
+    entirely.  The Iceberg/Hudi-style merge-on-read compaction primitive.
+
+    One coarse hash exchange on the key; per partition a single
+    vectorized sort + keep-last — never a Ray group per key.  Latest-wins
+    is decided by (ts, id) so ties are deterministic."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        last = g[~g[key_col].duplicated(keep="last")]
+        return last.loc[last[type_col] != delete_value, out_cols]
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(latest, batch_format="pandas")
+    )

@@ -5277,6 +5277,111 @@ ORDER BY event_id
 """
 
 
+_EDC_EVAL_MAX = 50  # eval slice: vec_id < 50
+_EDC_QUANT = 32768
+_EDC_THRESHOLD = int(0.40 * _EDC_QUANT * _EDC_QUANT)  # cosine >= 0.40
+
+
+def q_embed_decontam(sf_dir: str):
+    """Embedding-space eval decontamination: corpus vectors whose max
+    integer-quantized dot vs ANY eval vector (vec_id < 50) reaches 0.40
+    (functions/decontam.py:embedding_decontam — broadcast eval matrix,
+    one streaming pass, exact int64 dots)."""
+    from ..functions.decontam import embedding_decontam
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    eval_ds = emb.filter(
+        expr=f"vec_id < {_EDC_EVAL_MAX}"
+    )
+    corpus = emb.filter(expr=f"vec_id >= {_EDC_EVAL_MAX}")
+    out = embedding_decontam(
+        corpus,
+        eval_ds,
+        "vec_id",
+        "embedding",
+        quant=_EDC_QUANT,
+        threshold=_EDC_THRESHOLD,
+    ).to_pandas()
+    if "vec_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "max_dot": pd.Series([], dtype="int64"),
+                "n_hits": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBED_DECONTAM = f"""
+WITH q AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_EDC_QUANT} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+e AS (SELECT * FROM q WHERE vec_id < {_EDC_EVAL_MAX}),
+c AS (SELECT * FROM q WHERE vec_id >= {_EDC_EVAL_MAX}),
+s AS (
+  SELECT c.vec_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c.v) + 1),
+                                 i -> c.v[i] * e.v[i])) AS dot
+  FROM c CROSS JOIN e)
+SELECT vec_id, CAST(MAX(dot) AS BIGINT) AS max_dot,
+       CAST(COUNT(*) FILTER (dot >= {_EDC_THRESHOLD}) AS BIGINT) AS n_hits
+FROM s GROUP BY vec_id
+HAVING MAX(dot) >= {_EDC_THRESHOLD}
+ORDER BY vec_id
+"""
+
+
+_CDC_TOMBSTONE = "error"
+
+
+def q_cdc_snapshot(sf_dir: str):
+    """Changelog compaction (CDC latest-wins upsert) of the events log:
+    current snapshot per user — latest event by (ts, event_id), users
+    whose latest event is an 'error' tombstone dropped
+    (functions/windows.py:cdc_snapshot — one key-hash exchange,
+    vectorized keep-last per partition)."""
+    from ..functions.windows import cdc_snapshot
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = cdc_snapshot(
+        ds,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        _CDC_TOMBSTONE,
+        out_cols=["user_id", "event_id", "event_type", "value"],
+    ).to_pandas()
+    out = out.rename(
+        columns={
+            "event_id": "last_event_id",
+            "event_type": "last_type",
+            "value": "last_value",
+        }
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["last_event_id"] = out["last_event_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_CDC_SNAPSHOT = f"""
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM r WHERE rn = 1 AND event_type <> '{_CDC_TOMBSTONE}'
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -5405,6 +5510,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "dsir_weights": (q_dsir_weights, _sql_dsir_weights),
     "throttle_events": (q_throttle_events, SQL_THROTTLE_EVENTS),
+    "embed_decontam": (q_embed_decontam, SQL_EMBED_DECONTAM),
+    "cdc_snapshot": (q_cdc_snapshot, SQL_CDC_SNAPSHOT),
 }
 
 

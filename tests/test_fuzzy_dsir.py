@@ -186,3 +186,101 @@ def test_session_first_throttling(ray_session):
             prev = us
     assert sorted(out["event_id"].tolist()) == sorted(keep)
     assert 0 < len(out) < len(df)
+
+
+def test_embedding_decontam_flags_planted_leaks(ray_session):
+    from climatemind_ontology_processing_ray.functions.decontam import (
+        embedding_decontam,
+    )
+
+    rng = np.random.default_rng(21)
+    d, n_eval, n_corpus = 16, 8, 200
+    ev = rng.normal(0, 1, (n_eval, d))
+    ev /= np.linalg.norm(ev, axis=1, keepdims=True)
+    corpus = rng.normal(0, 1, (n_corpus, d))
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    # plant 5 near-copies of eval vectors into the corpus
+    planted = [3, 17, 40, 99, 150]
+    for i, p in enumerate(planted):
+        v = ev[i % n_eval] + rng.normal(0, 0.01, d)
+        corpus[p] = v / np.linalg.norm(v)
+    quant, thr = 32768, int(0.9 * 32768 * 32768)
+    eval_df = pd.DataFrame(
+        {"vec_id": range(n_eval), "embedding": list(ev.astype(np.float32))}
+    )
+    corp_df = pd.DataFrame(
+        {
+            "vec_id": range(1000, 1000 + n_corpus),
+            "embedding": list(corpus.astype(np.float32)),
+        }
+    )
+    out = (
+        embedding_decontam(
+            rd.from_pandas(corp_df).repartition(4),
+            rd.from_pandas(eval_df),
+            "vec_id",
+            "embedding",
+            quant=quant,
+            threshold=thr,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    # brute force with the same quantization
+    qe = np.floor(ev.astype(np.float32).astype(np.float64) * quant + 0.5).astype(
+        np.int64
+    )
+    qc = np.floor(
+        corpus.astype(np.float32).astype(np.float64) * quant + 0.5
+    ).astype(np.int64)
+    dots = qc @ qe.T
+    exp_ids = [1000 + i for i in range(n_corpus) if dots[i].max() >= thr]
+    assert out["vec_id"].tolist() == exp_ids
+    assert set(1000 + p for p in planted) <= set(exp_ids)
+    exp_max = dots.max(axis=1)
+    for _, r in out.iterrows():
+        assert r.max_dot == exp_max[r.vec_id - 1000]
+
+
+def test_cdc_snapshot_latest_wins_with_tombstones(ray_session):
+    from climatemind_ontology_processing_ray.functions.windows import cdc_snapshot
+
+    rng = random.Random(4)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(seconds=rng.randint(0, 5000)),
+                "user_id": rng.randint(0, 25),
+                "event_type": rng.choice(["set", "set", "set", "del"]),
+                "value": float(eid),
+            }
+        )
+    df = pd.DataFrame(rows)
+    out = (
+        cdc_snapshot(
+            rd.from_pandas(df).repartition(5),
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "del",
+            out_cols=["user_id", "event_id", "event_type", "value"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .query("event_type != 'del'")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == exp["user_id"].tolist()
+    assert out["event_id"].tolist() == exp["event_id"].tolist()
+    assert len(out) < df["user_id"].nunique()  # some tombstoned users dropped
