@@ -35,16 +35,20 @@ class expressions in ``equivalentClass`` classify both individuals
 (ALL / ANY conjunct semantics) and named classes (scm-int: C ≡ D1⊓D2 ⇒
 C ⊑ Di; scm-uni: C ≡ D1⊔D2 ⇒ Di ⊑ C), and ``owl:TransitiveProperty``
 declarations make ∃P restrictions range over the transitive closure of
-P's asserted edges.  ``rdfs:domain`` / ``rdfs:range`` declarations on
+P's asserted edges.  ``owl:SymmetricProperty`` and ``owl:inverseOf``
+declarations derive the mirrored assertions (prp-symp / prp-inv) for
+classification, BEFORE the transitive closure and domain/range passes
+so all three compose.  ``rdfs:domain`` / ``rdfs:range`` declarations on
 object properties (named classes) classify edge endpoints (prp-dom /
-prp-rng), seeded before the defined-class fixpoint so the two compose.
+prp-rng) over the derived edge set, seeded before the defined-class
+fixpoint so the passes compose.
 NOTE: matching ``sync_reasoner()``'s default
 ``infer_property_values=False`` (``make_graph_class.py:82``), inferred
-property assertions (e.g. transitive-closure edges) are NOT
-materialized into ``obj_edges`` — only classification is.  Memberships
-that require full DL reasoning beyond these patterns — complementOf,
-cardinality restrictions, inverse properties, property chains — are
-NOT derived; the reference pipeline's own edge set does not depend on
+property assertions (symmetric/inverse mirrors, transitive-closure
+edges) are NOT materialized into ``obj_edges`` — only classification
+is.  Memberships that require full DL reasoning beyond these patterns
+— complementOf, cardinality restrictions, property chains — are NOT
+derived; the reference pipeline's own edge set does not depend on
 them.
 """
 
@@ -134,18 +138,38 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     class_els: list = []
 
     transitive_prop_iris: set[str] = set()
+    symmetric_prop_iris: set[str] = set()
+    inverse_prop_iri_pairs: set[tuple[str, str]] = set()
+
+    def _prop_characteristics(el) -> None:
+        """Record inverseOf targets + rdf:type characteristics declared on
+        any property element shape (ObjectProperty or the typed tags)."""
+        iri = el.get(_ABOUT, "")
+        for inv in el.findall(q(OWL, "inverseOf")):
+            res = inv.get(_RESOURCE)
+            if res:
+                inverse_prop_iri_pairs.add((iri, res))
+        for t in el.findall(q(RDF, "type")):
+            res = t.get(_RESOURCE, "")
+            if res == f"{OWL}TransitiveProperty":
+                transitive_prop_iris.add(iri)
+            elif res == f"{OWL}SymmetricProperty":
+                symmetric_prop_iris.add(iri)
 
     def node_kind(el) -> str | None:
         tag = el.tag
         if tag == q(OWL, "TransitiveProperty"):
             # standalone <owl:TransitiveProperty rdf:about=.../> declaration
             transitive_prop_iris.add(el.get(_ABOUT, ""))
+            _prop_characteristics(el)
+            return "object"
+        if tag == q(OWL, "SymmetricProperty"):
+            symmetric_prop_iris.add(el.get(_ABOUT, ""))
+            _prop_characteristics(el)
             return "object"
         if tag == q(OWL, "ObjectProperty"):
             # Protégé style: <rdf:type rdf:resource="...#TransitiveProperty"/>
-            for t in el.findall(q(RDF, "type")):
-                if t.get(_RESOURCE, "") == f"{OWL}TransitiveProperty":
-                    transitive_prop_iris.add(el.get(_ABOUT, ""))
+            _prop_characteristics(el)
             return "object"
         if tag == q(OWL, "AnnotationProperty"):
             return "annotation"
@@ -447,9 +471,31 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             prop_label[iri] for iri in transitive_prop_iris if iri in prop_label
         }
         infer_edges = list(obj_edges)
+        # symmetric / inverse characteristics derive the mirrored edges
+        # FIRST (classification only, like the closure below), so the
+        # transitive closure and domain/range passes see them
+        symmetric_labels = {
+            prop_label[iri] for iri in symmetric_prop_iris if iri in prop_label
+        }
+        inv_by_label: dict[str, set[str]] = {}
+        for a, b in inverse_prop_iri_pairs:
+            if a in prop_label and b in prop_label:
+                inv_by_label.setdefault(prop_label[a], set()).add(prop_label[b])
+                inv_by_label.setdefault(prop_label[b], set()).add(prop_label[a])
+        if symmetric_labels or inv_by_label:
+            have = set(infer_edges)
+            for s, p, o in obj_edges:
+                if p in symmetric_labels and (o, p, s) not in have:
+                    have.add((o, p, s))
+                    infer_edges.append((o, p, s))
+                for pinv in inv_by_label.get(p, ()):
+                    if (o, pinv, s) not in have:
+                        have.add((o, pinv, s))
+                        infer_edges.append((o, pinv, s))
+        pre_closure = list(infer_edges)
         for tprop in transitive_labels:
             adj: dict[str, set[str]] = {}
-            for s, p, o in obj_edges:
+            for s, p, o in pre_closure:
                 if p == tprop:
                     adj.setdefault(s, set()).add(o)
             for start in adj:
@@ -478,11 +524,14 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         member: dict[str, set[str]] = {
             lab: set(node["direct_classes"]) for lab, node in individuals.items()
         }
-        # domain/range memberships are a single static pass (obj_edges
-        # never grow during classification), seeded BEFORE the
-        # defined-class fixpoint so they can satisfy its conjuncts
+        # domain/range memberships are a single static pass (infer_edges
+        # never grows during classification; it already carries the
+        # symmetric/inverse/transitive-derived edges, which are entailed
+        # P-assertions and so trigger domain/range like asserted ones),
+        # seeded BEFORE the defined-class fixpoint so they can satisfy
+        # its conjuncts
         if domain_by_label or range_by_label:
-            for s, p, o in obj_edges:
+            for s, p, o in infer_edges:
                 d = domain_by_label.get(p)
                 if d is not None and s in member:
                     member[s].add(d)

@@ -598,3 +598,75 @@ def test_domain_range_classification_and_fixpoint_composition():
     assert "near a driver" not in snap.individuals["farm"]["direct_classes"]
     # classification only: no new edges materialized
     assert all(p in ("drives", "near") for _, p, _ in snap.obj_edges)
+
+
+def test_symmetric_and_inverse_property_classification():
+    """owl:SymmetricProperty / owl:inverseOf derive mirrored assertions
+    for classification (prp-symp / prp-inv) and compose with hasValue
+    restrictions and rdfs:domain — but the mirrored edges are NOT
+    materialized into obj_edges (infer_property_values=False)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Padj">
+    <rdfs:label>borders</rdfs:label>
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#SymmetricProperty"/>
+  </owl:ObjectProperty>
+  <owl:ObjectProperty rdf:about="urn:x#Pfeeds">
+    <rdfs:label>feeds</rdfs:label>
+    <owl:inverseOf rdf:resource="urn:x#Pfedby"/>
+  </owl:ObjectProperty>
+  <owl:ObjectProperty rdf:about="urn:x#Pfedby">
+    <rdfs:label>fed by</rdfs:label>
+    <rdfs:domain rdf:resource="urn:x#Sink"/>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Sink">
+    <rdfs:label>sink</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#SeaToucher">
+    <rdfs:label>sea toucher</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Padj"/>
+        <owl:hasValue rdf:resource="urn:x#sea"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#sea">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>sea</rdfs:label>
+    <wp:Padj rdf:resource="urn:x#coast"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#coast">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>coast</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#river">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>river</rdfs:label>
+    <wp:Pfeeds rdf:resource="urn:x#lake"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#lake">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>lake</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # symmetric: sea borders coast (asserted) => coast borders sea
+    # (derived) => coast satisfies ∃borders.{sea}
+    assert "sea toucher" in snap.individuals["coast"]["direct_classes"]
+    # the subject of the asserted edge does NOT satisfy ∃borders.{sea}
+    # via symmetry alone (sea borders coast, not itself)
+    assert "sea toucher" not in snap.individuals["sea"]["direct_classes"]
+    # inverse: river feeds lake => lake "fed by" river => domain(fed by)
+    # classifies lake as a sink
+    assert "sink" in snap.individuals["lake"]["direct_classes"]
+    assert "sink" not in snap.individuals["river"]["direct_classes"]
+    # derived mirrors are classification-only
+    assert ("coast", "borders", "sea") not in snap.obj_edges
+    assert ("lake", "fed by", "river") not in snap.obj_edges
