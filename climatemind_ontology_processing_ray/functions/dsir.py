@@ -68,7 +68,17 @@ def dsir_weights(
     against the target slice ``target_col == target_value``."""
     from .agg import grouped_sum
 
+    _EMPTY_COUNTS = pd.DataFrame(
+        {
+            "bk": pd.Series([], dtype="int64"),
+            "raw_n": pd.Series([], dtype="int64"),
+            "tgt_n": pd.Series([], dtype="int64"),
+        }
+    )
+
     def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # empty object arrays would fail md5_u64's cast
+            return _EMPTY_COUNTS
         flat, n_tok = _tokens(b, text_col)
         bk = (md5_u64(flat) % np.uint64(buckets)).astype(np.int64)
         is_tgt = np.repeat(
