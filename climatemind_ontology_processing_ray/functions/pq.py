@@ -1,0 +1,221 @@
+"""Product quantization (PQ) over an embedding column — the
+compressed-index path for similarity search at 100 TB.
+
+Brute-force ANN ships every float vector through every query batch;
+IVF prunes which vectors get scored but still stores them whole.  PQ
+(Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+Search") stores each vector as M small codes — one k-means codeword id
+per dimension-subspace — so a trillion-vector index fits in RAM-scale
+storage and distance evaluation becomes M table lookups (asymmetric
+distance computation, ADC).
+
+Everything here is exact-integer so the DuckDB oracle can replay it
+bit-for-bit at any partitioning (same discipline as
+:mod:`.cluster` — see that module's docstring for the quantization /
+FLOOR-update / lowest-index-tie rules):
+
+- vectors quantize to int64 once; a subspace is a column slice of the
+  quantized matrix, so subspace training is exactly per-subspace
+  integer Lloyd,
+- all M subspaces train in the SAME ``map_batches`` pass per Lloyd
+  iteration (one scan trains the whole codebook — M× fewer passes than
+  calling :func:`.cluster.kmeans_centroids` per subspace),
+- ADC distances are exact int64 sums of per-subspace squared-L2
+  lookups; top-k ties break on ascending vec_id.
+
+Scale shape: training is an (M·k·dsub)-int mini-reduce per iteration;
+encoding is a stateless one-pass ``map_batches``; search broadcasts
+only the (nq × M × k) int lookup tables and reduces k-bounded local
+top-k partials — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .cluster import _assign, _batch_matrix, init_centroids, quantize
+
+
+def _subspace_bounds(d: int, num_subspaces: int) -> list[tuple[int, int]]:
+    if d % num_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by {num_subspaces} subspaces")
+    dsub = d // num_subspaces
+    return [(m * dsub, (m + 1) * dsub) for m in range(num_subspaces)]
+
+
+def pq_train(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    num_subspaces: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    quant: int = 1000,
+) -> np.ndarray:
+    """Train the PQ codebook: an (M, k, d/M) int64 centroid tensor.
+
+    Init = the k smallest-id vectors (shared across subspaces — the SQL
+    oracle's ``ids`` CTE picks the same rows once).  Each Lloyd
+    iteration is ONE pass emitting (subspace, cluster, count, sum)
+    partials for every subspace; empty clusters keep their previous
+    centroid (FLOOR-division update, matching ``_sql_kmeans_ctes``).
+    """
+    full_init = init_centroids(ds, id_col, vec_col, k, quant)
+    bounds = _subspace_bounds(full_init.shape[1], num_subspaces)
+    cents = np.stack([full_init[:, lo:hi] for lo, hi in bounds])  # (M, k, dsub)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, *, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            x = _batch_matrix(batch, vec_col, quant)
+            ms, cls, ns, ss = [], [], [], []
+            for m, (lo, hi) in enumerate(bounds):
+                a = _assign(x[:, lo:hi], c[m])
+                counts = np.bincount(a, minlength=k).astype(np.int64)
+                sums = np.zeros((k, hi - lo), dtype=np.int64)
+                np.add.at(sums, a, x[:, lo:hi])
+                ms.append(np.full(k, m, dtype=np.int64))
+                cls.append(np.arange(k, dtype=np.int64))
+                ns.append(counts)
+                ss.extend(sums)
+            return pa.table(
+                {
+                    "m": pa.array(np.concatenate(ms), pa.int64()),
+                    "cl": pa.array(np.concatenate(cls), pa.int64()),
+                    "n": pa.array(np.concatenate(ns), pa.int64()),
+                    "s": pa.array(ss, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        for m in range(num_subspaces):
+            sub = parts[parts["m"] == m]
+            dsub = bounds[m][1] - bounds[m][0]
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dsub), dtype=np.int64)
+            for cl, n, s in zip(sub["cl"], sub["n"], sub["s"]):
+                counts[cl] += n
+                sums[cl] += np.asarray(s, dtype=np.int64)
+            nonempty = counts > 0
+            new[m][nonempty] = np.floor_divide(
+                sums[nonempty], counts[nonempty, None]
+            )
+        cents = new
+
+    return cents
+
+
+def _encode_matrix(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, d) int matrix → (n, M) int codes (argmin per subspace,
+    lowest-index ties)."""
+    num_subspaces = cents.shape[0]
+    bounds = _subspace_bounds(x.shape[1], num_subspaces)
+    codes = np.empty((x.shape[0], num_subspaces), dtype=np.int64)
+    for m, (lo, hi) in enumerate(bounds):
+        codes[:, m] = _assign(x[:, lo:hi], cents[m])
+    return codes
+
+
+def pq_encode(
+    ds: Dataset,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    quant: int = 1000,
+) -> Dataset:
+    """One-pass encode: (id_col, m, code) — long format, M rows per
+    vector (the compare-friendly layout; a production sink would keep
+    the (n, M) uint8 matrix as a fixed-size-list column instead)."""
+    cref = ray.put(cents)
+    num_subspaces = cents.shape[0]
+
+    def encode(batch: pa.Table, *, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        x = _batch_matrix(batch, vec_col, quant)
+        codes = _encode_matrix(x, c)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, num_subspaces), pa.int64()),
+                "m": pa.array(np.tile(np.arange(num_subspaces), n), pa.int64()),
+                "code": pa.array(codes.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    quant: int = 1000,
+) -> pd.DataFrame:
+    """Asymmetric-distance top-k per query over PQ codes.
+
+    The driver precomputes the (nq, M, k) int64 lookup tables (exact
+    squared-L2 from each quantized query subvector to every codeword)
+    and broadcasts them once; each batch encodes its vectors and sums M
+    gathers — no float, no shuffle, k-bounded partials.  Output:
+    (query_id, vec_id, dist2, rnk), k rows per query, ties on
+    ascending vec_id (identical to the SQL oracle's ROW_NUMBER).
+    """
+    q = quantize(np.asarray(queries, dtype=np.float64), quant)
+    num_subspaces = cents.shape[0]
+    bounds = _subspace_bounds(q.shape[1], num_subspaces)
+    # (nq, M, k) exact int distances query-subvector → codeword
+    luts = np.empty((q.shape[0], num_subspaces, cents.shape[1]), dtype=np.int64)
+    for m, (lo, hi) in enumerate(bounds):
+        diff = q[:, None, lo:hi] - cents[m][None, :, :]  # (nq, k, dsub)
+        luts[:, m, :] = (diff * diff).sum(axis=2)
+    ctx = ray.put((cents, luts))
+
+    def local_topk(batch: pa.Table, *, _ctx=ctx) -> pd.DataFrame:
+        c, tables = ray.get(_ctx)
+        x = _batch_matrix(batch, vec_col, quant)
+        codes = _encode_matrix(x, c)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nq = tables.shape[0]
+        # (nq, n) ADC distances: sum over subspaces of LUT gathers
+        dist = np.zeros((nq, len(ids)), dtype=np.int64)
+        for m in range(codes.shape[1]):
+            dist += tables[:, m, :][:, codes[:, m]]
+        out_q, out_id, out_d = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(nq):
+            order = np.lexsort((ids, dist[qi]))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_d.append(dist[qi][order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_id),
+                "dist2": np.concatenate(out_d),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "dist2", id_col], kind="mergesort"
+    ).reset_index(drop=True)
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out[["query_id", id_col, "dist2", "rnk"]]

@@ -1767,6 +1767,125 @@ FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
 """
 
 
+# Product quantization (functions/pq.py): 4 subspaces x 16 dims over the
+# 64-dim embeddings, 16 codewords each, 2 integer-Lloyd iterations.
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS, _PQ_QUANT = 4, 16, 16, 2, 1000
+_PQ_NQ, _PQ_TOPK = 5, 10
+
+
+def _pq_trained(sf_dir: str):
+    from ..functions.pq import pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = pq_train(
+        ds,
+        "vec_id",
+        "embedding",
+        num_subspaces=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        quant=_PQ_QUANT,
+    )
+    return ds, cents
+
+
+def q_pq_codes(sf_dir: str):
+    """PQ codebook training + one-pass encode: every vector compressed to
+    M codewords (the storage layout a trillion-vector ANN index keeps in
+    RAM).  Exact-integer Lloyd per subspace — the oracle replays the
+    identical recurrence per dimension slice."""
+    from ..functions.pq import pq_encode
+
+    ds, cents = _pq_trained(sf_dir)
+    out = pq_encode(ds, cents, "vec_id", "embedding", quant=_PQ_QUANT).to_pandas()
+    for c in ("vec_id", "m", "code"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["vec_id", "m"]).reset_index(drop=True)
+
+
+def q_ann_pq(sf_dir: str):
+    """PQ asymmetric-distance top-k (ADC): queries score the compressed
+    codes through broadcast (nq x M x k) integer lookup tables — exact
+    arithmetic end-to-end, so unlike the IVF/LSH recall contracts this
+    approximate index is value-hash-checked against SQL."""
+    from ..functions.pq import pq_topk
+
+    ds, cents = _pq_trained(sf_dir)
+    qm = _query_matrix(sf_dir)[:_PQ_NQ]  # vec_id 0.._PQ_NQ-1, sorted
+    out = pq_topk(
+        ds, qm, cents, k=_PQ_TOPK, quant=_PQ_QUANT
+    )
+    for c in ("query_id", "vec_id", "dist2", "rnk"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _sql_pq(codes_only: bool) -> str:
+    """Compose one prefixed unrolled-Lloyd CTE chain per subspace (the
+    subspace source is a list-slice of the embedding column), derive the
+    final code assignment per subspace, and — for the ANN variant — the
+    per-query codeword distance tables joined into ADC totals."""
+    ctes: list[str] = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        src = f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings)"
+        ctes += _sql_kmeans_ctes(
+            k=_PQ_K, iters=_PQ_ITERS, quant=_PQ_QUANT, source=src, prefix=f"s{m}_"
+        )
+        ctes.append(
+            f"""s{m}_code AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM s{m}_df) WHERE rn = 1)"""
+        )
+    if codes_only:
+        union = "\n  UNION ALL\n  ".join(
+            f"SELECT vec_id, CAST({m} AS BIGINT) AS m, cl AS code FROM s{m}_code"
+            for m in range(_PQ_M)
+        )
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + f"\nSELECT vec_id, m, code FROM (\n  {union})\nORDER BY vec_id, m"
+        )
+    for m in range(_PQ_M):
+        ctes.append(
+            f"""s{m}_qc AS (
+  SELECT v.vec_id AS qid, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS d2
+  FROM s{m}_v v JOIN s{m}_c{_PQ_ITERS} c USING (dim)
+  WHERE v.vec_id < {_PQ_NQ} GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""s{m}_dist AS (
+  SELECT qc.qid, code.vec_id, qc.d2
+  FROM s{m}_code code JOIN s{m}_qc qc ON code.cl = qc.cl)"""
+        )
+    joins = "s0_dist d0" + "".join(
+        f" JOIN s{m}_dist d{m} USING (qid, vec_id)" for m in range(1, _PQ_M)
+    )
+    total = " + ".join(f"d{m}.d2" for m in range(_PQ_M))
+    ctes.append(f"tot AS (\n  SELECT qid, vec_id, {total} AS dist2 FROM {joins})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT qid AS query_id, vec_id, CAST(dist2 AS BIGINT) AS dist2,
+       CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT qid, vec_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, vec_id) AS rnk
+  FROM tot) WHERE rnk <= {_PQ_TOPK} ORDER BY query_id, rnk"""
+    )
+
+
+def _sql_pq_codes() -> str:
+    return _sql_pq(codes_only=True)
+
+
+def _sql_ann_pq() -> str:
+    return _sql_pq(codes_only=False)
+
+
 # --------------------------------------------------------------------- #
 # events: stream-shaped windows / sessions / json props
 # --------------------------------------------------------------------- #
@@ -2892,6 +3011,63 @@ def q_kmeans(sf_dir: str):
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _sql_kmeans_ctes(
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+    source: str = "embeddings",
+    prefix: str = "",
+) -> list[str]:
+    """The unrolled-Lloyd CTE list shared by every k-means-derived
+    oracle.  ``prefix`` namespaces the CTE names so several independent
+    k-means runs (the PQ oracle trains one per subspace) compose in one
+    WITH clause.  Produced names: {p}v (quantized long form), {p}ids,
+    {p}c0..{p}c{iters} (centroids), {p}d*/{p}a* (per-iter assign),
+    {p}df (final distances)."""
+    p = prefix
+    ctes = [
+        f"""{p}v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {quant} + 0.5) AS BIGINT) AS x
+  FROM {source})""",
+        f"""{p}ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT DISTINCT vec_id FROM {source}) ORDER BY vec_id LIMIT {k})""",
+        f"""{p}c0 AS (
+  SELECT {p}ids.cl, {p}v.dim, {p}v.x AS cx FROM {p}v JOIN {p}ids USING (vec_id))""",
+    ]
+    prev = f"{p}c0"
+    for t in range(iters):
+        ctes.append(
+            f"""{p}d{t} AS (
+  SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
+  FROM {p}v v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""{p}a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM {p}d{t}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{p}c{t + 1} AS (
+  SELECT a.cl, v.dim,
+         CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(DISTINCT a.vec_id)) AS BIGINT) AS cx
+  FROM {p}a{t} a JOIN {p}v v USING (vec_id) GROUP BY 1, 2
+  UNION ALL
+  SELECT cl, dim, cx FROM {prev}
+  WHERE cl NOT IN (SELECT DISTINCT cl FROM {p}a{t}))"""
+        )
+        prev = f"{p}c{t + 1}"
+    ctes.append(
+        f"""{p}df AS (
+  SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
+  FROM {p}v v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
+    )
+    return ctes
+
+
 def _sql_kmeans(
     k: int = 8,
     iters: int = 3,
@@ -2903,46 +3079,7 @@ def _sql_kmeans(
     (ROW_NUMBER ties → lowest cluster), update = FLOOR(sum/count).
     ``source`` lets composed oracles (semdedup) cluster an augmented CTE
     instead of the raw table."""
-    ctes = [
-        f"""v AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {quant} + 0.5) AS BIGINT) AS x
-  FROM {source})""",
-        f"""ids AS (
-  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
-  FROM (SELECT DISTINCT vec_id FROM {source}) ORDER BY vec_id LIMIT {k})""",
-        """c0 AS (
-  SELECT ids.cl, v.dim, v.x AS cx FROM v JOIN ids USING (vec_id))""",
-    ]
-    prev = "c0"
-    for t in range(iters):
-        ctes.append(
-            f"""d{t} AS (
-  SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
-  FROM v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
-        )
-        ctes.append(
-            f"""a{t} AS (
-  SELECT vec_id, cl FROM (
-    SELECT vec_id, cl,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
-    FROM d{t}) WHERE rn = 1)"""
-        )
-        ctes.append(
-            f"""c{t + 1} AS (
-  SELECT a.cl, v.dim,
-         CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(DISTINCT a.vec_id)) AS BIGINT) AS cx
-  FROM a{t} a JOIN v USING (vec_id) GROUP BY 1, 2
-  UNION ALL
-  SELECT cl, dim, cx FROM {prev}
-  WHERE cl NOT IN (SELECT DISTINCT cl FROM a{t}))"""
-        )
-        prev = f"c{t + 1}"
-    ctes.append(
-        f"""df AS (
-  SELECT v.vec_id, c.cl, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
-  FROM v JOIN {prev} c ON v.dim = c.dim GROUP BY 1, 2)"""
-    )
+    ctes = _sql_kmeans_ctes(k=k, iters=iters, quant=quant, source=source)
     # SUM(BIGINT) is HUGEINT in DuckDB -> float64 in pandas; CAST keeps
     # the stringified compare integer-identical to the engine's int64.
     dist_col = ", CAST(dist AS BIGINT) AS dist2" if with_dist else ""
@@ -5426,6 +5563,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh": (q_ann_lsh, SQL_ANN_RECALL),
     "ann_ivf": (q_ann_ivf, SQL_ANN_RECALL),
+    "pq_codes": (q_pq_codes, _sql_pq_codes),
+    "ann_pq": (q_ann_pq, _sql_ann_pq),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),

@@ -2090,3 +2090,70 @@ def test_rrf_fuse_exact_integer_fusion():
     assert dict(zip(out["id"], out["rrf"])) == exp
     # id 1 appears in both lists -> highest fused score
     assert out["id"].iloc[0] == 1
+
+
+def test_pq_codes_partition_independent(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.pq import pq_encode, pq_train
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32) * 0.4
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in vecs]}
+    )
+
+    def run(num_parts):
+        ds = ray.data.from_pandas(df).repartition(num_parts)
+        cents = pq_train(ds, num_subspaces=4, k=8, iters=2, quant=1000)
+        codes = (
+            pq_encode(ds, cents)
+            .to_pandas()
+            .sort_values(["vec_id", "m"])
+            .reset_index(drop=True)
+        )
+        return cents, codes
+
+    c1, k1 = run(2)
+    c2, k2 = run(7)
+    assert np.array_equal(c1, c2)  # integer Lloyd: block-boundary-free
+    pd.testing.assert_frame_equal(k1, k2)
+
+
+def test_pq_topk_matches_inmemory_adc(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.cluster import quantize
+    from climatemind_ontology_processing_ray.functions.pq import (
+        _encode_matrix,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(12)
+    n, d, m_sub, kw = 250, 16, 4, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32) * 0.4
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    cents = pq_train(ds, num_subspaces=m_sub, k=kw, iters=2, quant=1000)
+    queries = vecs[:3].astype(np.float64)
+    out = pq_topk(ds, queries, cents, k=5, quant=1000)
+
+    # in-memory replay of the exact ADC arithmetic
+    q = quantize(queries, 1000)
+    x = quantize(vecs.astype(np.float64), 1000)
+    codes = _encode_matrix(x, cents)
+    dsub = d // m_sub
+    for qi in range(3):
+        dist = np.zeros(n, dtype=np.int64)
+        for m in range(m_sub):
+            diff = q[qi, m * dsub : (m + 1) * dsub] - cents[m][codes[:, m]]
+            dist += (diff * diff).sum(axis=1)
+        order = np.lexsort((np.arange(n), dist))[:5]
+        got = out[out["query_id"] == qi]
+        assert got["vec_id"].tolist() == order.tolist()
+        assert got["dist2"].tolist() == dist[order].tolist()
+        assert got["rnk"].tolist() == [1, 2, 3, 4, 5]
