@@ -35,19 +35,26 @@ class expressions in ``equivalentClass`` classify both individuals
 (ALL / ANY conjunct semantics) and named classes (scm-int: C ≡ D1⊓D2 ⇒
 C ⊑ Di; scm-uni: C ≡ D1⊔D2 ⇒ Di ⊑ C), and ``owl:TransitiveProperty``
 declarations make ∃P restrictions range over the transitive closure of
-P's asserted edges.  ``owl:SymmetricProperty`` and ``owl:inverseOf``
-declarations derive the mirrored assertions (prp-symp / prp-inv) for
-classification, BEFORE the transitive closure and domain/range passes
-so all three compose.  ``rdfs:domain`` / ``rdfs:range`` declarations on
-object properties (named classes) classify edge endpoints (prp-dom /
-prp-rng) over the derived edge set, seeded before the defined-class
-fixpoint so the passes compose.
+P's asserted edges.  ``owl:SymmetricProperty``, ``owl:inverseOf`` and
+``owl:propertyChainAxiom`` declarations derive entailed assertions
+(prp-symp / prp-inv / prp-spo2) for classification via an edge
+saturation run to fixpoint TOGETHER with the per-property transitive
+closure, so all four characteristics compose (a chain-derived edge of
+a symmetric property mirrors; a mirror extends a closure; ...).
+``rdfs:domain`` / ``rdfs:range`` declarations on object properties
+(named classes) classify edge endpoints (prp-dom / prp-rng) over the
+saturated edge set, seeded before the defined-class fixpoint so the
+passes compose.  ``owl:minCardinality`` / ``owl:minQualifiedCardinality``
+restrictions in ``equivalentClass`` (bare or as intersection/union
+members) classify by counting distinct (qualified) fillers over the
+saturated edges — only the *min* forms, which are sound under
+open-world semantics without negation.
 NOTE: matching ``sync_reasoner()``'s default
 ``infer_property_values=False`` (``make_graph_class.py:82``), inferred
-property assertions (symmetric/inverse mirrors, transitive-closure
-edges) are NOT materialized into ``obj_edges`` — only classification
-is.  Memberships that require full DL reasoning beyond these patterns
-— complementOf, cardinality restrictions, property chains — are NOT
+property assertions (symmetric/inverse mirrors, chain compositions,
+transitive-closure edges) are NOT materialized into ``obj_edges`` —
+only classification is.  Memberships that require full DL reasoning
+beyond these patterns — complementOf, max/exact cardinality — are NOT
 derived; the reference pipeline's own edge set does not depend on
 them.
 """
@@ -140,6 +147,8 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     transitive_prop_iris: set[str] = set()
     symmetric_prop_iris: set[str] = set()
     inverse_prop_iri_pairs: set[tuple[str, str]] = set()
+    # owl:propertyChainAxiom on R with members (P1, ..., Pn): P1∘…∘Pn ⊑ R
+    chain_axiom_iris: list[tuple[str, tuple[str, ...]]] = []
 
     def _prop_characteristics(el) -> None:
         """Record inverseOf targets + rdf:type characteristics declared on
@@ -155,6 +164,14 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                 transitive_prop_iris.add(iri)
             elif res == f"{OWL}SymmetricProperty":
                 symmetric_prop_iris.add(iri)
+        for chain in el.findall(q(OWL, "propertyChainAxiom")):
+            # rdf Collection of property references (Description or typed
+            # ObjectProperty children); skip chains with unresolvable links
+            members = tuple(
+                m for m in (c.get(_ABOUT) or c.get(_RESOURCE) for c in chain) if m
+            )
+            if len(members) >= 2 and len(members) == len(list(chain)):
+                chain_axiom_iris.append((iri, members))
 
     def node_kind(el) -> str | None:
         tag = el.tag
@@ -239,7 +256,7 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
     # membership semantics (same conjunct grammar as intersection_defs).
     union_defs: list[tuple[str, tuple[tuple[str, ...], ...]]] = []
 
-    def _one_restriction(restr) -> tuple[str, str, str] | None:
+    def _one_restriction(restr) -> tuple | None:
         on_prop = restr.find(q(OWL, "onProperty"))
         if on_prop is None:
             return None
@@ -250,6 +267,20 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         sv = restr.find(q(OWL, "someValuesFrom"))
         if sv is not None:
             return (p_iri, "someValuesFrom", sv.get(_RESOURCE, ""))
+        # minCardinality n / minQualifiedCardinality n + onClass D:
+        # membership = at least n DISTINCT P-fillers (in D for qualified).
+        # Only the min forms are classification-safe under open-world
+        # semantics (max/exact need full DL negation).
+        for tag in ("minCardinality", "minQualifiedCardinality"):
+            card = restr.find(q(OWL, tag))
+            if card is None or not (card.text or "").strip().isdigit():
+                continue
+            n = int(card.text.strip())
+            if tag == "minCardinality":
+                return (p_iri, "minCardinality", n)
+            on_cls = restr.find(q(OWL, "onClass"))
+            if on_cls is not None and on_cls.get(_RESOURCE):
+                return (p_iri, "minQualifiedCardinality", n, on_cls.get(_RESOURCE))
         return None
 
     def _restriction_parts(container) -> tuple[str, str, str] | None:
@@ -277,13 +308,19 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                 parts = _one_restriction(child)
                 if parts is None:
                     return None
-                p_iri, kind, v_iri = parts
+                p_iri, kind = parts[0], parts[1]
                 if p_iri not in prop_label:
                     return None
-                if kind == "hasValue" and v_iri in indiv_label:
-                    conjuncts.append((kind, prop_label[p_iri], indiv_label[v_iri]))
-                elif kind == "someValuesFrom" and v_iri in class_label:
-                    conjuncts.append((kind, prop_label[p_iri], class_label[v_iri]))
+                if kind == "hasValue" and parts[2] in indiv_label:
+                    conjuncts.append((kind, prop_label[p_iri], indiv_label[parts[2]]))
+                elif kind == "someValuesFrom" and parts[2] in class_label:
+                    conjuncts.append((kind, prop_label[p_iri], class_label[parts[2]]))
+                elif kind == "minCardinality":
+                    conjuncts.append((kind, prop_label[p_iri], parts[2]))
+                elif kind == "minQualifiedCardinality" and parts[3] in class_label:
+                    conjuncts.append(
+                        (kind, prop_label[p_iri], parts[2], class_label[parts[3]])
+                    )
                 else:
                     return None
             elif res is not None and res in class_label:
@@ -312,16 +349,27 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
                     if disj is not None:
                         union_defs.append((label, disj))
                 continue  # other anonymous expressions need full DL
-            p_iri, kind, v_iri = parts
+            p_iri, kind = parts[0], parts[1]
             if p_iri not in prop_label:
                 continue
-            if kind == "hasValue" and v_iri in indiv_label:
+            if kind == "hasValue" and parts[2] in indiv_label:
                 restriction_defs.append(
-                    (label, prop_label[p_iri], kind, indiv_label[v_iri])
+                    (label, prop_label[p_iri], kind, indiv_label[parts[2]])
                 )
-            elif kind == "someValuesFrom" and v_iri in class_label:
+            elif kind == "someValuesFrom" and parts[2] in class_label:
                 restriction_defs.append(
-                    (label, prop_label[p_iri], kind, class_label[v_iri])
+                    (label, prop_label[p_iri], kind, class_label[parts[2]])
+                )
+            elif kind == "minCardinality":
+                restriction_defs.append((label, prop_label[p_iri], kind, parts[2]))
+            elif kind == "minQualifiedCardinality" and parts[3] in class_label:
+                restriction_defs.append(
+                    (
+                        label,
+                        prop_label[p_iri],
+                        kind,
+                        (parts[2], class_label[parts[3]]),
+                    )
                 )
         for sub in el.findall(q(RDFS, "subClassOf")):
             res = sub.get(_RESOURCE)
@@ -470,10 +518,6 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         transitive_labels = {
             prop_label[iri] for iri in transitive_prop_iris if iri in prop_label
         }
-        infer_edges = list(obj_edges)
-        # symmetric / inverse characteristics derive the mirrored edges
-        # FIRST (classification only, like the closure below), so the
-        # transitive closure and domain/range passes see them
         symmetric_labels = {
             prop_label[iri] for iri in symmetric_prop_iris if iri in prop_label
         }
@@ -482,33 +526,65 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
             if a in prop_label and b in prop_label:
                 inv_by_label.setdefault(prop_label[a], set()).add(prop_label[b])
                 inv_by_label.setdefault(prop_label[b], set()).add(prop_label[a])
-        if symmetric_labels or inv_by_label:
-            have = set(infer_edges)
-            for s, p, o in obj_edges:
-                if p in symmetric_labels and (o, p, s) not in have:
-                    have.add((o, p, s))
-                    infer_edges.append((o, p, s))
+        chain_axioms = [
+            (prop_label[sup], tuple(prop_label[m] for m in members))
+            for sup, members in chain_axiom_iris
+            if sup in prop_label and all(m in prop_label for m in members)
+        ]
+        # Edge saturation to fixpoint: symmetric / inverse mirrors
+        # (prp-symp / prp-inv), property-chain compositions (prp-spo2,
+        # P1∘…∘Pn ⊑ R) and per-property transitive closure feed each
+        # other (a chain-derived edge of a symmetric property mirrors; a
+        # mirror extends a transitive closure; ...).  Classification
+        # only, ontology-sized input — the loop is O(rounds · E).
+        edge_set: set[tuple[str, str, str]] = set(obj_edges)
+        changed_edges = True
+        while changed_edges:
+            new: set[tuple[str, str, str]] = set()
+            for s, p, o in edge_set:
+                if p in symmetric_labels and (o, p, s) not in edge_set:
+                    new.add((o, p, s))
                 for pinv in inv_by_label.get(p, ()):
-                    if (o, pinv, s) not in have:
-                        have.add((o, pinv, s))
-                        infer_edges.append((o, pinv, s))
-        pre_closure = list(infer_edges)
-        for tprop in transitive_labels:
-            adj: dict[str, set[str]] = {}
-            for s, p, o in pre_closure:
-                if p == tprop:
-                    adj.setdefault(s, set()).add(o)
-            for start in adj:
-                seen: set[str] = set()
-                stack = list(adj[start])
-                while stack:
-                    n = stack.pop()
-                    if n in seen:
-                        continue
-                    seen.add(n)
-                    stack.extend(adj.get(n, ()))
-                for o in seen - adj[start]:
-                    infer_edges.append((start, tprop, o))
+                    if (o, pinv, s) not in edge_set:
+                        new.add((o, pinv, s))
+            if chain_axioms or transitive_labels:
+                by_prop: dict[str, dict[str, set[str]]] = {}
+                for s, p, o in edge_set:
+                    by_prop.setdefault(p, {}).setdefault(s, set()).add(o)
+            for sup, members in chain_axioms:
+                cur = {
+                    s: set(outs)
+                    for s, outs in by_prop.get(members[0], {}).items()
+                }
+                for m in members[1:]:
+                    step = by_prop.get(m, {})
+                    cur = {
+                        s: outs
+                        for s, mids in cur.items()
+                        if (outs := set().union(*(step.get(t, set()) for t in mids)))
+                    }
+                for s, outs in cur.items():
+                    for o in outs:
+                        if (s, sup, o) not in edge_set:
+                            new.add((s, sup, o))
+            for tprop in transitive_labels:
+                adj = by_prop.get(tprop, {})
+                for start in adj:
+                    seen: set[str] = set()
+                    stack = list(adj[start])
+                    while stack:
+                        n = stack.pop()
+                        if n in seen:
+                            continue
+                        seen.add(n)
+                        stack.extend(adj.get(n, ()))
+                    for o in seen - adj[start]:
+                        if (start, tprop, o) not in edge_set:
+                            new.add((start, tprop, o))
+            changed_edges = bool(new)
+            edge_set |= new
+        # asserted order first, derived edges in sorted order (determinism)
+        infer_edges = list(obj_edges) + sorted(edge_set - set(obj_edges))
 
         def _anc(cls: str) -> set[str]:
             seen: set[str] = set()
@@ -544,16 +620,30 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         for s, p, o in infer_edges:
             out_edges.setdefault(s, []).append((p, o))
 
-        def _satisfies(x: str, conj: tuple[str, ...]) -> bool:
-            if conj[0] == "class":
+        def _satisfies(x: str, conj: tuple) -> bool:
+            kind = conj[0]
+            if kind == "class":
                 return any(conj[1] in _anc(c) for c in member.get(x, ()))
-            _, prop, target = conj
+            prop = conj[1]
+            if kind == "minCardinality":
+                fillers = {o for p, o in out_edges.get(x, ()) if p == prop}
+                return len(fillers) >= conj[2]
+            if kind == "minQualifiedCardinality":
+                n, target = conj[2], conj[3]
+                fillers = {
+                    o
+                    for p, o in out_edges.get(x, ())
+                    if p == prop
+                    and any(target in _anc(c) for c in member.get(o, ()))
+                }
+                return len(fillers) >= n
+            target = conj[2]
             for p, o in out_edges.get(x, ()):
                 if p != prop:
                     continue
-                if conj[0] == "hasValue" and o == target:
+                if kind == "hasValue" and o == target:
                     return True
-                if conj[0] == "someValuesFrom" and any(
+                if kind == "someValuesFrom" and any(
                     target in _anc(c) for c in member.get(o, ())
                 ):
                     return True
@@ -563,6 +653,17 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         while changed:
             changed = False
             for cls, prop, kind, target in restriction_defs:
+                if kind in ("minCardinality", "minQualifiedCardinality"):
+                    conj = (
+                        (kind, prop, target)
+                        if kind == "minCardinality"
+                        else (kind, prop, target[0], target[1])
+                    )
+                    for x in member:
+                        if cls not in member[x] and _satisfies(x, conj):
+                            member[x].add(cls)
+                            changed = True
+                    continue
                 for s, p, o in infer_edges:
                     if p != prop or cls in member.get(s, ()) or s not in member:
                         continue

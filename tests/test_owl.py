@@ -670,3 +670,137 @@ def test_symmetric_and_inverse_property_classification():
     # derived mirrors are classification-only
     assert ("coast", "borders", "sea") not in snap.obj_edges
     assert ("lake", "fed by", "river") not in snap.obj_edges
+
+
+def test_property_chain_classification():
+    """owl:propertyChainAxiom (prp-spo2): hasParent∘hasParent ⊑
+    hasGrandparent derives the composed assertion for classification —
+    the grandchild satisfies ∃hasGrandparent.{gran} — without adding the
+    derived edge to obj_edges (infer_property_values=False).  The chain
+    also composes with rdfs:domain on the superproperty."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Ppar">
+    <rdfs:label>has parent</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:ObjectProperty rdf:about="urn:x#Pgp">
+    <rdfs:label>has grandparent</rdfs:label>
+    <rdfs:domain rdf:resource="urn:x#Descendant"/>
+    <owl:propertyChainAxiom rdf:parseType="Collection">
+      <owl:ObjectProperty rdf:about="urn:x#Ppar"/>
+      <owl:ObjectProperty rdf:about="urn:x#Ppar"/>
+    </owl:propertyChainAxiom>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Descendant">
+    <rdfs:label>descendant</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#GranKin">
+    <rdfs:label>gran kin</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pgp"/>
+        <owl:hasValue rdf:resource="urn:x#gran"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#kid">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>kid</rdfs:label>
+    <wp:Ppar rdf:resource="urn:x#mum"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#mum">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>mum</rdfs:label>
+    <wp:Ppar rdf:resource="urn:x#gran"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#gran">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>gran</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # kid hasParent mum hasParent gran => kid hasGrandparent gran
+    assert "gran kin" in snap.individuals["kid"]["direct_classes"]
+    # domain(hasGrandparent) classifies the chain subject too
+    assert "descendant" in snap.individuals["kid"]["direct_classes"]
+    # one-hop subjects do NOT satisfy the chain
+    assert "gran kin" not in snap.individuals["mum"]["direct_classes"]
+    # derived assertions are never materialized as edges
+    assert ("kid", "has grandparent", "gran") not in snap.obj_edges
+
+
+def test_min_cardinality_classification():
+    """minCardinality / minQualifiedCardinality equivalentClass
+    restrictions classify by distinct-filler count (min forms only —
+    open-world-sound)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:wp="urn:x#">
+  <owl:ObjectProperty rdf:about="urn:x#Pcauses">
+    <rdfs:label>causes</rdfs:label>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="urn:x#cm"><rdfs:label>climate mind</rdfs:label></owl:Class>
+  <owl:Class rdf:about="urn:x#Hazard">
+    <rdfs:label>hazard</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#Flood">
+    <rdfs:label>flood</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#Hazard"/>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#MultiCause">
+    <rdfs:label>multi cause</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pcauses"/>
+        <owl:minCardinality rdf:datatype="http://www.w3.org/2001/XMLSchema#nonNegativeInteger">2</owl:minCardinality>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="urn:x#HazardSource">
+    <rdfs:label>hazard source</rdfs:label>
+    <rdfs:subClassOf rdf:resource="urn:x#cm"/>
+    <owl:equivalentClass>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="urn:x#Pcauses"/>
+        <owl:minQualifiedCardinality rdf:datatype="http://www.w3.org/2001/XMLSchema#nonNegativeInteger">2</owl:minQualifiedCardinality>
+        <owl:onClass rdf:resource="urn:x#Hazard"/>
+      </owl:Restriction>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="urn:x#co2">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>co2</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#heat"/>
+    <wp:Pcauses rdf:resource="urn:x#rain"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#soot">
+    <rdf:type rdf:resource="urn:x#cm"/>
+    <rdfs:label>soot</rdfs:label>
+    <wp:Pcauses rdf:resource="urn:x#heat"/>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#heat">
+    <rdf:type rdf:resource="urn:x#Hazard"/>
+    <rdfs:label>heat</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="urn:x#rain">
+    <rdf:type rdf:resource="urn:x#Flood"/>
+    <rdfs:label>rain</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>"""
+    snap = parse_owl(xml)
+    # two distinct fillers => member; one filler => not
+    assert "multi cause" in snap.individuals["co2"]["direct_classes"]
+    assert "multi cause" not in snap.individuals["soot"]["direct_classes"]
+    # qualified: rain ∈ Flood ⊑ Hazard counts via the ancestor walk
+    assert "hazard source" in snap.individuals["co2"]["direct_classes"]
+    assert "hazard source" not in snap.individuals["soot"]["direct_classes"]
