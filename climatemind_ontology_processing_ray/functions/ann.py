@@ -369,3 +369,77 @@ def dense_topk_int(
     out = cand.head(k).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def hard_negative_topk(
+    ds: Dataset,
+    anchors: np.ndarray,
+    anchor_ids: np.ndarray,
+    anchor_labels: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    quant: int = 32768,
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: per anchor vector,
+    the k most-similar corpus vectors with a DIFFERENT label (similar
+    but known-not-matching — the negatives that actually teach).
+
+    Same exact-integer discipline as :func:`knn_graph` (quantized dot in
+    fp64 BLAS, < 2^52, bit-identical to BIGINT SQL at any parallelism);
+    ties break on ascending vec_id.  Broadcast = the (nq, d) anchor
+    matrix + labels; partials are k-bounded per (anchor, block); the
+    driver merge is O(nq·k·blocks).  Output:
+    (anchor_id, vec_id, dot, rnk) — k rows per anchor."""
+    from .cluster import _batch_matrix, quantize
+
+    import pyarrow as pa
+    import ray
+
+    q = quantize(np.asarray(anchors, dtype=np.float64), quant).astype(np.float64)
+    ctx = ray.put((q, np.asarray(anchor_ids), np.asarray(anchor_labels)))
+
+    def local_topk(batch: pa.Table, *, _ctx=ctx) -> pd.DataFrame:
+        qm, aids, alabs = ray.get(_ctx)
+        mat = _batch_matrix(batch, vec_col, quant).astype(np.float64)
+        dots = qm @ mat.T  # (nq, n) exact ints in fp64
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        labs = batch.column(label_col).to_numpy(zero_copy_only=False)
+        out_a, out_id, out_d = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = labs != alabs[qi]
+            if not mask.any():
+                continue
+            cids, cd = ids[mask], dots[qi][mask]
+            order = np.lexsort((cids, -cd))[:k]
+            out_a.append(np.full(len(order), aids[qi], dtype=np.int64))
+            out_id.append(cids[order])
+            out_d.append(cd[order].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "anchor_id": np.array([], dtype=np.int64),
+                    id_col: np.array([], dtype=np.int64),
+                    "dot": np.array([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "anchor_id": np.concatenate(out_a),
+                id_col: np.concatenate(out_id),
+                "dot": np.concatenate(out_d),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand["__negd"] = -cand["dot"]
+    cand = cand.sort_values(
+        ["anchor_id", "__negd", id_col], kind="mergesort"
+    ).reset_index(drop=True)
+    out = cand.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("anchor_id").cumcount().astype(np.int64) + 1
+    return out[["anchor_id", id_col, "dot", "rnk"]]

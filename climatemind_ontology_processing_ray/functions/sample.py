@@ -212,3 +212,80 @@ def shuffle_shards(ds: Dataset, id_col: str = "doc_id", *, n_shards: int = 16) -
         .groupby("shard")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def negative_sample(
+    ds: Dataset,
+    anchors: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    *,
+    k: int = 4,
+) -> pd.DataFrame:
+    """Deterministic uniform negative sampling: for each (anchor_id,
+    anchor_group), the k candidates with a DIFFERENT group whose pair
+    digest md5("anchor|candidate") ranks smallest — a reproducible
+    "random k negatives per anchor" draw with no RNG state, the pair
+    generator for contrastive / ranking losses.
+
+    Content-addressing makes the draw identical at any parallelism and
+    SQL-checkable (``ORDER BY SUBSTR(MD5(...), 1, 16)``).  Scale shape:
+    broadcast the (small) anchor list; each batch hashes
+    |anchors|×|batch| pairs vectorized (md5vec) and keeps its local
+    top-k per anchor; the driver merge is O(anchors·k·blocks).  Output:
+    (anchor_id, id_col, rnk), k rows per anchor."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .md5vec import md5_u64
+
+    a_ref = ray.put(list(anchors))
+
+    def local(batch: pa.Table, *, _a=a_ref) -> pd.DataFrame:
+        pairs = ray.get(_a)
+        ids = batch.column(id_col).cast(pa.int64())
+        ids_str = pc.cast(ids, pa.string())
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        out_a, out_id, out_h = [], [], []
+        for aid, agroup in pairs:
+            mask = groups != agroup
+            if not mask.any():
+                continue
+            keys = pc.binary_join_element_wise(
+                pa.scalar(f"{aid}|"), ids_str, pa.scalar("")
+            )
+            # md5_u64 packs digest[:8] little-endian; byteswap == hex order
+            h = md5_u64(keys).byteswap()[mask]
+            cids = ids_np[mask]
+            order = np.lexsort((cids, h))[:k]
+            out_a.append(np.full(len(order), aid, dtype=np.int64))
+            out_id.append(cids[order])
+            out_h.append(h[order])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "anchor_id": np.array([], dtype=np.int64),
+                    id_col: np.array([], dtype=np.int64),
+                    "__h": np.array([], dtype=np.uint64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "anchor_id": np.concatenate(out_a),
+                id_col: np.concatenate(out_id),
+                "__h": np.concatenate(out_h),
+            }
+        )
+
+    cand = ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["anchor_id", "__h", id_col], kind="mergesort"
+    ).reset_index(drop=True)
+    out = cand.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("anchor_id").cumcount().astype(np.int64) + 1
+    return out[["anchor_id", id_col, "rnk"]]

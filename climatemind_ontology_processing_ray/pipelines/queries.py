@@ -1886,6 +1886,126 @@ def _sql_ann_pq() -> str:
     return _sql_pq(codes_only=False)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: per anchor vector,
+    the 5 most-similar corpus vectors with a DIFFERENT label (exact
+    integer dot, fully hash-checked — see functions/ann.py)."""
+    from ..functions.ann import hard_negative_topk
+
+    a_tab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    a_tab = a_tab.filter(pc.less(a_tab.column("vec_id"), pa.scalar(8)))
+    a_tab = a_tab.take(pc.sort_indices(a_tab.column("vec_id")))
+    anchors = np.asarray([np.asarray(v) for v in a_tab.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = hard_negative_topk(
+        ds,
+        anchors,
+        a_tab.column("vec_id").to_numpy(),
+        a_tab.column("label").to_numpy(),
+        k=5,
+    )
+    for c in ("anchor_id", "vec_id", "dot", "rnk"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS alab, embedding AS qe
+  FROM embeddings WHERE vec_id < 8),
+qv AS (
+  SELECT anchor_id, generate_subscripts(qe, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(qe) AS DOUBLE) * 32768 + 0.5) AS BIGINT) AS x
+  FROM q),
+cv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 32768 + 0.5) AS BIGINT) AS y
+  FROM embeddings),
+dots AS (
+  SELECT qv.anchor_id, cv.vec_id, SUM(qv.x * cv.y) AS dot
+  FROM qv JOIN cv USING (dim) GROUP BY 1, 2)
+SELECT anchor_id, vec_id, CAST(dot AS BIGINT) AS dot, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT d.anchor_id, d.vec_id, d.dot,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.anchor_id ORDER BY d.dot DESC, d.vec_id) AS rnk
+  FROM dots d
+  JOIN embeddings e ON d.vec_id = e.vec_id
+  JOIN q ON d.anchor_id = q.anchor_id
+  WHERE e.label <> q.alab
+) WHERE rnk <= 5 ORDER BY anchor_id, rnk
+"""
+
+
+def q_negative_samples(sf_dir: str):
+    """Deterministic uniform negative sampling: 4 different-source
+    negatives per anchor doc, drawn by content-addressed pair digest
+    (reproducible at any parallelism, no RNG state)."""
+    from ..functions.sample import negative_sample
+
+    a_tab = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    a_tab = a_tab.filter(pc.less(a_tab.column("doc_id"), pa.scalar(8)))
+    a_tab = a_tab.take(pc.sort_indices(a_tab.column("doc_id")))
+    anchors = list(
+        zip(a_tab.column("doc_id").to_pylist(), a_tab.column("source").to_pylist())
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = negative_sample(ds, anchors, "doc_id", "source", k=4)
+    for c in ("anchor_id", "doc_id", "rnk"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH a AS (
+  SELECT doc_id AS anchor_id, source AS asrc FROM documents WHERE doc_id < 8),
+p AS (
+  SELECT a.anchor_id, d.doc_id,
+         MD5(CAST(a.anchor_id AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)) AS hx
+  FROM a JOIN documents d ON d.source <> a.asrc)
+SELECT anchor_id, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT anchor_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY SUBSTR(hx, 1, 16), doc_id) AS rnk
+  FROM p
+) WHERE rnk <= 4 ORDER BY anchor_id, rnk
+"""
+
+
+def q_profile_columns(sf_dir: str):
+    """Dataset profiling (the first pass of any 100 TB ingest): per-column
+    row/null counts, exact distinct cardinality and native-typed min/max
+    over orders — one partial-merge pass + one pair-partitioned distinct
+    exchange (functions/profile.py)."""
+    from ..functions.profile import profile_columns
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderpriority"])
+    out = profile_columns(ds, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+    return out.reset_index(drop=True)
+
+
+SQL_PROFILE_COLUMNS = """
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         COUNT(DISTINCT o_custkey) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+) ORDER BY col_name
+"""
+
+
 # --------------------------------------------------------------------- #
 # events: stream-shaped windows / sessions / json props
 # --------------------------------------------------------------------- #
@@ -5565,6 +5685,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_RECALL),
     "pq_codes": (q_pq_codes, _sql_pq_codes),
     "ann_pq": (q_ann_pq, _sql_ann_pq),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "negative_samples": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
+    "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),

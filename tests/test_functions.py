@@ -2157,3 +2157,86 @@ def test_pq_topk_matches_inmemory_adc(ray_session):
         assert got["vec_id"].tolist() == order.tolist()
         assert got["dist2"].tolist() == dist[order].tolist()
         assert got["rnk"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_hard_negative_topk_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.ann import hard_negative_topk
+    from climatemind_ontology_processing_ray.functions.cluster import quantize
+
+    rng = np.random.default_rng(21)
+    n, d = 150, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 3, n)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [v.tolist() for v in vecs],
+            "label": labels,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = hard_negative_topk(
+        ds, vecs[:4].astype(np.float64), np.arange(4), labels[:4], k=3
+    )
+    q = quantize(vecs.astype(np.float64), 32768)
+    for a in range(4):
+        cand = np.flatnonzero(labels != labels[a])
+        dots = (q[cand] @ q[a]).astype(np.int64)
+        order = np.lexsort((cand, -dots))[:3]
+        got = out[out["anchor_id"] == a]
+        assert got["vec_id"].tolist() == cand[order].tolist()
+        assert got["dot"].tolist() == dots[order].tolist()
+        assert got["rnk"].tolist() == [1, 2, 3]
+
+
+def test_negative_sample_deterministic(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.sample import negative_sample
+
+    n = 200
+    df = pd.DataFrame({"doc_id": np.arange(n), "source": [f"s{i % 4}" for i in range(n)]})
+    anchors = [(0, "s0"), (1, "s1")]
+
+    def brute(aid, agroup, k):
+        cand = [
+            (hashlib.md5(f"{aid}|{d}".encode()).hexdigest()[:16], d)
+            for d in range(n)
+            if f"s{d % 4}" != agroup
+        ]
+        return [d for _, d in sorted(cand)[:k]]
+
+    for parts in (2, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = negative_sample(ds, anchors, k=5)
+        for aid, agroup in anchors:
+            got = out[out["anchor_id"] == aid]["doc_id"].tolist()
+            assert got == brute(aid, agroup, 5)
+
+
+def test_profile_columns(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.profile import profile_columns
+
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "k": pa.array([10, 9, 9, 2, None, 100], pa.int64()),
+            "s": pa.array(["b", "a", None, "a", "c", "c"], pa.string()),
+        }
+    )
+    out = profile_columns(ray.data.from_arrow(tbl).repartition(3), ["k", "s"])
+    k = out[out["col_name"] == "k"].iloc[0]
+    assert (k["n"], k["nulls"], k["n_distinct"]) == (6, 1, 4)
+    # numeric min/max, not lexicographic ("100" < "9" as strings)
+    assert (k["min_val"], k["max_val"]) == ("2", "100")
+    s = out[out["col_name"] == "s"].iloc[0]
+    assert (s["n"], s["nulls"], s["n_distinct"], s["min_val"], s["max_val"]) == (
+        6, 1, 3, "a", "c",
+    )
