@@ -125,6 +125,42 @@ def grouped_sum_rollup(
     )
 
 
+def grouped_sum_cube(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    sentinel: str = "ALL",
+    num_parts: int | None = None,
+) -> Dataset:
+    """SUM(sum_cols) GROUP BY CUBE(keys): every SUBSET of the key columns
+    (2^len(keys) grouping sets), masked-out keys set to ``sentinel`` —
+    the OLAP companion to :func:`grouped_sum_rollup` (which only takes
+    prefixes).  Same map-side expansion contract: each batch pre-combines
+    at every grouping set locally, so the exchange carries
+    per-block-per-set partials, never raw rows.  The 2^k fan-out bounds
+    the usable key count by design (a real cube query rarely exceeds 3-4
+    dims); the per-block partial volume is Σ_set |distinct keys in set|."""
+    from itertools import combinations
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        levels = []
+        for depth in range(len(keys), -1, -1):
+            for kept in combinations(keys, depth):
+                if kept:
+                    g = b.groupby(list(kept), sort=False)[sum_cols].sum().reset_index()
+                else:
+                    g = b[sum_cols].sum().to_frame().T
+                for k in keys:
+                    if k not in kept:
+                        g[k] = sentinel
+                levels.append(g[keys + sum_cols])
+        return pd.concat(levels, ignore_index=True)
+
+    return grouped_sum(
+        ds.map_batches(expand, batch_format="pandas"), keys, sum_cols, num_parts
+    )
+
+
 def pivot_counts(
     ds: Dataset,
     key: str,

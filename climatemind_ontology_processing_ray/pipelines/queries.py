@@ -3697,6 +3697,44 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping subset
+    (including the two single-dim margins ROLLUP can't express), masked
+    keys as 'ALL' — same map-side pre-combine contract as the rollup
+    (functions/agg.py:grouped_sum_cube)."""
+    from ..functions.agg import grouped_sum_cube
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b.l_returnflag,
+                "l_linestatus": b.l_linestatus,
+                "sum_qty": b.l_quantity.to_numpy().astype("int64"),
+                "n_items": np.int64(1),
+            }
+        )
+
+    out = grouped_sum_cube(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "n_items"],
+    ).to_pandas()
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_CUBE_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -5730,6 +5768,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "approx_counts": (q_approx_counts, SQL_APPROX_COUNTS),
     "interval_attribution": (q_interval_attribution, SQL_INTERVAL_ATTRIBUTION),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SPLIT),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
