@@ -199,6 +199,12 @@ def run_bench() -> dict:
         "throttle_events",
         "embed_decontam",
         "cdc_snapshot",
+        "pq_codes",
+        "ann_pq",
+        "hard_negatives",
+        "negative_samples",
+        "profile_columns",
+        "cube_revenue",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:

@@ -314,6 +314,20 @@ def suite_embed() -> None:
 
     _t("semdedup @500k (k=64)", _semdedup)
 
+    from climatemind_ontology_processing_ray.functions.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    def _pq():
+        cents = pq_train(ds, num_subspaces=4, k=64, iters=2, quant=1000)
+        n = pq_encode(ds, cents).count()
+        top = pq_topk(ds, np.asarray(q), cents, k=10, quant=1000)
+        return f"{n} code rows, {len(top)} adc hits"
+
+    _t("pq train+encode+adc @500k (M=4,k=64)", _pq)
+
 
 def suite_joins() -> None:
     ray, rd = _session()
