@@ -145,14 +145,20 @@ def bucketed_hash_join(
     right: Dataset,
     key: str,
     num_buckets: int | None = None,
+    join_type: str = "inner",
 ) -> Dataset:
-    """Inner join of two large Datasets on ``key``.
+    """Join of two large Datasets on ``key`` — ``inner`` (default),
+    ``left outer`` or ``full outer`` (hash-bucketing is outer-safe: an
+    unmatched row meets its would-be partners, or nobody, in its own
+    bucket, so per-bucket outer joins compose exactly).
 
     Output columns = union of both sides' columns: the shared ``key`` kept
     once, and any other column present on both sides emitted twice as
     ``<name>_l`` / ``<name>_r``.  One all-to-all shuffle (the groupby on
     bucket); fan-out scales with the larger side's row estimate.
     """
+    if join_type not in ("inner", "left outer", "full outer"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
     if num_buckets is None:
         # ~64k input rows/bucket: the measured optimum for the Arrow
         # bucket join's sort exchange at the 10M x 15M stress shape
@@ -203,13 +209,13 @@ def bucketed_hash_join(
         if null_l or null_r:
             l = l.drop_columns(null_l)
             r = r.drop_columns(null_r)
-            out = l.join(r, keys=key, join_type="inner")
+            out = l.join(r, keys=key, join_type=join_type)
             for name in null_l + null_r:
                 out = out.append_column(
                     name, pa.nulls(out.num_rows, types.get(name) or pa.string())
                 )
             return out.select(all_names_out)
-        return l.join(r, keys=key, join_type="inner")
+        return l.join(r, keys=key, join_type=join_type)
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 

@@ -213,3 +213,77 @@ def rrf_fuse(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def phrase_search(
+    ds: Dataset,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Exact phrase match over whitespace tokens: docs containing the
+    token sequence, with match count and first position (1-based).
+
+    One projection-early streaming scan, no shuffle: each batch
+    flattens its docs into ONE token array, integer-codes it against
+    the phrase's tokens (np.unique factorization — no per-row string
+    loops), and ANDs shifted equality masks; a same-doc guard keeps
+    windows from crossing document boundaries.  A scan is the optimal
+    plan for a one-shot phrase query at any corpus size (an index only
+    pays for REPEATED queries — build one with
+    :func:`build_inverted_index` / the sharded variant and intersect
+    postings when the query stream is hot).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    words = phrase.lower().split()
+    m = len(words)
+    if m == 0:
+        raise ValueError("empty phrase")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [t.lower().split() if t else [] for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64()),
+            }
+        )
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        pos = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+        uniq, codes = np.unique(flat, return_inverse=True)
+        want = np.searchsorted(uniq, words)
+        ok = (want < len(uniq)) & (uniq[np.minimum(want, len(uniq) - 1)] == words)
+        if not ok.all():
+            return empty
+        n = len(flat)
+        match = codes[: n - m + 1] == want[0] if n >= m else np.zeros(0, bool)
+        for j in range(1, m):
+            match = match & (codes[j : n - m + 1 + j] == want[j])
+        # same-doc guard: window start and end in one document
+        match = match & (doc_idx[: n - m + 1] == doc_idx[m - 1 :])
+        hits = np.flatnonzero(match)
+        if not len(hits):
+            return empty
+        hd = doc_idx[hits]
+        first_doc = np.ones(len(hits), dtype=bool)
+        first_doc[1:] = hd[1:] != hd[:-1]
+        starts = np.flatnonzero(first_doc)
+        counts = np.diff(np.append(starts, len(hits)))
+        return pa.table(
+            {
+                id_col: pa.array(ids[hd[starts]].astype(np.int64), pa.int64()),
+                "n_matches": pa.array(counts.astype(np.int64), pa.int64()),
+                "first_pos": pa.array(pos[hits[starts]] + 1, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

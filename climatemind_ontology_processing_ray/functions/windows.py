@@ -531,3 +531,56 @@ def cdc_snapshot(
         .groupby("__part")
         .map_groups(latest, batch_format="pandas")
     )
+
+
+def rolling_sum(
+    ds: Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    keep_cols: list[str],
+    out_col: str = "roll",
+    num_parts: int = 64,
+) -> Dataset:
+    """Per-key ROWS-window rolling sum (``SUM(v) OVER (PARTITION BY key
+    ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``) —
+    the streaming-feature primitive (recent-activity signals, smoothed
+    counters).
+
+    One hash(key) exchange; inside each coarse partition the whole frame
+    is ONE vectorized pass (never a group per key): sort by (key, order),
+    cumulative-sum the value, and difference the cumsum against the
+    per-row window start clamped to the key segment's first row.
+    ``value_col`` must already be integer (callers quantize floats with
+    the floor(x*q+0.5) rule so both sides are order-exact)."""
+    from .join import hash_bucket
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g[value_col].to_numpy().astype(np.int64)
+        cs = np.cumsum(v)
+        n = len(g)
+        idx = np.arange(n)
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            kv = g[key_col].to_numpy()
+            new_key[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        seg_start = np.flatnonzero(new_key)[seg_id]
+        start = np.maximum(seg_start, idx - window + 1)
+        prev = np.where(start > 0, cs[start - 1], 0)
+        out = g[keep_cols].copy()
+        out[out_col] = cs - prev
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(roll, batch_format="pandas")
+    )

@@ -3697,6 +3697,123 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval ("hash join") over whitespace tokens: match
+    count + first position per doc, via one integer-coded streaming scan
+    (functions/search.py:phrase_search — no shuffle; docstring covers
+    when a positional index beats the scan)."""
+    from ..functions.search import phrase_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = phrase_search(ds, "hash join").to_pandas()
+    for c in ("doc_id", "n_matches", "first_pos"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks0 AS (
+  SELECT doc_id, generate_subscripts(STRING_SPLIT(LOWER(text), ' '), 1) AS pos0,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents),
+toks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM toks0 WHERE tok <> ''),
+m AS (
+  SELECT t1.doc_id, t1.pos FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.tok = 'hash' AND t2.tok = 'join')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_rolling_features(sf_dir: str):
+    """Per-user 3-event rolling value sum (the streaming-feature
+    primitive: recent-activity signals over an ordered event log).
+    Values quantized to integer cents with floor(x*100+0.5) so the
+    windowed sums are order-exact on both sides; one hash(user)
+    exchange, one vectorized cumsum-difference pass per partition
+    (functions/windows.py:rolling_sum)."""
+    from ..functions.windows import rolling_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b.event_id,
+                "user_id": b.user_id,
+                "ts": b.ts,
+                "cents": np.floor(b.value.to_numpy() * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    out = rolling_sum(
+        ds.map_batches(prep, batch_format="pandas"),
+        "user_id",
+        ["ts", "event_id"],
+        "cents",
+        window=3,
+        keep_cols=["event_id", "user_id"],
+        out_col="roll3",
+    ).to_pandas()
+    for c in ("event_id", "user_id", "roll3"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ROLLING_FEATURES = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3
+FROM events ORDER BY event_id
+"""
+
+
+def q_left_outer_join(sf_dir: str):
+    """Bucketed LEFT OUTER join: every customer, matched to their
+    >=400k-total orders or emitted once with a null match (coalesced to
+    -1 for the stringified compare).  Hash-bucketing is outer-safe —
+    an unmatched row meets its would-be partners, or nobody, in its own
+    bucket — so the per-bucket pa.Table.join composes exactly."""
+    from ..functions.join import bucketed_hash_join
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def big(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("o_totalprice"), pa.scalar(400000.0)))
+        return b.select(["o_custkey", "o_orderkey"]).rename_columns(
+            ["c_custkey", "o_orderkey"]
+        )
+
+    right = orders.map_batches(big, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_hash_join(
+        customer, right, "c_custkey", join_type="left outer"
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return (
+        out[["c_custkey", "c_mktsegment", "o_orderkey"]]
+        .sort_values(["c_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_LEFT_OUTER_JOIN = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(o.o_orderkey, -1) AS o_orderkey
+FROM customer c
+LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice >= 400000) o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey, o_orderkey
+"""
+
+
 def q_cube_revenue(sf_dir: str):
     """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping subset
     (including the two single-dim margins ROLLUP can't express), masked
@@ -5769,6 +5886,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "interval_attribution": (q_interval_attribution, SQL_INTERVAL_ATTRIBUTION),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
+    "left_outer_join": (q_left_outer_join, SQL_LEFT_OUTER_JOIN),
+    "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SPLIT),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),

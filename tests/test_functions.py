@@ -2240,3 +2240,89 @@ def test_profile_columns(ray_session):
     assert (s["n"], s["nulls"], s["n_distinct"], s["min_val"], s["max_val"]) == (
         6, 1, 3, "a", "c",
     )
+
+
+def test_bucketed_left_outer_join(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.join import bucketed_hash_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]})
+    ).repartition(2)
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 2, 4], "b": [20, 21, 40]})
+    ).repartition(2)
+    out = (
+        bucketed_hash_join(left, right, "k", num_buckets=4, join_type="left outer")
+        .to_pandas()
+        .sort_values(["k", "b"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 2, 3, 4]
+    assert out["b"].fillna(-1).astype(int).tolist() == [-1, 20, 21, -1, 40]
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import rolling_sum
+
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "u": rng.integers(0, 17, n),
+            "t": rng.permutation(n),
+            "v": rng.integers(-5, 50, n).astype("int64"),
+        }
+    )
+    out = (
+        rolling_sum(
+            ray.data.from_pandas(df).repartition(5),
+            "u",
+            ["t", "eid"],
+            "v",
+            window=4,
+            keep_cols=["eid"],
+            out_col="r",
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["u", "t", "eid"])
+    exp["r"] = (
+        exp.groupby("u")["v"].rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+    )
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    assert out["r"].tolist() == exp["r"].astype(int).tolist()
+
+
+def test_phrase_search_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.search import phrase_search
+
+    docs = [
+        "the hash join beats the sort merge join",   # 1 match at pos 2
+        "hash join hash join",                        # 2 matches, first at 1
+        "join hash",                                  # reversed: no match
+        "hash",                                       # too short
+        "nothing here",
+        "trailing hash",                              # window would cross docs
+        "join leading",
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(3)
+    out = (
+        phrase_search(ds, "hash join")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_matches"].tolist() == [1, 2]
+    assert out["first_pos"].tolist() == [2, 1]
