@@ -2326,3 +2326,46 @@ def test_phrase_search_bruteforce(ray_session):
     assert out["doc_id"].tolist() == [0, 1]
     assert out["n_matches"].tolist() == [1, 2]
     assert out["first_pos"].tolist() == [2, 1]
+
+
+def test_warc_roundtrip_and_kg_shapes(ray_session, tmp_path):
+    from datetime import datetime
+
+    from climatemind_ontology_processing_ray.sources.warc import (
+        parse_warc_records,
+        read_warc,
+        write_warc,
+    )
+
+    recs = [
+        {
+            "url": f"https://example.org/p{i}",
+            "warc_ts": datetime(2024, 1, 1 + i, 12, 0, 0),
+            "html": f"<html><body>page {i} causes warming.</body></html>",
+        }
+        for i in range(5)
+    ]
+    plain = str(tmp_path / "a.warc")
+    gzed = str(tmp_path / "b.warc.gz")
+    write_warc(recs[:3], plain)
+    write_warc(recs[3:], gzed, per_record_gzip=True)
+
+    ds = read_warc([plain, gzed])
+    out = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 5
+    assert out["url"].tolist() == [r["url"] for r in recs]
+    assert out["warc_ts"].tolist() == [pd.Timestamp(r["warc_ts"]) for r in recs]
+    # HTTP envelope stripped: payload is the raw html bytes
+    assert bytes(out["html"][0]) == recs[0]["html"].encode()
+
+    # truncated trailing record ends the file's parse without raising
+    raw = open(plain, "rb").read()
+    broken = raw + b"WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort"
+    got = parse_warc_records(broken)
+    assert [g["url"] for g in got] == [r["url"] for r in recs[:3]]
+
+    # non-response records are skipped
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    assert parse_warc_records(warcinfo + raw) == parse_warc_records(raw)
