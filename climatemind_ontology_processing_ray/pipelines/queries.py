@@ -2328,22 +2328,52 @@ def q_kg_canonical_edges(sf_dir: str):
 
 
 _KG_ORACLE_DIR = "/tmp/graft_kg_oracle"
-# the driver's correctness tier: oracle SQL is sized to it
-_KG_ORACLE_SF = "/root/testdata/sf0.01"
+# the driver's correctness tier: oracle SQL is sized to it.  The kg
+# queries scale their synthetic corpus with sf_dir but oracle_sql()
+# takes no argument, so the oracle pins a tier; tools/check_queries.py
+# exports GRAFT_KG_ORACLE_SF=<swept sf_dir> so full sweeps at OTHER
+# tiers compare same-sized corpora (the driver sets nothing and gets
+# the sf0.01 default it checks at).
+_KG_ORACLE_SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _kg_oracle_sf() -> str:
+    import os
+
+    return os.environ.get("GRAFT_KG_ORACLE_SF", _KG_ORACLE_SF_DEFAULT)
 
 
 def _kg_oracle_pages_path(n_pages: int) -> str:
     """Write the deterministic fixture corpus (url, WET text, lang) as a
-    parquet the DuckDB oracle can read; idempotent per n_pages."""
+    parquet the DuckDB oracle can read; idempotent per (n_pages, corpus
+    content).  The cache key includes a content PROBE — the digest of a
+    16-page generation — so a fixture-snapshot or generator change in a
+    later session invalidates stale /tmp caches instead of silently
+    serving a corpus the Ray side no longer produces (the same stale-
+    cache trap as ADVICE r3's `_table_rows`; caught when the first REAL
+    full sf0.1 sweep failed all 8 kg queries against a pages_n10000
+    parquet written before the round's snapshot changes)."""
+    import hashlib
     import os
 
     from ..ontology.fixture import build_fixture_snapshot
     from ..sources.pages import generate_pages
 
-    path = os.path.join(_KG_ORACLE_DIR, f"pages_n{n_pages}.parquet")
+    snap = build_fixture_snapshot()
+    probe, _ = generate_pages(snap, 16, seed=13)
+    digest = hashlib.md5(
+        "\x1f".join(
+            f"{u}|{t}|{lg}"
+            for u, t, lg in zip(
+                probe.column("url").to_pylist(),
+                probe.column("text").to_pylist(),
+                probe.column("lang").to_pylist(),
+            )
+        ).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(_KG_ORACLE_DIR, f"pages_n{n_pages}_{digest}.parquet")
     if not os.path.exists(path):
         os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
-        snap = build_fixture_snapshot()
         table, _ = generate_pages(snap, n_pages, seed=13)
         pq.write_table(table.select(["url", "text", "lang"]), path + ".tmp")
         os.replace(path + ".tmp", path)
@@ -2398,7 +2428,7 @@ linked AS (
 
 
 def _sql_kg_canonical_edges() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     return f"""
 WITH {_kg_edges_cte(path)}
@@ -2409,7 +2439,7 @@ ORDER BY subject, object, predicate
 
 
 def _sql_kg_adjacency() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     return f"""
 WITH {_kg_edges_cte(path)},
@@ -2466,7 +2496,7 @@ def q_kg_degree_stats(sf_dir: str):
 
 
 def _sql_kg_degree_stats() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     return f"""
 WITH {_kg_edges_cte(path)},
@@ -2500,7 +2530,7 @@ def q_kg_pagerank(sf_dir: str):
 
 
 def _sql_kg_pagerank() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     scale = _PR_SCALE
     # the same all-integer update rule as pagerank_fixed, unrolled
@@ -2638,7 +2668,7 @@ def _kg_oracle_pages_ts_path(n_pages: int) -> str:
 
 
 def _sql_kg_edge_timespan() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     ts_path = _kg_oracle_pages_ts_path(n)
     return f"""
@@ -2711,7 +2741,7 @@ def q_kg_components(sf_dir: str):
 
 
 def _sql_kg_components() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     return f"""
 WITH RECURSIVE {_kg_edges_cte(path)},
@@ -2872,7 +2902,7 @@ def q_adjacency_partition_lookup(sf_dir: str):
 
 
 def _sql_adjacency_partition_lookup() -> str:
-    n = _fixture_pages_count(_KG_ORACLE_SF)
+    n = _fixture_pages_count(_kg_oracle_sf())
     path = _kg_oracle_pages_path(n)
     lo, hi = _ADJ_RANGE
     return f"""

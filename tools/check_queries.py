@@ -73,6 +73,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # kg oracles pin a corpus tier (oracle_sql() takes no argument);
+    # sweep them at the tier being swept so corpus sizes match
+    import os
+
+    os.environ["GRAFT_KG_ORACLE_SF"] = sf_dir
 
     import ray
 
