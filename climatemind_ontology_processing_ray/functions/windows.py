@@ -584,3 +584,67 @@ def rolling_sum(
         .groupby("__part")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def windowed_active_users(
+    ds: Dataset,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> Dataset:
+    """Sliding-window distinct actives (the WAU/DAU family):
+    for every day present in the log, the count of DISTINCT keys seen in
+    the ``window_days``-day window ending that day.
+
+    COUNT(DISTINCT) over overlapping windows doesn't pre-aggregate as a
+    sum, so the shape is: map-side (day, key) dedup per batch →
+    flat-map each presence row to the <= ``window_days`` window labels
+    it participates in (filtered to days actually present — the tiny
+    day set is collected once and broadcast in the closure) → ONE
+    exact pair-partitioned distinct count
+    (:func:`.agg.grouped_count_distinct`).  Exchange volume is
+    presence-rows × window_days, already deduped per batch — never raw
+    events.  Output: (window_day: 'YYYY-MM-DD', wau)."""
+    import pyarrow as pa
+
+    from .agg import grouped_count_distinct
+
+    def presence(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__day": b[ts_col].dt.floor("D"),
+                key_col: b[key_col],
+            }
+        )
+        return out.drop_duplicates()
+
+    pres = ds.map_batches(presence, batch_format="pandas")
+    # the distinct-day set is calendar-bounded (tiny): per-block uniques
+    # collected on the driver — no exchange
+    day_parts = pres.map_batches(
+        lambda b: pd.DataFrame({"__day": b["__day"].unique()}),
+        batch_format="pandas",
+    ).to_pandas()
+    days = set(pd.to_datetime(day_parts["__day"].unique()).tolist())
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for off in range(window_days):
+            w = b["__day"] + pd.Timedelta(days=off)
+            keep = w.isin(days)
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "window_day": w[keep].dt.strftime("%Y-%m-%d"),
+                            key_col: b[key_col][keep],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({"window_day": pd.Series([], dtype=str),
+                                 key_col: pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    expanded = pres.map_batches(expand, batch_format="pandas")
+    return grouped_count_distinct(expanded, "window_day", key_col, out_col="wau")

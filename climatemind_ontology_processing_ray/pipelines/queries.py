@@ -3727,6 +3727,32 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_weekly_active_users(sf_dir: str):
+    """Sliding 7-day distinct-actives (WAU): per present day, distinct
+    users in the window ending that day.  COUNT(DISTINCT) over
+    overlapping windows can't pre-sum, so presence rows flat-map to
+    their window labels and ONE exact pair-partitioned distinct count
+    finishes (functions/windows.py:windowed_active_users)."""
+    from ..functions.windows import windowed_active_users
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    out = windowed_active_users(ds, "ts", "user_id", window_days=7).to_pandas()
+    out["wau"] = out["wau"].astype("int64")
+    return out.sort_values("window_day").reset_index(drop=True)
+
+
+SQL_WEEKLY_ACTIVE_USERS = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+wins AS (SELECT DISTINCT d AS w FROM du),
+x AS (
+  SELECT w.w, du.user_id FROM wins w
+  JOIN du ON du.d BETWEEN w.w - INTERVAL 6 DAY AND w.w)
+SELECT STRFTIME(w, '%Y-%m-%d') AS window_day,
+       COUNT(DISTINCT user_id) AS wau
+FROM x GROUP BY w ORDER BY window_day
+"""
+
+
 def q_phrase_search(sf_dir: str):
     """Exact-phrase retrieval ("hash join") over whitespace tokens: match
     count + first position per doc, via one integer-coded streaming scan
@@ -5919,6 +5945,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "left_outer_join": (q_left_outer_join, SQL_LEFT_OUTER_JOIN),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "weekly_active_users": (q_weekly_active_users, SQL_WEEKLY_ACTIVE_USERS),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SPLIT),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),

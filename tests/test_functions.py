@@ -2369,3 +2369,33 @@ def test_warc_roundtrip_and_kg_shapes(ray_session, tmp_path):
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
     )
     assert parse_warc_records(warcinfo + raw) == parse_warc_records(raw)
+
+
+def test_windowed_active_users_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        windowed_active_users,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 400
+    ts = pd.Timestamp("2025-03-01") + pd.to_timedelta(
+        rng.integers(0, 20 * 86400, n), unit="s"
+    )
+    df = pd.DataFrame({"ts": ts, "user_id": rng.integers(0, 25, n)})
+    out = (
+        windowed_active_users(
+            ray.data.from_pandas(df).repartition(4), "ts", "user_id", window_days=7
+        )
+        .to_pandas()
+        .sort_values("window_day")
+        .reset_index(drop=True)
+    )
+    days = sorted(df["ts"].dt.floor("D").unique())
+    exp = {}
+    for w in days:
+        lo = w - pd.Timedelta(days=6)
+        mask = (df["ts"].dt.floor("D") >= lo) & (df["ts"].dt.floor("D") <= w)
+        exp[w.strftime("%Y-%m-%d")] = df["user_id"][mask].nunique()
+    assert dict(zip(out["window_day"], out["wau"])) == exp
