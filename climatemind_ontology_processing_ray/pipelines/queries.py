@@ -3870,6 +3870,57 @@ ORDER BY c_custkey, o_orderkey
 """
 
 
+def q_full_outer_join(sf_dir: str):
+    """Bucketed FULL OUTER join: big customers (acctbal >= 9000) against
+    big orders (totalprice >= 400000) on custkey — unmatched rows from
+    BOTH sides survive with null fills (coalesced for the stringified
+    compare).  Same outer-safe hash-bucket argument as the left join."""
+    from ..functions.join import bucketed_hash_join
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def rich(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("c_acctbal"), pa.scalar(9000.0)))
+        return b.select(["c_custkey"]).append_column(
+            "is_rich", pa.array(np.ones(b.num_rows, dtype=np.int64))
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def big(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("o_totalprice"), pa.scalar(400000.0)))
+        return b.select(["o_custkey", "o_orderkey"]).rename_columns(
+            ["c_custkey", "o_orderkey"]
+        )
+
+    left = customer.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+    right = orders.map_batches(big, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_hash_join(
+        left, right, "c_custkey", join_type="full outer"
+    ).to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["is_rich"] = out["is_rich"].fillna(0).astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    return (
+        out[["c_custkey", "is_rich", "o_orderkey"]]
+        .sort_values(["c_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_FULL_OUTER_JOIN = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+       COALESCE(c.is_rich, 0) AS is_rich,
+       COALESCE(o.o_orderkey, -1) AS o_orderkey
+FROM (SELECT c_custkey, CAST(1 AS BIGINT) AS is_rich FROM customer
+      WHERE c_acctbal >= 9000) c
+FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                 WHERE o_totalprice >= 400000) o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey, o_orderkey
+"""
+
+
 def q_cube_revenue(sf_dir: str):
     """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping subset
     (including the two single-dim margins ROLLUP can't express), masked
@@ -5943,6 +5994,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "left_outer_join": (q_left_outer_join, SQL_LEFT_OUTER_JOIN),
+    "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "weekly_active_users": (q_weekly_active_users, SQL_WEEKLY_ACTIVE_USERS),
