@@ -205,6 +205,11 @@ def run_bench() -> dict:
         "negative_samples",
         "profile_columns",
         "cube_revenue",
+        "left_outer_join",
+        "full_outer_join",
+        "rolling_features",
+        "phrase_search",
+        "weekly_active_users",
     ]
     reg = Q.REGISTRY
     for name in bench_queries:
