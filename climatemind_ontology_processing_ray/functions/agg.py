@@ -108,6 +108,11 @@ def grouped_sum_rollup(
     is one :func:`grouped_sum` over the sentinel-filled key columns."""
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            # no rows → no partials; the empty-set branch below would
+            # fabricate an all-sentinel zero row AND flip sum dtypes to
+            # float64 (pandas .sum() of an empty int column)
+            return b[keys + sum_cols].iloc[0:0]
         levels = []
         for depth in range(len(keys), -1, -1):
             kept = keys[:depth]
@@ -143,6 +148,8 @@ def grouped_sum_cube(
     from itertools import combinations
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[keys + sum_cols].iloc[0:0]  # see grouped_sum_rollup
         levels = []
         for depth in range(len(keys), -1, -1):
             for kept in combinations(keys, depth):

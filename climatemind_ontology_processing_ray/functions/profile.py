@@ -36,54 +36,79 @@ def profile_columns(ds: Dataset, columns: list[str]) -> pd.DataFrame:
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        names, ns, nulls, mins, maxs, is_num = [], [], [], [], [], []
+        # min/max travel NATIVE-TYPED in three lanes (int64 / float64 /
+        # string) selected by `kind`, never round-tripped through a
+        # stringify — a string lane re-parsed with to_numeric raises on
+        # mixed-schema ingestion, and Python float repr need not match
+        # the final formatting rule (ADVICE r4).  Stringification
+        # happens ONCE, in the driver merge, after the typed reduction.
+        names, ns, nulls, kinds = [], [], [], []
+        min_i, max_i, min_f, max_f, min_s, max_s = [], [], [], [], [], []
         for c in columns:
             col = batch.column(c)
             names.append(c)
             ns.append(len(col))
             nulls.append(col.null_count)
             mm = pc.min_max(col)
-            mins.append(str(mm["min"].as_py()) if mm["min"].is_valid else None)
-            maxs.append(str(mm["max"].as_py()) if mm["max"].is_valid else None)
-            is_num.append(
-                pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
-            )
+            lo = mm["min"].as_py() if mm["min"].is_valid else None
+            hi = mm["max"].as_py() if mm["max"].is_valid else None
+            if pa.types.is_integer(col.type):
+                kind = "i"
+            elif pa.types.is_floating(col.type):
+                kind = "f"
+            else:
+                kind = "s"
+            kinds.append(kind)
+            min_i.append(lo if kind == "i" else None)
+            max_i.append(hi if kind == "i" else None)
+            min_f.append(lo if kind == "f" else None)
+            max_f.append(hi if kind == "f" else None)
+            min_s.append(str(lo) if (kind == "s" and lo is not None) else None)
+            max_s.append(str(hi) if (kind == "s" and hi is not None) else None)
         return pa.table(
             {
                 "col_name": pa.array(names, pa.string()),
                 "n": pa.array(ns, pa.int64()),
                 "nulls": pa.array(nulls, pa.int64()),
-                # per-block min/max stay native-typed inside min_max;
-                # the string is only for the uniform partial schema —
-                # the driver merge converts back for numeric columns
-                # (the batch's Arrow type travels as the is_num flag)
-                "min_s": pa.array(mins, pa.string()),
-                "max_s": pa.array(maxs, pa.string()),
-                "is_num": pa.array(is_num, pa.bool_()),
+                "kind": pa.array(kinds, pa.string()),
+                "min_i": pa.array(min_i, pa.int64()),
+                "max_i": pa.array(max_i, pa.int64()),
+                "min_f": pa.array(min_f, pa.float64()),
+                "max_f": pa.array(max_f, pa.float64()),
+                "min_s": pa.array(min_s, pa.string()),
+                "max_s": pa.array(max_s, pa.string()),
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-
-    def _red(vals: pd.Series, numeric: bool, fn) -> str | None:
-        vals = vals.dropna()
-        if not len(vals):
-            return None
-        if numeric:
-            return str(fn(pd.to_numeric(vals)))
-        return str(fn(vals))
+    # merge in Arrow, not pandas: a nullable int64 lane pulled through
+    # to_pandas becomes float64 and silently loses precision past 2^53
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
 
     rows = []
     for c in columns:
-        sub = parts[parts["col_name"] == c]
-        numeric = bool(sub["is_num"].any())
+        sub = parts.filter(pc.equal(parts.column("col_name"), c))
+        kinds = set(sub.column("kind").to_pylist())
+        if len(kinds) > 1:
+            raise ValueError(
+                f"profile_columns: column {c!r} has conflicting types "
+                f"across blocks ({sorted(kinds)}) — mixed-schema input"
+            )
+        kind = kinds.pop() if kinds else "s"
+        lo_a = sub.column(f"min_{kind}")
+        hi_a = sub.column(f"max_{kind}")
+        lo = pc.min(lo_a).as_py() if lo_a.null_count < len(lo_a) else None
+        hi = pc.max(hi_a).as_py() if hi_a.null_count < len(hi_a) else None
         rows.append(
             {
                 "col_name": c,
-                "n": int(sub["n"].sum()),
-                "nulls": int(sub["nulls"].sum()),
-                "min_val": _red(sub["min_s"], numeric, min),
-                "max_val": _red(sub["max_s"], numeric, max),
+                "n": int(pc.sum(sub.column("n")).as_py()),
+                "nulls": int(pc.sum(sub.column("nulls")).as_py()),
+                "min_val": None if lo is None else str(lo),
+                "max_val": None if hi is None else str(hi),
             }
         )
     summary = pd.DataFrame(rows)

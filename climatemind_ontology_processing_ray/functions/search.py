@@ -237,7 +237,12 @@ def phrase_search(
     import numpy as np
     import pyarrow as pa
 
-    words = phrase.lower().split()
+    # Space-delimited tokens with empties dropped and positions
+    # renumbered over the KEPT tokens — the exact semantics of the SQL
+    # oracle's STRING_SPLIT(LOWER(text), ' ') ... WHERE tok <> '' +
+    # ROW_NUMBER.  str.split() (any whitespace) would diverge on
+    # tabs/newlines inside documents.
+    words = [w for w in phrase.lower().split(" ") if w]
     m = len(words)
     if m == 0:
         raise ValueError("empty phrase")
@@ -245,7 +250,9 @@ def phrase_search(
     def scan(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_pylist()
-        tok_lists = [t.lower().split() if t else [] for t in texts]
+        tok_lists = [
+            [w for w in t.lower().split(" ") if w] if t else [] for t in texts
+        ]
         lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
         empty = pa.table(
             {

@@ -131,29 +131,16 @@ def merge_canonical_edges(existing: Dataset, new: Dataset, sources_cap: int = 8)
 
     Because canonicalization is a sum/union aggregation, processing a corpus
     in k batches and merging equals processing it at once (tested).  One
-    groupby shuffle over two ontology-sized tables.
+    ADAPTIVE coarse-partition exchange (stages/canonicalize.py:
+    merge_edge_tables) — per-partition frames stay bounded at any number
+    of distinct triples, unlike a one-Ray-group-per-key groupby (which
+    is fine at ontology scale but not for web-scale incremental merges).
     """
-    import pandas as pd
-
-    from ..stages.canonicalize import TRIPLE_KEY
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        urls: list[str] = []
-        for lst in g["sources"]:
-            urls.extend(lst)
-        return pd.DataFrame(
-            {
-                "subject": [g["subject"].iloc[0]],
-                "object": [g["object"].iloc[0]],
-                "predicate": [g["predicate"].iloc[0]],
-                "support": [int(g["support"].sum())],
-                "sources": [sorted(set(urls))[:sources_cap]],
-            }
-        )
+    from ..stages.canonicalize import TRIPLE_KEY, merge_edge_tables
 
     cols = TRIPLE_KEY + ["support", "sources"]
     unioned = existing.select_columns(cols).union(new.select_columns(cols))
-    return unioned.groupby(TRIPLE_KEY).map_groups(merge, batch_format="pandas")
+    return merge_edge_tables(unioned, sources_cap)
 
 
 def process_pages(

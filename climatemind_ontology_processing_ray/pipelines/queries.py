@@ -2352,16 +2352,25 @@ def _kg_oracle_pages_path(n_pages: int) -> str:
     serving a corpus the Ray side no longer produces (the same stale-
     cache trap as ADVICE r3's `_table_rows`; caught when the first REAL
     full sf0.1 sweep failed all 8 kg queries against a pages_n10000
-    parquet written before the round's snapshot changes)."""
+    parquet written before the round's snapshot changes).  The probe
+    alone can't see n-dependent generator changes (generate_pages seeds
+    its rng with (seed, n_pages), and branches like support_scale only
+    fire at larger n — ADVICE r4), so the key ALSO folds in the source
+    bytes of the generator and fixture modules: any code change
+    invalidates every cached corpus automatically, no version-bump
+    discipline required."""
     import hashlib
     import os
 
+    from .. import ontology as _ont_pkg
     from ..ontology.fixture import build_fixture_snapshot
+    from ..sources import pages as _pages_mod
     from ..sources.pages import generate_pages
 
     snap = build_fixture_snapshot()
     probe, _ = generate_pages(snap, 16, seed=13)
-    digest = hashlib.md5(
+    h = hashlib.md5()
+    h.update(
         "\x1f".join(
             f"{u}|{t}|{lg}"
             for u, t, lg in zip(
@@ -2370,7 +2379,16 @@ def _kg_oracle_pages_path(n_pages: int) -> str:
                 probe.column("lang").to_pylist(),
             )
         ).encode()
-    ).hexdigest()[:10]
+    )
+    import os.path as _osp
+
+    for mod_file in (
+        _pages_mod.__file__,
+        _osp.join(_osp.dirname(_ont_pkg.__file__), "fixture.py"),
+    ):
+        with open(mod_file, "rb") as f:
+            h.update(hashlib.md5(f.read()).digest())
+    digest = h.hexdigest()[:10]
     path = os.path.join(_KG_ORACLE_DIR, f"pages_n{n_pages}_{digest}.parquet")
     if not os.path.exists(path):
         os.makedirs(_KG_ORACLE_DIR, exist_ok=True)

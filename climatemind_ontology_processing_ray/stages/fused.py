@@ -16,10 +16,9 @@ independently invocable (KGConfig(fused=False)); outputs are identical.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
-from .canonicalize import partial_triple_agg
+from .canonicalize import partial_triple_agg_arrow
 from .link import EntityLinker
 from .triples import TripleExtractor
 
@@ -38,12 +37,13 @@ class PageToTriplePartials:
         self.num_salts = num_salts
         self.sources_cap = sources_cap
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow end-to-end: extractor and linker hand over Arrow tables
+        # and the map-side combine is the Arrow hash-aggregate — no
+        # pandas conversion anywhere on the fused hot path (r4 verdict)
         triples = self.extractor(batch)
         linked = self.linker(triples)
-        return partial_triple_agg(
-            linked.to_pandas(), self.num_salts, self.sources_cap
-        )
+        return partial_triple_agg_arrow(linked, self.num_salts, self.sources_cap)
 
 
 # process-global cache: one PageToTriplePartials per (ref, params) per
@@ -78,7 +78,7 @@ def make_fused_partials_fn(
         sources_cap,
     )
 
-    def fn(batch: pa.Table) -> pd.DataFrame:
+    def fn(batch: pa.Table) -> pa.Table:
         inst = _WORKER_CACHE.get(key)
         if inst is None:
             inst = PageToTriplePartials(
