@@ -115,6 +115,7 @@ def run_bench() -> dict:
         n_trials = 2
     kg_sec = float("inf")
     n_edges = n_triples = 0
+    headline_load = round(_wait_for_quiet(threshold=3.0, max_wait=60.0), 2)
     # ~15.6k-row (~13 MB) blocks above 1M pages: fine enough granularity
     # that no leg of the scaling run is wave-quantized, coarse enough that
     # per-task fixed costs stay <5% (measured sweep in NOTES.md); capped
@@ -211,15 +212,26 @@ def run_bench() -> dict:
         "phrase_search",
         "weekly_active_users",
     ]
+    # per-query protocol (r4 verdict item 2): the r4 driver artifact
+    # embedded 2-6x ambient-load inflation on ~22 queries that measured
+    # normal solo.  Each query now gets the scaling runs' hygiene —
+    # a bounded load-quiescence gate (1-min loadavg < 3, <=45s wait),
+    # the launch load recorded per query, and min-of-2 trials so one
+    # transient burst cannot become the committed number.
     reg = Q.REGISTRY
+    loads: dict[str, float] = {"kg_pipeline": headline_load}
     for name in bench_queries:
         fn, _ = reg[name]
-        t0 = time.perf_counter()
-        out = fn(SF_DIR)
-        # consume lazily-returned results
-        if hasattr(out, "to_pandas"):
-            out.to_pandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        loads[name] = round(_wait_for_quiet(threshold=3.0, max_wait=45.0), 2)
+        best = float("inf")
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            out = fn(SF_DIR)
+            # consume lazily-returned results
+            if hasattr(out, "to_pandas"):
+                out.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     ray.shutdown()
     return {
@@ -227,6 +239,7 @@ def run_bench() -> dict:
         "value": timings["kg_pipeline"],
         "unit": "sec",
         "queries": timings,
+        "load_at_launch": loads,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,

@@ -219,3 +219,170 @@ def pq_topk(
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rnk"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
     return out[["query_id", id_col, "dist2", "rnk"]]
+
+
+def ivfpq_train(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_cells: int = 16,
+    coarse_iters: int = 2,
+    num_subspaces: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    quant: int = 1000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the composed IVF+PQ index (Jégou et al. 2011 §IV): the
+    coarse quantizer is the integer Lloyd of :func:`.cluster.
+    kmeans_centroids`; the PQ codebook is trained on RESIDUALS
+    ``x - c_cell(x)`` (residuals are far more compressible than raw
+    vectors — the whole point of the composition).  Returns
+    ``(coarse (n_cells, d) int64, pq_cents (M, pq_k, d/M) int64)``.
+
+    Everything stays exact-integer: vectors quantize once; residuals
+    are int differences; PQ training reuses :func:`pq_train` with
+    ``quant=1`` over the already-int residual column.  The residual
+    projection is materialized ONCE (it is re-scanned pq_iters+1 times
+    by training) — at open scale this is the encode pass an IVF+PQ
+    build does anyway."""
+    from .cluster import kmeans_centroids
+
+    coarse = kmeans_centroids(ds, id_col, vec_col, k=n_cells,
+                              iters=coarse_iters, quant=quant)
+    cref = ray.put(coarse)
+
+    def residuals(batch: pa.Table, *, _cref=cref) -> pa.Table:
+        from .broadcast import cached_get
+
+        c = cached_get(_cref)
+        x = _batch_matrix(batch, vec_col, quant)
+        r = x - c[_assign(x, c)]
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "residual": pa.array(list(r), pa.list_(pa.int64())),
+            }
+        )
+
+    res_ds = ds.map_batches(
+        residuals, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    pq_cents = pq_train(
+        res_ds,
+        id_col,
+        "residual",
+        num_subspaces=num_subspaces,
+        k=pq_k,
+        iters=pq_iters,
+        quant=1,  # residuals are already exact ints
+    )
+    return coarse, pq_cents
+
+
+def ivfpq_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    coarse: np.ndarray,
+    pq_cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    quant: int = 1000,
+) -> pd.DataFrame:
+    """IVF-pruned ADC scan — the one-operator 100-TB ANN story: each
+    query visits only its ``nprobe`` closest coarse cells, and within
+    them distances come from M integer LUT gathers over the residual PQ
+    codes (never a float vector).  Broadcast = coarse matrix + codebook
+    + the (nq, nprobe, M, pq_k) int64 LUTs (LUT m for probed cell j is
+    the exact squared-L2 from the query RESIDUAL ``(q - c_j)`` subvector
+    to every codeword).  Partials are k-bounded per (query, block); the
+    driver merge is k x blocks.  Output: (query_id, vec_id, dist2, rnk)
+    with ties on ascending vec_id — deterministic at any partitioning;
+    the distances are approximate BY DESIGN (PQ reconstruction error),
+    so correctness is a recall contract, not a value hash."""
+    q = quantize(np.asarray(queries, dtype=np.float64), quant)
+    nq, d = q.shape
+    M = pq_cents.shape[0]
+    pq_k = pq_cents.shape[1]
+    bounds = _subspace_bounds(d, M)
+    n_cells = coarse.shape[0]
+    # probed cells: exact int L2, stable argsort -> lowest cell id ties
+    qf, cf = q.astype(np.float64), coarse.astype(np.float64)
+    d2q = (
+        (qf * qf).sum(axis=1)[:, None]
+        - 2.0 * (qf @ cf.T)
+        + (cf * cf).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    # residual LUTs: (nq, nprobe, M, pq_k)
+    luts = np.empty((nq, nprobe, M, pq_k), dtype=np.int64)
+    for qi in range(nq):
+        qres = q[qi][None, :] - coarse[probe[qi]]  # (nprobe, d)
+        for m, (lo, hi) in enumerate(bounds):
+            diff = qres[:, None, lo:hi] - pq_cents[m][None, :, :]
+            luts[qi, :, m, :] = (diff * diff).sum(axis=2)
+    ctx = ray.put((coarse, pq_cents, probe, luts))
+
+    def local_topk(batch: pa.Table, *, _ctx=ctx) -> pd.DataFrame:
+        from .broadcast import cached_get
+
+        cm, pqc, pr, tables = cached_get(_ctx)
+        x = _batch_matrix(batch, vec_col, quant)
+        a = _assign(x, cm)
+        codes = _encode_matrix(x - cm[a], pqc)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(pr.shape[0]):
+            slot = np.full(n_cells, -1, dtype=np.int64)
+            slot[pr[qi]] = np.arange(pr.shape[1])
+            s = slot[a]
+            sel = s >= 0
+            if not sel.any():
+                continue
+            ss = s[sel]
+            dist = np.zeros(len(ss), dtype=np.int64)
+            for m in range(M):
+                dist += tables[qi, ss, m, codes[sel, m]]
+            cids = ids[sel]
+            order = np.lexsort((cids, dist))[: min(k, len(ss))]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(cids[order])
+            out_d.append(dist[order])
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    id_col: np.array([], dtype=np.int64),
+                    "dist2": np.array([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_id),
+                "dist2": np.concatenate(out_d),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "dist2": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["query_id", "dist2", id_col], kind="mergesort"
+    ).reset_index(drop=True)
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out[["query_id", id_col, "dist2", "rnk"]]

@@ -294,3 +294,163 @@ def phrase_search(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def positional_index(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_range: int | None = None,
+    num_parts: int = 64,
+) -> Dataset:
+    """Positional inverted index: one row per (token, doc) carrying the
+    token's 1-based positions (comma-joined, ascending) — the layout
+    REPEATED phrase/proximity queries read instead of rescanning the
+    corpus (:func:`phrase_search` is the right plan for ONE-SHOT
+    queries; the crossover is roughly when the summed query-time posting
+    reads undercut one full corpus scan, i.e. a handful of repeated
+    queries at web scale).
+
+    Tokenization matches the scan/oracle exactly: split on ' ', drop
+    empties, renumber positions over KEPT tokens.  Scale shape mirrors
+    ``text.inverted_index``: ``shard_range`` keys rows by
+    ``(token, doc_id // shard_range)`` AT MAP TIME, so a stop-token's
+    postings spread over doc-range shards and no reducer ever holds a
+    full hot posting list; one coarse hash((token, shard)) exchange
+    co-locates and orders each posting run (readers concatenate shards
+    in shard order — ranges are disjoint and ordered)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .join import hash_bucket
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        ids: list[int] = []
+        poss: list[str] = []
+        for i, txt in zip(b[id_col], b[text_col]):
+            words = [w for w in (txt or "").lower().split(" ") if w]
+            per: dict[str, list[int]] = {}
+            for p, w in enumerate(words, 1):
+                per.setdefault(w, []).append(p)
+            for w, pl in per.items():
+                toks.append(w)
+                ids.append(int(i))
+                poss.append(",".join(map(str, pl)))
+        out = pd.DataFrame({"token": toks, id_col: ids, "positions": poss})
+        out[id_col] = out[id_col].astype("int64")
+        if shard_range:
+            out["shard"] = (out[id_col] // shard_range).astype("int64")
+            key = (out["token"] + "\x00" + out["shard"].astype(str)).to_numpy()
+        else:
+            key = out["token"].to_numpy()
+        out["__part"] = hash_bucket(key, num_parts)
+        return out
+
+    sort_keys = ["token", id_col]
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
+        cols = ["token", id_col, "positions"] + (
+            ["shard"] if shard_range else []
+        )
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    id_col: pd.Series([], dtype="int64"),
+                    "positions": pd.Series([], dtype=object),
+                    **(
+                        {"shard": pd.Series([], dtype="int64")}
+                        if shard_range
+                        else {}
+                    ),
+                }
+            )
+        return g[cols]
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(order, batch_format="pandas")
+    )
+
+
+def phrase_search_indexed(
+    index: Dataset,
+    phrase: str,
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> Dataset:
+    """Exact phrase match over a :func:`positional_index` — same output
+    contract as :func:`phrase_search` (doc_id, n_matches, first_pos; a
+    match is the full token sequence at consecutive positions), so both
+    share one oracle.  Plan: a vectorized ``is_in`` filter keeps only
+    the phrase tokens' posting rows (query-bounded, not corpus-bounded —
+    the whole point of paying for the index), then ONE hash(doc)
+    exchange groups each candidate doc's m posting rows and a numpy
+    position-intersection verifies adjacency."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .join import hash_bucket
+
+    words = [w for w in phrase.lower().split(" ") if w]
+    m = len(words)
+    if m == 0:
+        raise ValueError("empty phrase")
+    uniq = pa.array(sorted(set(words)), pa.string())
+
+    def pick(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("token"), value_set=uniq))
+        return t.select(["token", id_col, "positions"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        pids = hash_bucket(
+            b.column(id_col).to_numpy(zero_copy_only=False), num_parts
+        )
+        return b.append_column("__part", pa.array(pids, pa.int32()))
+
+    need = len(set(words))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_n, out_f = [], [], []
+        for doc, grp in g.groupby(id_col, sort=False):
+            if len(grp) < need:
+                continue
+            pos = {
+                t: np.fromstring(p, dtype=np.int64, sep=",")
+                for t, p in zip(grp["token"], grp["positions"])
+            }
+            starts = pos.get(words[0])
+            if starts is None:
+                continue
+            ok = True
+            for j in range(1, m):
+                nxt = pos.get(words[j])
+                if nxt is None:
+                    ok = False
+                    break
+                starts = starts[np.isin(starts + j, nxt, assume_unique=True)]
+                if not len(starts):
+                    ok = False
+                    break
+            if ok and len(starts):
+                out_id.append(int(doc))
+                out_n.append(len(starts))
+                out_f.append(int(starts.min()))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="int64"),
+                "n_matches": pd.Series(out_n, dtype="int64"),
+                "first_pos": pd.Series(out_f, dtype="int64"),
+            }
+        )
+
+    return (
+        index.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(verify, batch_format="pandas")
+    )

@@ -286,6 +286,82 @@ def exact_quantiles_cont(
 
 
 # --------------------------------------------------------------------- #
+# DDSketch — mergeable one-pass quantiles with a relative-error contract
+# --------------------------------------------------------------------- #
+
+
+def ddsketch_quantiles(
+    ds: Dataset, col: str, qs: list[float], rel_err: float = 0.01
+) -> pd.DataFrame:
+    """One-pass mergeable approximate quantiles with a RELATIVE-error
+    guarantee (DDSketch, Masson et al., VLDB 2019): positive values map
+    to logarithmic buckets ``i = ceil(log_gamma(x))`` with
+    ``gamma = (1+a)/(1-a)``; a bucket's representative
+    ``2*gamma^i/(gamma+1)`` is within ``a`` relative error of every
+    value in it, so the value returned for ANY rank is within ``a`` of
+    the true order statistic at that rank.
+
+    This is the streaming complement to :func:`exact_quantiles` (which
+    needs driver state ∝ distinct values): sketch state is
+    O(log(max/min)/a) buckets regardless of n; partials are pure
+    (bucket, count) rows whose merge is a commutative SUM — fully
+    mergeable, order-independent, hence DETERMINISTIC at any
+    partitioning (unlike randomized-compaction KLL, whose estimate
+    depends on merge order).  One streaming pass, one tiny
+    bucket-keyed grouped-sum exchange, a driver walk over the
+    histogram.  Values must be > 0 (zeros tracked separately; negatives
+    raise — split sign lanes if you need them).
+
+    Returns (q, est) with ``est`` guaranteed within ``rel_err`` of the
+    exact ``quantile_disc`` order statistic at rank ``ceil(q*n)`` (the
+    same rank definition as :func:`exact_quantiles`)."""
+    import math
+
+    from .agg import grouped_sum
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    lg = math.log(gamma)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy()
+        if (x < 0).any():
+            raise ValueError("ddsketch_quantiles requires non-negative values")
+        zeros = int((x == 0).sum())
+        pos = x[x > 0].astype(np.float64)
+        idx = np.ceil(np.log(pos) / lg).astype(np.int64)
+        buckets, counts = np.unique(idx, return_counts=True)
+        out = {"bucket": buckets, "cnt": counts.astype(np.int64)}
+        if zeros:
+            # zero lane: bucket int64-min, representative value 0
+            out = {
+                "bucket": np.r_[np.int64(np.iinfo(np.int64).min), buckets],
+                "cnt": np.r_[np.int64(zeros), counts.astype(np.int64)],
+            }
+        return pd.DataFrame(out)
+
+    hist = (
+        grouped_sum(
+            ds.map_batches(partial, batch_format="pandas"), ["bucket"], ["cnt"]
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    buckets = hist["bucket"].to_numpy()
+    zero_bucket = np.iinfo(np.int64).min
+    rows = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        j = int(np.searchsorted(cum, rank, side="left"))
+        b = int(buckets[j])
+        est = 0.0 if b == zero_bucket else 2.0 * gamma**b / (gamma + 1.0)
+        rows.append({"q": float(q), "est": est})
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------- #
 # Count-min sketch
 # --------------------------------------------------------------------- #
 

@@ -115,12 +115,54 @@ def _comment_repr(literals: list[tuple[str, str | None]]) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def parse_owl(source: str | bytes) -> OntologySnapshot:
+class UnsupportedOWLConstructError(Exception):
+    """An input ontology uses a DL construct outside this parser's
+    classification envelope (``owl:complementOf``, max/exact
+    cardinality) — deriving memberships from these requires open-world
+    negation, which the saturation fixpoint deliberately does not do.
+    Raised (or downgraded to a warning) so the gap is an EXPLICIT
+    diagnostic instead of silent under-classification — the same
+    validation-channel discipline as ``graph.enrich.
+    OpposingValuesError`` (r4 verdict item 6)."""
+
+
+# constructs outside the classification envelope (module docstring NOTE)
+_UNSUPPORTED_OWL_TAGS = (
+    "complementOf",
+    "maxCardinality",
+    "maxQualifiedCardinality",
+    "cardinality",  # exact cardinality = min AND max
+    "qualifiedCardinality",
+)
+
+
+def _scan_unsupported(root) -> list[str]:
+    """Distinct out-of-envelope construct names present in the document
+    (tag scan — cheap, one pass over the tree)."""
+    found: set[str] = set()
+    want = {f"{{{OWL}}}{t}": t for t in _UNSUPPORTED_OWL_TAGS}
+    for el in root.iter():
+        t = want.get(el.tag)
+        if t:
+            found.add(t)
+    return sorted(found)
+
+
+def parse_owl(
+    source: str | bytes, on_unsupported: str = "raise"
+) -> OntologySnapshot:
     """Parse an OWL RDF/XML file (path or bytes) into an OntologySnapshot.
 
     Two passes: (1) collect declarations — property kinds + labels, class
     labels, individual labels — keyed by IRI; (2) build node records,
     class hierarchy and edge lists by resolving IRI references.
+
+    ``on_unsupported`` controls what happens when the document uses a
+    construct outside the classification envelope (complementOf,
+    max/exact cardinality — see :class:`UnsupportedOWLConstructError`):
+    ``"raise"`` (default — soundness over convenience), ``"warn"``
+    (``warnings.warn`` then parse, accepting possible
+    under-classification), or ``"ignore"``.
     """
     if isinstance(source, bytes):
         root = ET.fromstring(source)
@@ -128,6 +170,23 @@ def parse_owl(source: str | bytes) -> OntologySnapshot:
         root = ET.fromstring(source)
     else:
         root = ET.parse(source).getroot()
+
+    if on_unsupported != "ignore":
+        bad = _scan_unsupported(root)
+        if bad:
+            msg = (
+                "ontology uses OWL construct(s) outside the classification "
+                f"envelope: {', '.join(bad)} — memberships depending on "
+                "them would be silently missed (open-world negation is not "
+                "implemented); pass on_unsupported='warn'/'ignore' to parse "
+                "anyway"
+            )
+            if on_unsupported == "warn":
+                import warnings
+
+                warnings.warn(msg, UserWarning, stacklevel=2)
+            else:
+                raise UnsupportedOWLConstructError(msg)
 
     def q(ns: str, name: str) -> str:
         return f"{{{ns}}}{name}"

@@ -1820,6 +1820,33 @@ def q_ann_pq(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """Composed IVF+PQ index (functions/pq.py:ivfpq_train/ivfpq_topk):
+    the genuine 100-TB ANN operator — coarse cells prune the scan
+    (nprobe of 16), residual PQ codes compress storage to M bytes per
+    vector, distances are M integer LUT gathers (ADC).  PQ distances
+    are approximate by construction, so the checked row is the same
+    recall contract as q_ann_ivf: per-query recall@5 vs the exact
+    ranking >= 0.19 (observed floor 0.2 across all 3 sf tiers at
+    nprobe=4, M=4 x 16 codewords on the 64-dim embeddings)."""
+    from ..functions.pq import ivfpq_topk, ivfpq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    coarse, pqc = ivfpq_train(
+        ds,
+        n_cells=16,
+        coarse_iters=2,
+        num_subspaces=_PQ_M,
+        pq_k=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        quant=_PQ_QUANT,
+    )
+    out = ivfpq_topk(
+        ds, _query_matrix(sf_dir), coarse, pqc, k=5, nprobe=4, quant=_PQ_QUANT
+    )
+    return _recall_rows(out, sf_dir, threshold=0.19)
+
+
 def _sql_pq(codes_only: bool) -> str:
     """Compose one prefixed unrolled-Lloyd CTE chain per subspace (the
     subspace source is a list-slice of the embedding column), derive the
@@ -2828,6 +2855,46 @@ SQL_QUANTILES = "\nUNION ALL\n".join(
     for q in _QUANTILE_QS
 )
 
+_DDSKETCH_ERR = 0.01
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable one-pass DDSketch quantiles (functions/sketch.py:
+    ddsketch_quantiles) with a relative-error contract oracle, the
+    streaming complement to q_quantiles' exact two-phase: the checked
+    row carries the EXACT quantile_disc order statistic (independent
+    distributed pass) plus within_bound = |est - exact| <= rel_err *
+    exact (+0.5 cent float slack) — guaranteed TRUE by the sketch's
+    bucket-width construction, so the sketch's accuracy is a
+    hash-checked fact (the approx_distinct pattern)."""
+    from ..functions.sketch import ddsketch_quantiles, exact_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": np.round(_round2(b["value"]) * 100).astype("int64")}
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    approx = ddsketch_quantiles(cents, "cents", _QUANTILE_QS, rel_err=_DDSKETCH_ERR)
+    exact = exact_quantiles(cents, "cents", _QUANTILE_QS)
+    out = approx.merge(exact, on="q")
+    out["value_cents"] = out["value"].astype("int64")
+    out["within_bound"] = (
+        (out["est"] - out["value_cents"]).abs()
+        <= _DDSKETCH_ERR * out["value_cents"] + 0.5
+    )
+    return out[["q", "value_cents", "within_bound"]]
+
+
+SQL_APPROX_QUANTILES = "\nUNION ALL\n".join(
+    f"""SELECT {q} AS q,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS BIGINT)
+         AS value_cents, TRUE AS within_bound FROM events"""
+    for q in _QUANTILE_QS
+)
+
 
 def q_inverted_index(sf_dir: str):
     """Inverted index: token -> (df, sorted posting list) via distinct
@@ -3780,6 +3847,23 @@ def q_phrase_search(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = phrase_search(ds, "hash join").to_pandas()
+    for c in ("doc_id", "n_matches", "first_pos"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_phrase_search_indexed(sf_dir: str):
+    """The REPEATED-query counterpart of q_phrase_search: build the
+    doc-range-sharded positional index once, answer the phrase from
+    posting intersections (functions/search.py:positional_index /
+    phrase_search_indexed — query cost is posting-bounded, not
+    corpus-scan-bounded).  Same output contract and oracle as the scan;
+    the crossover vs the scan is documented in the operator docstring."""
+    from ..functions.search import phrase_search_indexed, positional_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = positional_index(ds, shard_range=4096)
+    out = phrase_search_indexed(idx, "hash join").to_pandas()
     for c in ("doc_id", "n_matches", "first_pos"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -5965,6 +6049,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_RECALL),
     "pq_codes": (q_pq_codes, _sql_pq_codes),
     "ann_pq": (q_ann_pq, _sql_ann_pq),
+    "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_RECALL),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "negative_samples": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
     "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
@@ -5986,6 +6071,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "inverted_index_sharded": (q_inverted_index_sharded, SQL_INVERTED_INDEX_SHARDED),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
+    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
     "user_quantiles": (q_user_quantiles, SQL_USER_QUANTILES),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
@@ -6015,6 +6101,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "rolling_features": (q_rolling_features, SQL_ROLLING_FEATURES),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "phrase_search_indexed": (q_phrase_search_indexed, SQL_PHRASE_SEARCH),
     "weekly_active_users": (q_weekly_active_users, SQL_WEEKLY_ACTIVE_USERS),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENTS),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SPLIT),

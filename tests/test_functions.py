@@ -2399,3 +2399,130 @@ def test_windowed_active_users_bruteforce(ray_session):
         mask = (df["ts"].dt.floor("D") >= lo) & (df["ts"].dt.floor("D") <= w)
         exp[w.strftime("%Y-%m-%d")] = df["user_id"][mask].nunique()
     assert dict(zip(out["window_day"], out["wau"])) == exp
+
+
+def test_ddsketch_quantiles_within_relative_error(ray_session):
+    """DDSketch contract: every estimate within rel_err of the exact
+    quantile_disc order statistic, zeros handled, and the result is
+    IDENTICAL at different parallelism (bucket counts are a commutative
+    sum — order-independent by construction)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        ddsketch_quantiles,
+        exact_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.r_[
+        np.zeros(50, dtype=np.int64),
+        np.exp(rng.normal(5, 2, 5000)).astype(np.int64) + 1,
+    ]
+    df = pd.DataFrame({"v": vals})
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(ddsketch_quantiles(ds, "v", qs, rel_err=0.01))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    exact = exact_quantiles(ray.data.from_pandas(df), "v", qs)
+    m = outs[0].merge(exact, on="q")
+    assert (np.abs(m["est"] - m["value"]) <= 0.01 * m["value"] + 1e-9).all()
+
+
+def test_phrase_search_indexed_matches_scan(ray_session):
+    """The positional-index path must agree with the streaming scan on
+    matches, counts and first positions — including tabs/double spaces
+    (space-only tokenization) and a repeated-token phrase."""
+    import pandas as pd
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.search import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_index,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "hash join beats loop join",
+                "the hash  join uses tabs\there",  # double space + tab
+                "hash hash join and hash join again",
+                "no match here",
+                "JOIN hash join Hash Join",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    for phrase in ("hash join", "hash hash join", "join hash"):
+        a = (
+            phrase_search(ds, phrase)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        idx = positional_index(ds, shard_range=2)
+        b = (
+            phrase_search_indexed(idx, phrase)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a.astype("int64"), b.astype("int64"), check_like=True
+        )
+
+
+def test_ivfpq_composed_index_recall_and_determinism(ray_session):
+    """IVF+PQ: recall@5 against the exact ranking stays above the
+    contract floor on a clustered corpus, and the whole build+search is
+    deterministic across parallelism (integer training + residual ADC)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.ann import brute_force_topk
+    from climatemind_ontology_processing_ray.functions.pq import (
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 3000, 16
+    centers = rng.normal(0, 1, (8, d))
+    x = centers[rng.integers(0, 8, n)] + rng.normal(0, 0.2, (n, d))
+    # plant 4 exact twins of each query vector: identical vectors share
+    # the coarse cell AND the residual codes, so a correct IVF+PQ MUST
+    # retrieve them (ADC distance 0) — recall is a property, not luck
+    for qi in range(6):
+        for t in range(4):
+            x[600 + qi * 4 + t] = x[qi]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(x.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    q = x[:6]
+    outs = []
+    for parts in (2, 5):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        coarse, pqc = ivfpq_train(
+            ds, n_cells=8, coarse_iters=2, num_subspaces=4, pq_k=16, pq_iters=2
+        )
+        outs.append(ivfpq_topk(ds, q, coarse, pqc, k=5, nprobe=3))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    exact = brute_force_topk(
+        ray.data.from_arrow(tbl), q, k=5
+    ).to_pandas()
+    recalls = []
+    for qi in range(6):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(outs[0][outs[0].query_id == qi].vec_id)
+        recalls.append(len(e & a) / 5)
+    assert min(recalls) == 1.0

@@ -328,6 +328,20 @@ def suite_embed() -> None:
 
     _t("pq train+encode+adc @500k (M=4,k=64)", _pq)
 
+    from climatemind_ontology_processing_ray.functions.pq import ivfpq_topk, ivfpq_train
+
+    def _ivfpq():
+        coarse, pqc = ivfpq_train(
+            ds, n_cells=64, coarse_iters=2, num_subspaces=4, pq_k=64,
+            pq_iters=2, quant=1000,
+        )
+        top = ivfpq_topk(
+            ds, np.asarray(q), coarse, pqc, k=10, nprobe=8, quant=1000
+        )
+        return f"{len(top)} pruned-adc hits"
+
+    _t("ivfpq train+search @500k (64 cells, M=4,k=64, nprobe=8)", _ivfpq)
+
 
 def suite_joins() -> None:
     ray, rd = _session()
