@@ -211,6 +211,9 @@ def run_bench() -> dict:
         "rolling_features",
         "phrase_search",
         "weekly_active_users",
+        "ann_ivfpq",
+        "approx_quantiles",
+        "phrase_search_indexed",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

@@ -281,6 +281,148 @@ def ivfpq_train(
     return coarse, pq_cents
 
 
+def ivfpq_encode(
+    ds: Dataset,
+    coarse: np.ndarray,
+    pq_cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    quant: int = 1000,
+) -> Dataset:
+    """Encode-once stored-index layout: one row per vector carrying its
+    coarse cell + M residual PQ codes (``codes`` as a fixed-size
+    ``list<int64>``).  This is what a 100-TB deployment PERSISTS — the
+    float vectors are read exactly once; every later query scans M
+    small ints per row (:func:`ivfpq_search_codes`) instead of d
+    floats.  Stateless one-pass ``map_batches``; write with
+    ``write_parquet`` partitioned by cell for probe-pruned reads."""
+    ctx = ray.put((coarse, pq_cents))
+    M = pq_cents.shape[0]
+
+    def encode(batch: pa.Table, *, _ctx=ctx) -> pa.Table:
+        from .broadcast import cached_get
+
+        cm, pqc = cached_get(_ctx)
+        x = _batch_matrix(batch, vec_col, quant)
+        a = _assign(x, cm)
+        codes = _encode_matrix(x - cm[a], pqc)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cell": pa.array(a.astype(np.int64), pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.int64()), M
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivfpq_search_codes(
+    codes_ds: Dataset,
+    queries: np.ndarray,
+    coarse: np.ndarray,
+    pq_cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    quant: int = 1000,
+) -> pd.DataFrame:
+    """ADC top-k over a STORED :func:`ivfpq_encode` table — the repeated-
+    query path: no float vector is touched; per batch the work is an
+    ``isin``-style cell mask + M integer LUT gathers.  Identical output
+    contract (and identical results) to :func:`ivfpq_topk` run over the
+    raw vectors, since both derive (cell, codes) by the same exact-int
+    assignment — tested."""
+    q = quantize(np.asarray(queries, dtype=np.float64), quant)
+    nq, d = q.shape
+    M, pq_k = pq_cents.shape[0], pq_cents.shape[1]
+    bounds = _subspace_bounds(d, M)
+    n_cells = coarse.shape[0]
+    qf, cf = q.astype(np.float64), coarse.astype(np.float64)
+    d2q = (
+        (qf * qf).sum(axis=1)[:, None]
+        - 2.0 * (qf @ cf.T)
+        + (cf * cf).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    luts = np.empty((nq, nprobe, M, pq_k), dtype=np.int64)
+    for qi in range(nq):
+        qres = q[qi][None, :] - coarse[probe[qi]]
+        for m, (lo, hi) in enumerate(bounds):
+            diff = qres[:, None, lo:hi] - pq_cents[m][None, :, :]
+            luts[qi, :, m, :] = (diff * diff).sum(axis=2)
+    ctx = ray.put((probe, luts))
+
+    def local_topk(batch: pa.Table, *, _ctx=ctx) -> pd.DataFrame:
+        from .broadcast import cached_get
+
+        pr, tables = cached_get(_ctx)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        codes_col = batch.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = codes_col.values.to_numpy(zero_copy_only=False).reshape(
+            len(cells), M
+        )
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(pr.shape[0]):
+            slot = np.full(n_cells, -1, dtype=np.int64)
+            slot[pr[qi]] = np.arange(pr.shape[1])
+            s = slot[cells]
+            sel = s >= 0
+            if not sel.any():
+                continue
+            ss = s[sel]
+            dist = np.zeros(len(ss), dtype=np.int64)
+            for m in range(M):
+                dist += tables[qi, ss, m, codes[sel, m]]
+            cids = ids[sel]
+            order = np.lexsort((cids, dist))[: min(k, len(ss))]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(cids[order])
+            out_d.append(dist[order])
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    id_col: np.array([], dtype=np.int64),
+                    "dist2": np.array([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_id),
+                "dist2": np.concatenate(out_d),
+            }
+        )
+
+    cand = codes_ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "dist2": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["query_id", "dist2", id_col], kind="mergesort"
+    ).reset_index(drop=True)
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out[["query_id", id_col, "dist2", "rnk"]]
+
+
 def ivfpq_topk(
     ds: Dataset,
     queries: np.ndarray,

@@ -2526,3 +2526,39 @@ def test_ivfpq_composed_index_recall_and_determinism(ray_session):
         a = set(outs[0][outs[0].query_id == qi].vec_id)
         recalls.append(len(e & a) / 5)
     assert min(recalls) == 1.0
+
+
+def test_ivfpq_stored_codes_match_raw_scan(ray_session):
+    """The stored-index path (ivfpq_encode once -> ivfpq_search_codes)
+    must return exactly what ivfpq_topk computes over the raw vectors:
+    both derive (cell, codes) by the same exact-integer assignment."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.pq import (
+        ivfpq_encode,
+        ivfpq_search_codes,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d = 2000, 16
+    x = rng.normal(0, 1, (n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(x.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    coarse, pqc = ivfpq_train(
+        ds, n_cells=8, coarse_iters=2, num_subspaces=4, pq_k=16, pq_iters=2
+    )
+    q = x[:5]
+    raw = ivfpq_topk(ds, q, coarse, pqc, k=7, nprobe=3)
+    codes = ivfpq_encode(ds, coarse, pqc)
+    stored = ivfpq_search_codes(codes, q, coarse, pqc, k=7, nprobe=3)
+    pd.testing.assert_frame_equal(raw, stored)
