@@ -212,7 +212,9 @@ def run_bench() -> dict:
         "phrase_search",
         "weekly_active_users",
         "ann_ivfpq",
+        "ann_ivfpq_stored",
         "approx_quantiles",
+        "approx_quantiles_by_key",
         "phrase_search_indexed",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact

@@ -361,6 +361,71 @@ def ddsketch_quantiles(
     return pd.DataFrame(rows)
 
 
+def ddsketch_quantiles_grouped(
+    ds: Dataset,
+    col: str,
+    group_cols: list[str],
+    qs: list[float],
+    rel_err: float = 0.01,
+) -> pd.DataFrame:
+    """Per-group :func:`ddsketch_quantiles` — the grouped STREAMING
+    complement to the per-key exact shuffle (`q_user_quantiles`): raw
+    rows never move; each batch emits (group, bucket, cnt) partials and
+    the only exchange is the tiny grouped SUM over them.  That makes it
+    the path for groups whose row counts exceed one worker (the exact
+    grouped quantile must co-locate a whole group).  Same DDSketch
+    relative-error guarantee per group, same order-independent
+    determinism (bucket counts are a commutative sum).  Driver state is
+    groups x log(max/min)/rel_err bucket rows."""
+    import math
+
+    from .agg import grouped_sum
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    lg = math.log(gamma)
+    zero_bucket = np.iinfo(np.int64).min
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy()
+        if (x < 0).any():
+            raise ValueError("ddsketch_quantiles_grouped requires non-negative values")
+        bucket = np.full(len(x), zero_bucket, dtype=np.int64)
+        pos = x > 0
+        bucket[pos] = np.ceil(np.log(x[pos].astype(np.float64)) / lg).astype(np.int64)
+        out = b[group_cols].copy()
+        out["bucket"] = bucket
+        return (
+            out.groupby(group_cols + ["bucket"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    hist = (
+        grouped_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            group_cols + ["bucket"],
+            ["cnt"],
+        )
+        .to_pandas()
+        .sort_values(group_cols + ["bucket"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for key, g in hist.groupby(group_cols, sort=True):
+        key = key if isinstance(key, tuple) else (key,)
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        buckets = g["bucket"].to_numpy()
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            j = int(np.searchsorted(cum, rank, side="left"))
+            b = int(buckets[j])
+            est = 0.0 if b == zero_bucket else 2.0 * gamma**b / (gamma + 1.0)
+            rows.append(dict(zip(group_cols, key)) | {"q": float(q), "est": est})
+    return pd.DataFrame(rows)
+
+
 # --------------------------------------------------------------------- #
 # Count-min sketch
 # --------------------------------------------------------------------- #

@@ -1847,6 +1847,53 @@ def q_ann_ivfpq(sf_dir: str):
     return _recall_rows(out, sf_dir, threshold=0.19)
 
 
+def q_ann_ivfpq_stored(sf_dir: str):
+    """Encode-once / query-many IVF+PQ (functions/pq.py:ivfpq_encode +
+    ivfpq_search_codes): the float vectors are read exactly once to
+    persist (cell, M residual codes) rows; the search scans only those
+    M small ints per row — what a 100-TB deployment keeps hot while the
+    raw embeddings stay cold.  Checked rows: the recall contract of
+    q_ann_ivfpq PLUS stored_matches_raw — the stored-index search must
+    reproduce the raw-vector ivfpq_topk EXACTLY (both derive cell and
+    codes by the same exact-integer assignment), making path
+    equivalence a hash-checked fact."""
+    from ..functions.pq import (
+        ivfpq_encode,
+        ivfpq_search_codes,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    coarse, pqc = ivfpq_train(
+        ds,
+        n_cells=16,
+        coarse_iters=2,
+        num_subspaces=_PQ_M,
+        pq_k=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        quant=_PQ_QUANT,
+    )
+    qm = _query_matrix(sf_dir)
+    raw = ivfpq_topk(ds, qm, coarse, pqc, k=5, nprobe=4, quant=_PQ_QUANT)
+    codes = ivfpq_encode(ds, coarse, pqc, quant=_PQ_QUANT)
+    stored = ivfpq_search_codes(
+        codes, qm, coarse, pqc, k=5, nprobe=4, quant=_PQ_QUANT
+    )
+    out = _recall_rows(stored, sf_dir, threshold=0.19)
+    out["stored_matches_raw"] = bool(
+        raw.reset_index(drop=True).equals(stored.reset_index(drop=True))
+    )
+    return out
+
+
+SQL_ANN_RECALL_STORED = """
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok,
+       TRUE AS stored_matches_raw
+FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+"""
+
+
 def _sql_pq(codes_only: bool) -> str:
     """Compose one prefixed unrolled-Lloyd CTE chain per subspace (the
     subspace source is a list-slice of the embedding column), derive the
@@ -2892,6 +2939,90 @@ SQL_APPROX_QUANTILES = "\nUNION ALL\n".join(
     f"""SELECT {q} AS q,
        CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS BIGINT)
          AS value_cents, TRUE AS within_bound FROM events"""
+    for q in _QUANTILE_QS
+)
+
+
+def q_approx_quantiles_by_key(sf_dir: str):
+    """Grouped one-pass DDSketch quantiles
+    (functions/sketch.py:ddsketch_quantiles_grouped): per-event-type
+    value quantiles where raw rows never shuffle — each batch ships only
+    (event_type, bucket, cnt) partials, so a single group larger than
+    any worker still streams (the exact grouped path, q_user_quantiles,
+    must co-locate whole groups).  Contract oracle like
+    q_approx_quantiles: the checked row carries the EXACT per-group
+    quantile_disc order statistic (independent distributed value-count
+    pass) plus within_bound = |est - exact| <= rel_err * exact + 0.5,
+    guaranteed by the sketch's bucket width."""
+    import math
+
+    from ..functions.agg import grouped_sum
+    from ..functions.sketch import ddsketch_quantiles_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "cents": np.round(_round2(b["value"]) * 100).astype("int64"),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    approx = ddsketch_quantiles_grouped(
+        cents, "cents", ["event_type"], _QUANTILE_QS, rel_err=_DDSKETCH_ERR
+    )
+
+    # independent exact pass: per-(group, value) counts -> driver walk
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    hist = (
+        grouped_sum(
+            cents.map_batches(vc, batch_format="pandas"),
+            ["event_type", "cents"],
+            ["cnt"],
+        )
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["cents"].to_numpy()
+        for q in _QUANTILE_QS:
+            rank = max(1, math.ceil(q * n))
+            j = int(np.searchsorted(cum, rank, side="left"))
+            rows.append(
+                {"event_type": et, "q": float(q), "value_cents": int(vals[j])}
+            )
+    exact = pd.DataFrame(rows)
+    out = exact.merge(approx, on=["event_type", "q"])
+    out["value_cents"] = out["value_cents"].astype("int64")
+    out["within_bound"] = (
+        (out["est"] - out["value_cents"]).abs()
+        <= _DDSKETCH_ERR * out["value_cents"] + 0.5
+    )
+    return (
+        out[["event_type", "q", "value_cents", "within_bound"]]
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_APPROX_QUANTILES_BY_KEY = "\nUNION ALL\n".join(
+    f"""SELECT event_type, {q} AS q,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS BIGINT)
+         AS value_cents, TRUE AS within_bound
+FROM events GROUP BY event_type"""
     for q in _QUANTILE_QS
 )
 
@@ -6050,6 +6181,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pq_codes": (q_pq_codes, _sql_pq_codes),
     "ann_pq": (q_ann_pq, _sql_ann_pq),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_RECALL),
+    "ann_ivfpq_stored": (q_ann_ivfpq_stored, SQL_ANN_RECALL_STORED),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "negative_samples": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
     "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
@@ -6072,6 +6204,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "approx_quantiles_by_key": (q_approx_quantiles_by_key, SQL_APPROX_QUANTILES_BY_KEY),
     "user_quantiles": (q_user_quantiles, SQL_USER_QUANTILES),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),

@@ -2562,3 +2562,39 @@ def test_ivfpq_stored_codes_match_raw_scan(ray_session):
     codes = ivfpq_encode(ds, coarse, pqc)
     stored = ivfpq_search_codes(codes, q, coarse, pqc, k=7, nprobe=3)
     pd.testing.assert_frame_equal(raw, stored)
+
+
+def test_ddsketch_grouped_within_relative_error(ray_session):
+    """Grouped DDSketch contract: per-group estimates within rel_err of
+    each group's exact quantile_disc order statistic, zeros handled per
+    group, identical output at different parallelism (commutative
+    bucket sums), and groups with very different distributions don't
+    bleed into each other."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        ddsketch_quantiles_grouped,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for key, mu in [("a", 3.0), ("b", 6.0), ("c", 9.0)]:
+        v = np.exp(rng.normal(mu, 1.5, 3000)).astype(np.int64) + 1
+        if key == "b":
+            v = np.r_[np.zeros(40, dtype=np.int64), v]
+        frames.append(pd.DataFrame({"k": key, "v": v}))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=5)
+    qs = [0.1, 0.5, 0.9]
+    outs = []
+    for parts in (1, 8):
+        ds = ray.data.from_pandas(df.reset_index(drop=True)).repartition(parts)
+        outs.append(ddsketch_quantiles_grouped(ds, "v", ["k"], qs, rel_err=0.01))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    import math
+
+    for (key, q), est in outs[0].set_index(["k", "q"])["est"].items():
+        grp = np.sort(df[df["k"] == key]["v"].to_numpy())
+        exact = grp[max(1, math.ceil(q * len(grp))) - 1]
+        assert abs(est - exact) <= 0.01 * exact + 1e-9, (key, q, est, exact)
