@@ -216,6 +216,7 @@ def run_bench() -> dict:
         "approx_quantiles",
         "approx_quantiles_by_key",
         "phrase_search_indexed",
+        "quality_floor_filter",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

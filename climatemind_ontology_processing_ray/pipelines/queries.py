@@ -1013,6 +1013,113 @@ ORDER BY c.doc_id
 """
 
 
+def q_quality_floor_filter(sf_dir: str):
+    """Per-source quality floor (the 'every domain keeps only its better
+    half' curation stage): score docs with the exact-integer composite
+    quality (quality_milli, same formula the hash-green quality_scores
+    oracle replays), compute each source's MEDIAN score with one tiny
+    (source, score)-count exchange — raw docs never shuffle — then
+    broadcast the per-source thresholds and filter in a second streaming
+    pass.  The pattern at 100 TB: the only all-to-all is over distinct
+    (source, score) pairs; the doc-sized side is two map-only passes."""
+    import math
+
+    from ..functions.agg import grouped_sum
+    from ..functions.broadcast import cached_get
+    from ..functions.text import TextQualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def qm(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(b["n_words"].to_numpy(), 1)
+        c = np.maximum(b["n_chars"].to_numpy(), 1)
+        s = b["n_stop_words"].to_numpy()
+        u = b["n_uniq_words"].to_numpy()
+        a = b["n_alpha_chars"].to_numpy()
+        q = (400 * np.minimum(4 * s, w) * c + 300 * u * c + 300 * a * w) // (w * c)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                "source": b["source"],
+                "quality_milli": q.astype(np.int64),
+            }
+        )
+
+    scored = ds.map_batches(
+        TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
+    ).map_batches(qm, batch_format="pandas")
+
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["source", "quality_milli"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    hist = (
+        grouped_sum(
+            scored.map_batches(vc, batch_format="pandas"),
+            ["source", "quality_milli"],
+            ["cnt"],
+        )
+        .to_pandas()
+        .sort_values(["source", "quality_milli"])
+        .reset_index(drop=True)
+    )
+    med = {}
+    for src, g in hist.groupby("source", sort=False):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        j = int(np.searchsorted(cum, max(1, math.ceil(0.5 * n)), side="left"))
+        med[src] = int(g["quality_milli"].to_numpy()[j])
+    med_ref = ray.put(med)
+
+    def keep(b: pd.DataFrame, *, _ref=med_ref) -> pd.DataFrame:
+        m = cached_get(_ref)
+        thr = b["source"].map(m).to_numpy()
+        return b[b["quality_milli"].to_numpy() >= thr]
+
+    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "source", "quality_milli"]]
+    )
+
+
+def _sql_quality_floor_filter() -> str:
+    from ..functions.text import _STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""
+WITH counts AS (
+  SELECT doc_id, source,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+')) AS n_words,
+         LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'))) AS n_uniq,
+         LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'),
+                         w -> w IN ({stop_list}))) AS n_stop,
+         LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]')) AS n_alpha,
+         LEN(text) AS n_chars
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CAST((400 * LEAST(4 * n_stop, GREATEST(n_words, 1)) * GREATEST(n_chars, 1)
+               + 300 * n_uniq * GREATEST(n_chars, 1)
+               + 300 * n_alpha * GREATEST(n_words, 1))
+              // (GREATEST(n_words, 1) * GREATEST(n_chars, 1)) AS BIGINT)
+           AS quality_milli
+  FROM counts
+),
+m AS (SELECT source, quantile_disc(quality_milli, 0.5) AS med
+      FROM s GROUP BY source)
+SELECT s.doc_id, s.source, s.quality_milli
+FROM s JOIN m USING (source)
+WHERE s.quality_milli >= m.med
+ORDER BY s.doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # corpus quality / repetition (C4 / Gopher-style curation, SURVEY §2.10)
 # --------------------------------------------------------------------- #
@@ -2686,20 +2793,21 @@ def q_kg_edge_timespan(sf_dir: str):
         ),
         cfg.keep_langs,
     )
+    # task-based fused extract+link (stages/fused.py:make_extract_link_fn):
+    # the executor fuses read -> extract -> filter -> this into one
+    # operator and per-worker caches the automaton/index state, avoiding
+    # the two actor pools' startup that dominated this overhead-bound
+    # query (the unfused actor-pool path stays exercised by
+    # kg_canonical_edges).
+    from ..stages.fused import make_extract_link_fn
+
     snapshot_json = snap.to_json()
     linked = extracted.map_batches(
-        S.TripleExtractor,
-        fn_constructor_kwargs={"snapshot_json": snapshot_json},
+        make_extract_link_fn(
+            snapshot_json=snapshot_json, threshold=cfg.link_threshold
+        ),
         batch_format="pyarrow",
-        concurrency=(2, 4),
-        num_cpus=0.5,
-    ).map_batches(
-        S.EntityLinker,
-        fn_constructor_kwargs={"snapshot_json": snapshot_json,
-                               "threshold": cfg.link_threshold},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        num_cpus=0.5,
+        zero_copy_batch=True,
     ).select_columns(["subj_label", "obj_label", "predicate", "url"])
 
     def ts_side(b: pa.Table) -> pa.Table:
@@ -6158,6 +6266,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "word_stats": (q_word_stats, SQL_WORD_STATS),
     "quality_scores": (q_quality_scores, _sql_quality_scores),
+    "quality_floor_filter": (q_quality_floor_filter, _sql_quality_floor_filter),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "pack_documents": (q_pack_documents, SQL_PACK_DOCUMENTS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION),

@@ -88,3 +88,40 @@ def make_fused_partials_fn(
         return inst(batch)
 
     return fn
+
+
+def make_extract_link_fn(
+    snapshot_ref=None,
+    snapshot_json: str | None = None,
+    threshold: float = 0.85,
+):
+    """Stateless-task extract+link WITHOUT the map-side combine — for
+    consumers that need the per-mention linked rows themselves (e.g.
+    the per-edge provenance join in `kg_edge_timespan`, which joins
+    linked rows back to pages on url BEFORE any aggregation).  Same
+    worker-process cache as :func:`make_fused_partials_fn`, so the
+    executor fuses read -> extract -> filter -> this into one operator
+    and the automaton/index state is built once per worker instead of
+    once per actor-pool actor."""
+    import hashlib
+
+    key = (
+        "xl",
+        snapshot_ref.hex()
+        if hasattr(snapshot_ref, "hex")
+        else hashlib.sha1((snapshot_json or "").encode()).hexdigest(),
+        threshold,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _WORKER_CACHE.get(key)
+        if inst is None:
+            inst = (
+                TripleExtractor(snapshot_ref, snapshot_json),
+                EntityLinker(snapshot_ref, snapshot_json, threshold),
+            )
+            _WORKER_CACHE[key] = inst
+        extractor, linker = inst
+        return linker(extractor(batch))
+
+    return fn
