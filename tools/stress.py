@@ -342,6 +342,28 @@ def suite_embed() -> None:
 
     _t("ivfpq train+search @500k (64 cells, M=4,k=64, nprobe=8)", _ivfpq)
 
+    from climatemind_ontology_processing_ray.functions.pq import (
+        ivfpq_encode,
+        ivfpq_search_codes,
+    )
+
+    def _ivfpq_stored():
+        coarse, pqc = ivfpq_train(
+            ds, n_cells=64, coarse_iters=2, num_subspaces=4, pq_k=64,
+            pq_iters=2, quant=1000,
+        )
+        codes = ivfpq_encode(ds, coarse, pqc, quant=1000).materialize()
+        t0 = time.perf_counter()
+        top = ivfpq_search_codes(
+            codes, np.asarray(q), coarse, pqc, k=10, nprobe=8, quant=1000
+        )
+        return (
+            f"{len(top)} stored-adc hits; search-only "
+            f"{time.perf_counter() - t0:.1f}s over {codes.count()} code rows"
+        )
+
+    _t("ivfpq encode-once + stored-code search @500k", _ivfpq_stored)
+
 
 def suite_joins() -> None:
     ray, rd = _session()
