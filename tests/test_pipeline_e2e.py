@@ -241,3 +241,52 @@ def test_skew_stress_partial_rows_bounded(ray_session, snapshot):
     assert len(hot_rows) <= n_blocks  # one partial row per block, not per page
     # and the salts spread those partials across reducers
     assert len({p["salt"] for p in hot_rows}) > 1
+
+
+def test_extract_link_fn_matches_actor_pool(ray_session, snapshot):
+    """make_extract_link_fn (the task-based extract+link used by the
+    provenance join in kg_edge_timespan) must emit exactly the rows the
+    separate TripleExtractor/EntityLinker actor pools emit."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from climatemind_ontology_processing_ray import stages as S
+    from climatemind_ontology_processing_ray.ontology.fixture import (
+        build_fixture_snapshot,
+    )
+    from climatemind_ontology_processing_ray.sources.pages import generate_pages
+    from climatemind_ontology_processing_ray.stages.fused import make_extract_link_fn
+
+    snap = build_fixture_snapshot()
+    table, _ = generate_pages(snap, 64, seed=13)
+    sj = snap.to_json()
+    cols = ["subj_label", "obj_label", "predicate", "url"]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    base = (
+        ray.data.from_arrow(table)
+        .repartition(4)
+        .map_batches(S.extract_pages_batch, batch_format="pyarrow")
+    )
+    pooled = base.map_batches(
+        S.TripleExtractor,
+        fn_constructor_kwargs={"snapshot_json": sj},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).map_batches(
+        S.EntityLinker,
+        fn_constructor_kwargs={"snapshot_json": sj, "threshold": 0.85},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    fused = base.map_batches(
+        make_extract_link_fn(snapshot_json=sj, threshold=0.85),
+        batch_format="pyarrow",
+    )
+    pd.testing.assert_frame_equal(
+        norm(pooled.select_columns(cols).to_pandas()),
+        norm(fused.select_columns(cols).to_pandas()),
+    )
