@@ -528,3 +528,124 @@ def ivfpq_topk(
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rnk"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
     return out[["query_id", id_col, "dist2", "rnk"]]
+
+
+def ivfpq_store(
+    codes_ds: Dataset, out_dir: str, num_partitions: int = 16
+) -> dict:
+    """Persist an :func:`ivfpq_encode` table cell-partitioned via the
+    range-partitioned sink (sinks/partitioned.py): one directory per
+    cell range with a row-count manifest, so a search touching nprobe
+    cells reads ONLY their covering partitions — the storage-layer data
+    skipping a 10^12-vector index needs (the in-memory
+    :func:`ivfpq_search_codes` still scans every block it is given).
+
+    The M-wide ``codes`` list is stored as M plain int64 columns
+    (``code0..code{M-1}``): column-per-subquantizer is the natural
+    Parquet layout for ADC (each LUT gather reads one column), and it
+    keeps the sink's pandas tag stage extension-dtype-free (a
+    fixed-size-list column round-tripped through a pandas block embeds
+    a ``numpy.ndarray(...)`` dtype string in the Parquet pandas
+    metadata that pyarrow cannot re-parse on read)."""
+    from ..sinks.partitioned import write_range_partitioned
+
+    def split_codes(b: pa.Table) -> pa.Table:
+        codes = b.column("codes")
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        m = codes.type.list_size
+        flat = codes.values.to_numpy(zero_copy_only=False).reshape(-1, m)
+        cols = {
+            name: b.column(name)
+            for name in b.column_names
+            if name != "codes"
+        }
+        for j in range(m):
+            cols[f"code{j}"] = pa.array(flat[:, j], pa.int64())
+        return pa.table(cols)
+
+    return write_range_partitioned(
+        codes_ds.map_batches(
+            split_codes, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        out_dir,
+        "cell",
+        num_partitions=num_partitions,
+    )
+
+
+def ivfpq_search_stored(
+    out_dir: str,
+    queries: np.ndarray,
+    coarse: np.ndarray,
+    pq_cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    quant: int = 1000,
+) -> pd.DataFrame:
+    """ADC top-k over a cell-partitioned :func:`ivfpq_store` directory,
+    reading only the partitions that can contain the probed cells
+    (manifest-pruned ranges over contiguous cell runs).  Returns exactly
+    what :func:`ivfpq_search_codes` returns over the full table — the
+    extra rows a covering partition may contribute belong to unprobed
+    cells and are masked out per query inside the scan."""
+    from ..sinks.partitioned import read_key_range
+
+    q = quantize(np.asarray(queries, dtype=np.float64), quant)
+    qf, cf = q.astype(np.float64), coarse.astype(np.float64)
+    d2q = (
+        (qf * qf).sum(axis=1)[:, None]
+        - 2.0 * (qf @ cf.T)
+        + (cf * cf).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    cells = np.unique(probe)
+    # contiguous cell runs -> one pruned range read per run
+    runs: list[tuple[int, int]] = []
+    lo = prev = int(cells[0])
+    for c in cells[1:]:
+        c = int(c)
+        if c == prev + 1:
+            prev = c
+            continue
+        runs.append((lo, prev))
+        lo = prev = c
+    runs.append((lo, prev))
+    parts = [read_key_range(out_dir, lo, hi) for lo, hi in runs]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    M = pq_cents.shape[0]
+
+    def to_arrow(b: pd.DataFrame, *, _M=M) -> pa.Table:
+        # rebuild the M-wide codes list from the stored code0..code{M-1}
+        # int columns (see ivfpq_store); handles the zero-row batches a
+        # clipped covering partition can contribute
+        if len(b) == 0:
+            flat = np.array([], dtype=np.int64)
+            ids = cells_np = flat
+        else:
+            flat = np.stack(
+                [b[f"code{j}"].to_numpy().astype(np.int64) for j in range(_M)],
+                axis=1,
+            ).reshape(-1)
+            ids = b[id_col].to_numpy().astype(np.int64)
+            cells_np = b["cell"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cell": pa.array(cells_np, pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.int64()), _M
+                ),
+            }
+        )
+
+    arrow_ds = ds.map_batches(to_arrow, batch_format="pandas")
+    return ivfpq_search_codes(
+        arrow_ds, queries, coarse, pq_cents,
+        id_col=id_col, k=k, nprobe=nprobe, quant=quant,
+    )

@@ -2598,3 +2598,65 @@ def test_ddsketch_grouped_within_relative_error(ray_session):
         grp = np.sort(df[df["k"] == key]["v"].to_numpy())
         exact = grp[max(1, math.ceil(q * len(grp))) - 1]
         assert abs(est - exact) <= 0.01 * exact + 1e-9, (key, q, est, exact)
+
+
+def test_ivfpq_store_prunes_and_matches_full_scan(ray_session, tmp_path):
+    """Cell-partitioned stored index: ivfpq_search_stored over the
+    range-partitioned directory must equal both the in-memory
+    stored-code search and the raw-vector scan, and the probed read
+    must cover strictly fewer partitions than the whole index when the
+    probe set is a strict subset of cells."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.pq import (
+        ivfpq_encode,
+        ivfpq_search_codes,
+        ivfpq_search_stored,
+        ivfpq_store,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from climatemind_ontology_processing_ray.sinks.partitioned import (
+        MANIFEST,
+        _covering_ranges,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 3000, 16
+    centers = rng.normal(0, 2, (8, d))
+    x = centers[rng.integers(0, 8, n)] + rng.normal(0, 0.1, (n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(x.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    coarse, pqc = ivfpq_train(
+        ds, n_cells=8, coarse_iters=2, num_subspaces=4, pq_k=16, pq_iters=2
+    )
+    codes = ivfpq_encode(ds, coarse, pqc).materialize()
+    out_dir = str(tmp_path / "ivfpq_idx")
+    manifest = ivfpq_store(codes, out_dir, num_partitions=4)
+    assert sum(p["rows"] for p in manifest["partitions"].values()) == n
+
+    q = x[:4]
+    mem = ivfpq_search_codes(codes, q, coarse, pqc, k=5, nprobe=2)
+    stored = ivfpq_search_stored(
+        out_dir, q, coarse, pqc, k=5, nprobe=2
+    )
+    raw = ivfpq_topk(ds, q, coarse, pqc, k=5, nprobe=2)
+    pd.testing.assert_frame_equal(stored, mem)
+    pd.testing.assert_frame_equal(stored, raw)
+
+    # pruning: one probed cell must not need every partition
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        m = json.load(f)
+    one_cell = int(np.unique(codes.to_pandas()["cell"])[0])
+    assert len(_covering_ranges(m, one_cell, one_cell)) < len(m["partitions"])
