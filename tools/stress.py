@@ -727,9 +727,50 @@ def suite_mergeedges() -> None:
     _t("merge_canonical_edges @1.4M distinct (600k overlap)", run)
 
 
+def suite_sketch() -> None:
+    """One-pass mergeable sketches at 20M rows: global and grouped
+    DDSketch quantiles (only (group, bucket) partials ever move) vs the
+    exact value-histogram pass on the same column."""
+    ray, rd = _session()
+    p = "/tmp/stress_sketch.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(31)
+        n = 20_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "grp": pa.array(rng.integers(0, 200, n), pa.int64()),
+                    "v": pa.array(
+                        (np.exp(rng.normal(6, 2, n)) + 1).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            p,
+        )
+    ds = rd.read_parquet(p).materialize()
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        ddsketch_quantiles,
+        ddsketch_quantiles_grouped,
+        exact_quantiles,
+    )
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    _t(
+        "ddsketch global @20M",
+        lambda: f"{len(ddsketch_quantiles(ds, 'v', qs, rel_err=0.01))} rows",
+    )
+    _t(
+        "ddsketch grouped @20M x 200 groups",
+        lambda: f"{len(ddsketch_quantiles_grouped(ds, 'v', ['grp'], qs, rel_err=0.01))} rows",
+    )
+    _t("exact quantiles @20M", lambda: f"{len(exact_quantiles(ds, 'v', qs))} rows")
+
+
 SUITES = {
     "docs": suite_docs,
     "mergeedges": suite_mergeedges,
+    "sketch": suite_sketch,
     "fuzzy": suite_fuzzy,
     "textops": suite_textops,
     "knn": suite_knn,
