@@ -32,6 +32,78 @@ def hll_add(registers: np.ndarray, value, p: int) -> None:
         registers[idx] = rank
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized ``int.bit_length`` for uint64 (6 halving passes;
+    float log2 rounds wrong near powers of two, so no float shortcut)."""
+    x = x.copy()
+    out = np.zeros(x.shape, dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        out[big] += np.uint64(s)
+        x[big] >>= np.uint64(s)
+    out += (x > 0).astype(np.uint64)
+    return out
+
+
+def _hll_hash_batch(values) -> np.ndarray:
+    """Vectorized ``_hll_hash`` over a column: uint64 big-endian md5
+    prefix of ``str(value)``, bit-identical to the scalar path.
+
+    md5 runs once per UNIQUE value (dictionary encode + scatter — the
+    shingle.py trick: md5 costs ~2.3µs/value, the encode ~0.1µs, so any
+    repetition in the column pays off immediately).  Integer columns
+    take an Arrow cast-to-string fast path (Arrow and Python format
+    integers identically); everything else goes through ``str()``."""
+    import pyarrow.compute as pc
+
+    from .md5vec import md5_u64
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        try:
+            arr = pa.array(values)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = pa.array([str(v) for v in values], pa.string())
+    else:
+        arr = values
+    if pa.types.is_integer(arr.type):
+        arr = pc.cast(arr, pa.string())
+    elif not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pa.array([str(v) for v in arr.to_pylist()], pa.string())
+    dic = pc.dictionary_encode(arr)
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    uniq_hash = md5_u64(dic.dictionary).byteswap()  # md5_u64 is little-endian
+    codes = np.asarray(dic.indices)
+    return uniq_hash[codes]
+
+
+def hll_registers_batch(values, p: int, group_codes: np.ndarray | None = None,
+                        num_groups: int = 1) -> np.ndarray:
+    """Build HLL register arrays for a whole column at once.
+
+    Returns a (num_groups, 2^p) uint8 matrix; ``group_codes`` assigns each
+    row to a group (None = all rows in group 0).  Register content is
+    bit-identical to looping ``hll_add`` row by row (same md5-prefix hash,
+    same rank), but runs as one vectorized md5 pass + one ``maximum.at``
+    scatter instead of a per-row Python loop — the difference between a
+    sketch that survives 10^9-row blocks and one that doesn't."""
+    m = 1 << p
+    regs = np.zeros((num_groups, m), dtype=np.uint8)
+    n = len(values)
+    if n == 0:
+        return regs
+    h = _hll_hash_batch(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    tail = h & np.uint64((1 << (64 - p)) - 1)
+    rank = (np.uint64(64 - p) - _bit_length_u64(tail) + np.uint64(1)).astype(np.uint8)
+    if group_codes is not None:
+        flat = group_codes.astype(np.int64) * m + idx
+    else:
+        flat = idx
+    np.maximum.at(regs.reshape(-1), flat, rank)
+    return regs
+
+
 def hll_estimate(registers: np.ndarray) -> float:
     m = len(registers)
     alpha = 0.7213 / (1 + 1.079 / m)
@@ -59,21 +131,23 @@ def approx_distinct(
     m = 1 << p
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        out_groups, out_sketch = [], []
         if group_cols:
-            grouped = b.groupby(group_cols, sort=False)
+            if len(group_cols) == 1:
+                codes, uniq = pd.factorize(b[group_cols[0]], sort=False)
+                keys = [(u,) for u in uniq]
+            else:
+                mi = pd.MultiIndex.from_frame(b[group_cols])
+                codes, uniq = pd.factorize(mi, sort=False)
+                keys = list(uniq)
+            regs = hll_registers_batch(b[value_col], p, codes, len(keys))
+            df = pd.DataFrame(keys, columns=group_cols)
         else:
-            grouped = [((), b)]
-        for key, sub in grouped:
-            regs = np.zeros(m, dtype=np.uint8)
-            for v in sub[value_col]:
-                hll_add(regs, v, p)
-            out_groups.append(key if isinstance(key, tuple) else (key,))
-            out_sketch.append(regs.tobytes())
-        df = pd.DataFrame(out_groups, columns=group_cols or ["__all"])
-        if not group_cols:
-            df["__all"] = 0
-        df["sketch"] = out_sketch
+            regs = hll_registers_batch(b[value_col], p)
+            df = pd.DataFrame({"__all": [0] * (1 if len(b) else 0)})
+            if not len(b):
+                df["sketch"] = pd.Series([], dtype=object)
+                return df
+        df["sketch"] = [r.tobytes() for r in regs]
         return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -2289,16 +2289,17 @@ def q_approx_distinct(sf_dir: str):
             .reset_index()
         )
 
+    def _dedup_tag(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.md5vec import md5_u64
+
+        b = b.drop_duplicates(["event_type", "user_id"])
+        # first 8 hex chars of md5 == first 4 big-endian bytes == top half
+        # of the byteswapped little-endian u64 prefix
+        h = md5_u64([str(u) for u in b["user_id"]]).byteswap() >> np.uint64(32)
+        return b.assign(__part=(h % np.uint64(32)).astype(np.int64))
+
     exact = (
-        ds.map_batches(
-            lambda b: b.drop_duplicates(["event_type", "user_id"]).assign(
-                __part=[
-                    int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 32
-                    for u in b.drop_duplicates(["event_type", "user_id"])["user_id"]
-                ]
-            ),
-            batch_format="pandas",
-        )
+        ds.map_batches(_dedup_tag, batch_format="pandas")
         .groupby("__part")
         .map_groups(exact_count, batch_format="pandas")
         .groupby("event_type")

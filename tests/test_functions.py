@@ -334,6 +334,40 @@ def test_hll_approx_distinct(ray_session):
     assert out == out2
 
 
+def test_hll_vectorized_bit_identity():
+    """hll_registers_batch must reproduce the scalar hll_add loop exactly
+    (same md5-prefix hash, same rank scatter) for str/int/float inputs,
+    grouped and ungrouped — the vectorized partial changes speed, not
+    sketches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        hll_add,
+        hll_registers_batch,
+    )
+
+    p = 10
+    rng = np.random.default_rng(3)
+    ints = [int(x) for x in rng.integers(0, 500, 4000)]
+    for vals in (ints, [f"u-{v}" for v in ints], [v / 7.0 for v in ints[:800]]):
+        ref = np.zeros(1 << p, np.uint8)
+        for v in vals:
+            hll_add(ref, v, p)
+        assert np.array_equal(ref, hll_registers_batch(vals, p)[0])
+    # grouped scatter, arrow input
+    svals = [f"u-{v}" for v in ints]
+    codes = np.array([v % 3 for v in ints])
+    got = hll_registers_batch(pa.array(svals), p, codes, 3)
+    for g in range(3):
+        ref = np.zeros(1 << p, np.uint8)
+        for v, c in zip(svals, codes):
+            if c == g:
+                hll_add(ref, v, p)
+        assert np.array_equal(ref, got[g])
+    assert hll_registers_batch([], p).shape == (1, 1 << p)
+
+
 def test_scrub_pii_and_packing(ray_session):
     import ray.data
 
