@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -36,16 +37,30 @@ def _frac_cutoff(frac: float) -> str:
     return format(int(frac * 16**8), "08x")
 
 
+def _frac_cutoff_u64(frac: float) -> np.uint64:
+    """Numeric twin of :func:`_frac_cutoff`: fixed-width 8-hex prefixes
+    order lexicographically exactly like their uint values, so
+    ``prefix_hex < cutoff_hex`` == ``md5_hex8_u64(v) < cutoff_int`` (the
+    'g' keep-all sentinel maps to 16^8, above every 8-hex value)."""
+    if frac >= 1.0:
+        return np.uint64(16**8)
+    if frac <= 0.0:
+        return np.uint64(0)
+    return np.uint64(int(frac * 16**8))
+
+
 def deterministic_sample(ds: Dataset, id_col: str, frac: float) -> Dataset:
     """Keep rows whose md5(id) 8-hex-digit prefix falls below frac of the
     space.  No shuffle; pure vectorized filter."""
-    cut = _frac_cutoff(frac)
+    from .md5vec import md5_hex8_u64
+
+    cut = _frac_cutoff_u64(frac)
 
     def fn(batch: pa.Table) -> pa.Table:
-        keep = [
-            _md5_prefix(v) < cut for v in batch.column(id_col).to_pylist()
-        ]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        if batch.num_rows == 0:
+            return batch
+        keep = md5_hex8_u64(batch.column(id_col)) < cut
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -63,7 +78,10 @@ def stratified_sample(
         return b.assign(__part=hash_bucket(b[key_col].to_numpy(), 64))
 
     def head_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(__h=[_md5_prefix(v) for v in g[id_col]])
+        from .md5vec import md5_hex8_u64
+
+        # uint order == 8-hex-prefix lexicographic order (fixed width)
+        g = g.assign(__h=md5_hex8_u64(g[id_col].tolist()))
         g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
         g = g.groupby(key_col, sort=False).head(per_key)
         return g.drop(columns=["__h", "__part"])
@@ -88,16 +106,20 @@ def mixture_sample(
     table (one weight per domain/source) shipped inside the task closure —
     at fleet scale it would be ``ray.put`` once; either way no shuffle and
     the sample is identical at any parallelism."""
-    cuts = {k: _frac_cutoff(r) for k, r in rates.items()}
-    dflt = _frac_cutoff(default)
+    cuts = {k: _frac_cutoff_u64(r) for k, r in rates.items()}
+    dflt = _frac_cutoff_u64(default)
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        keep = [
-            _md5_prefix(i) < cuts.get(k, dflt) for k, i in zip(keys, ids)
-        ]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        if batch.num_rows == 0:
+            return batch
+        from .md5vec import md5_hex8_u64
+
+        h = md5_hex8_u64(batch.column(id_col))
+        row_cut = np.array(
+            [cuts.get(k, dflt) for k in batch.column(key_col).to_pylist()],
+            dtype=np.uint64,
+        )
+        return batch.filter(pa.array(h < row_cut))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -115,16 +137,15 @@ def disjoint_split(
     the assignment is parallelism- and run-independent and needs no
     shuffle (a row-level random split leaks near-duplicate documents from
     one domain across the boundary)."""
-    cut = _frac_cutoff(train_frac)
+    cut = _frac_cutoff_u64(train_frac)
 
     def fn(batch: pa.Table) -> pa.Table:
-        lab = pa.array(
-            [
-                labels[0] if _md5_prefix(v) < cut else labels[1]
-                for v in batch.column(group_col).to_pylist()
-            ],
-            pa.string(),
-        )
+        from .md5vec import md5_hex8_u64
+
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.string()))
+        train = md5_hex8_u64(batch.column(group_col)) < cut
+        lab = pa.array(np.where(train, labels[0], labels[1]), pa.string())
         return batch.append_column(out_col, lab)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -147,15 +168,23 @@ def weighted_sample(
     each row.)"""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        from .md5vec import md5_hex8_u64
+
+        if batch.num_rows == 0:
+            return batch
+        # md5 is vectorized; the cutoff arithmetic stays per-row Python
+        # ints so integer weights keep EXACT arbitrary-precision
+        # ``int(w * 16**8) // cap`` semantics (float64 would round the
+        # product for w >= 2^21, changing the oracle-reproduced sample).
+        # Cutoffs >= 16^8 can only arise from float-w rounding at w≈cap
+        # (w < cap bounds integer cutoffs below 16^8); the numeric
+        # compare keeps such rows (probability ~1, the intent)
+        h = md5_hex8_u64(batch.column(id_col))
         ws = batch.column(weight_col).to_pylist()
         keep = [
             w is not None
-            and (
-                w >= cap
-                or (w > 0 and _md5_prefix(i) < format(int(w * 16**8) // cap, "08x"))
-            )
-            for i, w in zip(ids, ws)
+            and (w >= cap or (w > 0 and int(hv) < int(w * 16**8) // cap))
+            for hv, w in zip(h, ws)
         ]
         return batch.filter(pa.array(keep, pa.bool_()))
 

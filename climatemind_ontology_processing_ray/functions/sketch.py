@@ -47,34 +47,11 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
 
 def _hll_hash_batch(values) -> np.ndarray:
     """Vectorized ``_hll_hash`` over a column: uint64 big-endian md5
-    prefix of ``str(value)``, bit-identical to the scalar path.
+    prefix of ``str(value)``, bit-identical to the scalar path (md5 runs
+    once per unique value — see ``md5vec.md5_u64_any``)."""
+    from .md5vec import md5_u64_any
 
-    md5 runs once per UNIQUE value (dictionary encode + scatter — the
-    shingle.py trick: md5 costs ~2.3µs/value, the encode ~0.1µs, so any
-    repetition in the column pays off immediately).  Integer columns
-    take an Arrow cast-to-string fast path (Arrow and Python format
-    integers identically); everything else goes through ``str()``."""
-    import pyarrow.compute as pc
-
-    from .md5vec import md5_u64
-
-    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
-        try:
-            arr = pa.array(values)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            arr = pa.array([str(v) for v in values], pa.string())
-    else:
-        arr = values
-    if pa.types.is_integer(arr.type):
-        arr = pc.cast(arr, pa.string())
-    elif not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
-        arr = pa.array([str(v) for v in arr.to_pylist()], pa.string())
-    dic = pc.dictionary_encode(arr)
-    if isinstance(dic, pa.ChunkedArray):
-        dic = dic.combine_chunks()
-    uniq_hash = md5_u64(dic.dictionary).byteswap()  # md5_u64 is little-endian
-    codes = np.asarray(dic.indices)
-    return uniq_hash[codes]
+    return md5_u64_any(values).byteswap()  # md5_u64 is little-endian; _hll_hash is big
 
 
 def hll_registers_batch(values, p: int, group_codes: np.ndarray | None = None,

@@ -106,13 +106,14 @@ def pack_documents(
     budget single documents become singleton packs.  Output: pack_id
     (string: "<bin>-<seq>"), doc_ids (list), n_tokens (int64).
     """
-    import hashlib
-
     def add_bin(batch: pa.Table) -> pa.Table:
-        bins = [
-            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % num_bins
-            for v in batch.column(id_col).to_pylist()
-        ]
+        from .md5vec import md5_hex8_u64
+
+        if batch.num_rows == 0:
+            return batch.append_column("__bin", pa.array([], pa.int32()))
+        bins = (md5_hex8_u64(batch.column(id_col)) % np.uint64(num_bins)).astype(
+            np.int32
+        )
         return batch.append_column("__bin", pa.array(bins, pa.int32()))
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:

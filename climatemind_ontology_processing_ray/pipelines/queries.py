@@ -2290,12 +2290,10 @@ def q_approx_distinct(sf_dir: str):
         )
 
     def _dedup_tag(b: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.md5vec import md5_u64
+        from ..functions.md5vec import md5_hex8_u64
 
         b = b.drop_duplicates(["event_type", "user_id"])
-        # first 8 hex chars of md5 == first 4 big-endian bytes == top half
-        # of the byteswapped little-endian u64 prefix
-        h = md5_u64([str(u) for u in b["user_id"]]).byteswap() >> np.uint64(32)
+        h = md5_hex8_u64(b["user_id"].tolist())
         return b.assign(__part=(h % np.uint64(32)).astype(np.int64))
 
     exact = (
