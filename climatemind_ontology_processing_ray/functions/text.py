@@ -42,28 +42,76 @@ def add_token_counts(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def add_fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
-    """Append two document fingerprints:
+_ROLL_K = 1_000_003
+_ROLL_MASK = (1 << 63) - 1
+
+
+def roll_fingerprint(t: str) -> int:
+    """Scalar 63-bit polynomial rolling hash of the word sequence (the
+    reference semantics for ``fp_roll``; :func:`_roll_batch` is the
+    vectorized twin, pytest-proven equal)."""
+    h = 0
+    for w in t.split():
+        h = (h * _ROLL_K + int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:8], "little")) & _ROLL_MASK
+    return h
+
+
+def _roll_batch(texts: list) -> np.ndarray:
+    """Vectorized ``roll_fingerprint`` over a batch.
+
+    Tokenization stays Python ``str.split()`` (C-speed, exact semantics);
+    the per-word md5 runs ONCE per unique word in the batch
+    (``md5_u64_any``), and the order-sensitive polynomial fold becomes a
+    closed form: h = (Σ w_i · K^(L-1-i)) mod 2^63.  Masking to 63 bits
+    after every scalar step equals one final mask because 2^63 divides
+    2^64 — uint64 wraparound arithmetic projects exactly onto mod 2^63."""
+    from .md5vec import md5_u64_any
+
+    words = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(w) for w in words), np.int64, len(words))
+    out = np.zeros(len(words), np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = [w for ws in words for w in ws]
+    wh = md5_u64_any(flat)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    # exponent of K for flat position i in doc d: (end_d - 1 - i)
+    exp = (np.repeat(offsets[1:], lens) - 1 - np.arange(total)).astype(np.int64)
+    kmax = int(lens.max())
+    powers = np.empty(kmax, np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for j in range(1, kmax):  # kmax entries, not rows — tiny
+            powers[j] = powers[j - 1] * np.uint64(_ROLL_K)
+        contrib = wh * powers[exp]
+    nonempty = lens > 0
+    sums = np.add.reduceat(contrib, offsets[:-1][nonempty])
+    out[nonempty] = (sums & np.uint64(_ROLL_MASK)).astype(np.int64)
+    return out
+
+
+def add_fingerprints(
+    ds: Dataset, text_col: str = "text", with_roll: bool = True
+) -> Dataset:
+    """Append document fingerprints:
 
     - ``fp_md5``: md5 hex of the exact text (content-addressable id;
       DuckDB-checkable via ``md5(text)``)
-    - ``fp_roll``: 63-bit polynomial rolling hash of the word sequence
-      (order-sensitive; survives whitespace normalization)
-    """
-
-    def roll(t: str) -> int:
-        h = 0
-        for w in t.split():
-            h = (h * 1_000_003 + int.from_bytes(
-                hashlib.md5(w.encode()).digest()[:8], "little")) & ((1 << 63) - 1)
-        return h
+    - ``fp_roll`` (``with_roll=True``): 63-bit polynomial rolling hash of
+      the word sequence (order-sensitive; survives whitespace
+      normalization).  Callers that only need the content id (e.g. bloom
+      routing) pass ``with_roll=False`` and skip the word hashing."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-        rolls = [roll(t or "") for t in texts]
         batch = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
-        batch = batch.append_column("fp_roll", pa.array(rolls, pa.int64()))
+        if with_roll:
+            batch = batch.append_column(
+                "fp_roll", pa.array(_roll_batch(texts), pa.int64())
+            )
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -3378,7 +3378,9 @@ def q_bloom_incremental(sf_dir: str):
     from ..functions.bloom import incremental_new
     from ..functions.text import add_fingerprints
 
-    docs = add_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    docs = add_fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"]), with_roll=False
+    )
     seen = docs.filter(
         lambda r: r["doc_id"] < _BLOOM_SEEN_BELOW
     ).select_columns(["fp_md5"])

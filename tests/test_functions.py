@@ -334,6 +334,26 @@ def test_hll_approx_distinct(ray_session):
     assert out == out2
 
 
+def test_roll_fingerprint_vectorized_equivalence():
+    """_roll_batch must equal the scalar word-by-word fold, including
+    empty / whitespace-only / mixed-whitespace docs and None."""
+    import numpy as np
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        _roll_batch,
+        roll_fingerprint,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, int(n))) for n in rng.integers(0, 60, 300)
+    ] + ["", "   ", None, "one", "a\tb\nc  d", "x " * 500]
+    got = _roll_batch(texts)
+    ref = [roll_fingerprint(t or "") for t in texts]
+    assert [int(g) for g in got] == ref
+
+
 def test_hll_vectorized_bit_identity():
     """hll_registers_batch must reproduce the scalar hll_add loop exactly
     (same md5-prefix hash, same rank scatter) for str/int/float inputs,
