@@ -541,11 +541,18 @@ def count_min_sketch(
     (the `approx_counts` query's within-bound contract)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from .md5vec import md5_u64_any
+
         mat = np.zeros((depth, width), dtype=np.int64)
         vc = b[key_col].value_counts()
-        for v, c in vc.items():
-            for r in range(depth):
-                mat[r, _cms_col(r, v, width)] += int(c)
+        counts = vc.to_numpy(dtype=np.int64)
+        for r in range(depth):
+            # one vectorized md5 pass per depth row over UNIQUE keys;
+            # byteswap recovers the big-endian digest prefix _cms_col uses
+            cols = md5_u64_any([f"{r}|{v}" for v in vc.index]).byteswap() % np.uint64(
+                width
+            )
+            np.add.at(mat[r], cols.astype(np.int64), counts)
         return pd.DataFrame({"r": range(depth), "cells": list(mat)})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
