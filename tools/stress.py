@@ -767,7 +767,60 @@ def suite_sketch() -> None:
     _t("exact quantiles @20M", lambda: f"{len(exact_quantiles(ds, 'v', qs))} rows")
 
 
+def suite_hashops() -> None:
+    """The vectorized content-addressed hash family at 10-20M rows:
+    HLL distinct sketch, count-min, deterministic/weighted sampling —
+    all previously per-row hashlib loops, now one md5vec pass per batch
+    (md5 once per dictionary-unique value)."""
+    ray, rd = _session()
+    p = "/tmp/stress_hashops.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(47)
+        n = 20_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(np.arange(n), pa.int64()),
+                    "grp": pa.array(rng.integers(0, 50, n), pa.int64()),
+                    # Zipf-ish key: many repeats, ~1.2M uniques
+                    "key": pa.array(
+                        (rng.zipf(1.3, n) % 2_000_000).astype(np.int64), pa.int64()
+                    ),
+                    "w": pa.array(rng.integers(0, 160, n), pa.int64()),
+                }
+            ),
+            p,
+        )
+    ds = rd.read_parquet(p).materialize()
+    from climatemind_ontology_processing_ray.functions.sample import (
+        deterministic_sample,
+        weighted_sample,
+    )
+    from climatemind_ontology_processing_ray.functions.sketch import (
+        approx_distinct,
+        count_min_sketch,
+    )
+
+    _t(
+        "hll approx_distinct @20M x 50 groups",
+        lambda: f"{len(approx_distinct(ds, 'key', ['grp']).to_pandas())} rows",
+    )
+    _t(
+        "count_min_sketch @20M",
+        lambda: f"{count_min_sketch(ds, 'key').sum()} total",
+    )
+    _t(
+        "deterministic_sample 10%% @20M",
+        lambda: f"{deterministic_sample(ds, 'id', 0.10).count()} kept",
+    )
+    _t(
+        "weighted_sample cap=80 @20M",
+        lambda: f"{weighted_sample(ds, 'id', 'w', 80).count()} kept",
+    )
+
+
 SUITES = {
+    "hashops": suite_hashops,
     "docs": suite_docs,
     "mergeedges": suite_mergeedges,
     "sketch": suite_sketch,
