@@ -255,3 +255,109 @@ def fuzzy_join(
         .groupby("__part")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def fuzzy_lookup(
+    ds: Dataset,
+    query_col: str,
+    labels: list[str],
+    max_dist: int = 1,
+    label_col: str = "label",
+    dist_col: str = "dist",
+) -> Dataset:
+    """Broadcast fuzzy DICTIONARY alignment: match each row's query
+    string to every label within Levenshtein distance ``max_dist``.
+
+    This is the ontology-alignment scale shape (the reference links
+    surface forms to ontology labels in a driver loop,
+    make_graph_class.py-era): the label side is ontology-sized, so it is
+    precomputed ONCE (byte matrix + char-bag histograms, built at graph
+    construction and shipped in the task closure — kilobytes) and the
+    corpus side STREAMS with no shuffle at all.  Per batch the DP work is
+    dictionary-unique bounded: distinct query strings are length-window +
+    char-bag pruned against the label set, survivors run the shared
+    pair-lane DP (:func:`levenshtein_pairs`), and matches expand back to
+    rows through the dictionary indices.
+
+    Output: one row per (input row, matching label) — a flat-map; rows
+    with no match within ``max_dist`` are dropped.  Distances are byte-
+    level (== character level for ASCII; normalize multibyte upstream).
+    """
+    labels = list(labels)
+    lmat, llens = _byte_matrix(labels)
+    lhist = np.zeros((len(labels), 256), dtype=np.int32)
+    if len(labels):
+        rows = np.repeat(np.arange(len(labels)), llens)
+        mask = np.arange(lmat.shape[1]) < llens[:, None]
+        np.add.at(lhist, (rows, lmat[mask]), 1)
+    label_arr = pa.array(labels, pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        base_cols = {c: batch.column(c) for c in batch.column_names}
+        if batch.num_rows == 0 or not labels:
+            empty = dict(base_cols)
+            empty[label_col] = pa.array([], pa.string())
+            empty[dist_col] = pa.array([], pa.int64())
+            return pa.table(empty).slice(0, 0)
+        dic = pc.dictionary_encode(batch.column(query_col))
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        uniq = dic.dictionary
+        qmat, qlens = _byte_matrix(uniq)
+        nq, nl = len(uniq), len(labels)
+        # length window: |len(q) - len(l)| <= max_dist
+        cand = np.abs(qlens[:, None] - llens[None, :]) <= max_dist
+        qi, li = np.nonzero(cand)
+        if len(qi):
+            # char-bag prune on survivors (lev >= max surplus either way)
+            qhist = np.zeros((nq, 256), dtype=np.int32)
+            rows = np.repeat(np.arange(nq), qlens)
+            mask = np.arange(qmat.shape[1]) < qlens[:, None]
+            np.add.at(qhist, (rows, qmat[mask]), 1)
+            diff = qhist[qi] - lhist[li]
+            bag = np.maximum(
+                np.where(diff > 0, diff, 0).sum(axis=1),
+                np.where(diff < 0, -diff, 0).sum(axis=1),
+            )
+            keep = bag <= max_dist
+            qi, li = qi[keep], li[keep]
+        if len(qi):
+            # shared matrix: queries then labels, padded to one width
+            width = max(qmat.shape[1], lmat.shape[1])
+            mat = np.zeros((nq + nl, width), dtype=np.uint8)
+            mat[:nq, : qmat.shape[1]] = qmat
+            mat[nq:, : lmat.shape[1]] = lmat
+            lens = np.concatenate([qlens, llens])
+            d = levenshtein_pairs(mat, lens, qi, nq + li)
+            ok = d <= max_dist
+            qi, li, d = qi[ok], li[ok], d[ok]
+        else:
+            d = np.zeros(0, dtype=np.int64)
+        # expand unique-level matches back to input rows
+        codes = np.asarray(dic.indices)
+        order = np.argsort(qi, kind="stable")
+        qi, li, d = qi[order], li[order], d[order]
+        counts_per_uniq = np.zeros(nq + 1, dtype=np.int64)
+        np.add.at(counts_per_uniq, qi, 1)
+        match_of_uniq_start = np.concatenate(
+            ([0], np.cumsum(counts_per_uniq[:-1]))
+        )
+        reps = counts_per_uniq[codes]
+        if not reps.sum():
+            empty = dict(base_cols)
+            out = pa.table(empty).slice(0, 0)
+            out = out.append_column(label_col, pa.array([], pa.string()))
+            return out.append_column(dist_col, pa.array([], pa.int64()))
+        row_idx = np.repeat(np.arange(batch.num_rows), reps)
+        # per-row span into the (sorted-by-qi) match arrays
+        offs = np.arange(len(row_idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        match_pos = match_of_uniq_start[codes[row_idx]] + offs
+        out = batch.take(pa.array(row_idx, pa.int64()))
+        out = out.append_column(label_col, label_arr.take(pa.array(li[match_pos])))
+        return out.append_column(dist_col, pa.array(d[match_pos], pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -6055,6 +6055,75 @@ ORDER BY key_a, key_b
 """
 
 
+# the "ontology": canonical concept labels (some deliberately typo'd so
+# only the fuzzy match finds them) the corpus vocabulary aligns against
+_ALIGN_LABELS = [
+    "joins", "sorted", "hash", "stream", "filter", "merge",
+    "window", "scan", "tabel", "qery", "vecto", "agge",
+]
+
+
+def q_ontology_align(sf_dir: str):
+    """Ontology alignment: match every corpus token to the closest
+    concept labels within edit distance 1 (functions/fuzzy.py:
+    fuzzy_lookup — the label side is ontology-sized and BROADCAST once
+    as byte matrices in the task closure; the corpus side streams with
+    no shuffle; per-batch DP work is dictionary-unique bounded).
+    Map-side combine happens BEFORE the lookup: tokens are counted per
+    batch, so fuzzy_lookup sees one row per (batch, distinct token) and
+    the only exchange is the tiny (word, label) count merge.
+    Generalizes the reference's surface-form -> ontology-IRI linking
+    loop (make_graph_class.py) to typo-tolerant corpus-scale alignment."""
+    import pyarrow.compute as pc
+
+    from ..functions.agg import grouped_sum
+    from ..functions.fuzzy import fuzzy_lookup
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(pc.fill_null(b.column("text"), "")), " ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"word": toks})
+        g = t.group_by("word").aggregate([("word", "count")])
+        return g.rename_columns(["word", "n_occurrences"])
+
+    words = ds.map_batches(word_counts, batch_format="pyarrow")
+    matched = fuzzy_lookup(words, "word", _ALIGN_LABELS, max_dist=1)
+    out = grouped_sum(
+        matched, ["word", "label", "dist"], ["n_occurrences"]
+    ).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return (
+        out[["word", "label", "dist", "n_occurrences"]]
+        .sort_values(["word", "label"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_ONTOLOGY_ALIGN = (
+    """
+WITH w AS (
+  SELECT tok AS word FROM (
+    SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), l(label) AS (VALUES """
+    + ", ".join(f"('{x}')" for x in _ALIGN_LABELS)
+    + """)
+SELECT w.word, l.label,
+       CAST(levenshtein(w.word, l.label) AS BIGINT) AS dist,
+       COUNT(*) AS n_occurrences
+FROM w, l
+WHERE levenshtein(w.word, l.label) <= 1
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+)
+
+
 _DSIR_BUCKETS = 4096
 _DSIR_SCALE = 1_000_000
 _DSIR_TARGET = "src0"
@@ -6386,6 +6455,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion),
     "cluster_top_terms": (q_cluster_top_terms, _sql_cluster_top_terms),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
+    "ontology_align": (q_ontology_align, SQL_ONTOLOGY_ALIGN),
     "dsir_weights": (q_dsir_weights, _sql_dsir_weights),
     "throttle_events": (q_throttle_events, SQL_THROTTLE_EVENTS),
     "embed_decontam": (q_embed_decontam, SQL_EMBED_DECONTAM),

@@ -284,3 +284,38 @@ def test_cdc_snapshot_latest_wins_with_tombstones(ray_session):
     assert out["user_id"].tolist() == exp["user_id"].tolist()
     assert out["event_id"].tolist() == exp["event_id"].tolist()
     assert len(out) < df["user_id"].nunique()  # some tombstoned users dropped
+
+
+def test_fuzzy_lookup_matches_bruteforce(ray_session):
+    """Broadcast dictionary alignment == brute-force per-(row, label)
+    Levenshtein, including multi-label matches, no-match rows dropped,
+    repeated queries, and parallelism independence."""
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.fuzzy import fuzzy_lookup
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                nd[j] = min(dp[j] + 1, nd[j - 1] + 1, dp[j - 1] + (ca != cb))
+            dp = nd
+        return dp[-1]
+
+    words = ["scan", "scam", "sort", "sortt", "merge", "marge", "x", "scan",
+             "window", "windw", "", "tabel"]
+    labels = ["scan", "sort", "merge", "window", "table", "scam"]
+    rows = [{"id": i, "w": w} for i, w in enumerate(words)]
+    expected = sorted(
+        (r["id"], lbl, lev(r["w"], lbl))
+        for r in rows
+        for lbl in labels
+        if lev(r["w"], lbl) <= 1
+    )
+    for parts in (1, 5):
+        out = fuzzy_lookup(
+            rd.from_items(rows).repartition(parts), "w", labels, max_dist=1
+        ).to_pandas()
+        got = sorted(zip(out["id"], out["label"], out["dist"]))
+        assert [(int(a), b, int(c)) for a, b, c in got] == expected
