@@ -1045,9 +1045,17 @@ def q_quality_floor_filter(sf_dir: str):
             }
         )
 
-    scored = ds.map_batches(
-        TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
-    ).map_batches(qm, batch_format="pandas")
+    # materialize the 3-narrow-column scored projection ONCE: both the
+    # histogram and the filter pass read it, and without pinning the lazy
+    # lineage re-runs the regex scorer per pass (~30 B/row pinned vs
+    # re-scoring ~2 KB/row of text — the right trade at any scale)
+    scored = (
+        ds.map_batches(
+            TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
+        )
+        .map_batches(qm, batch_format="pandas")
+        .materialize()
+    )
 
     def vc(b: pd.DataFrame) -> pd.DataFrame:
         return (
