@@ -311,12 +311,16 @@ def fuzzy_lookup(
         cand = np.abs(qlens[:, None] - llens[None, :]) <= max_dist
         qi, li = np.nonzero(cand)
         if len(qi):
-            # char-bag prune on survivors (lev >= max surplus either way)
+            # char-bag prune on survivors (lev >= max surplus either way);
+            # histograms restricted to OCCUPIED byte columns (alphabet-
+            # sized, not 256 — the _block_pairs compaction)
             qhist = np.zeros((nq, 256), dtype=np.int32)
             rows = np.repeat(np.arange(nq), qlens)
             mask = np.arange(qmat.shape[1]) < qlens[:, None]
             np.add.at(qhist, (rows, qmat[mask]), 1)
-            diff = qhist[qi] - lhist[li]
+            cols = np.flatnonzero(qhist.any(axis=0) | lhist.any(axis=0))
+            qh, lh = qhist[:, cols], lhist[:, cols]
+            diff = qh[qi] - lh[li]
             bag = np.maximum(
                 np.where(diff > 0, diff, 0).sum(axis=1),
                 np.where(diff < 0, -diff, 0).sum(axis=1),

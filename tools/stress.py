@@ -673,6 +673,18 @@ def suite_fuzzy() -> None:
         "dsir_weights @1M",
         lambda: f"{dsir_weights(docs, 'doc_id', 'text', 'source', 'tgt').count()} docs",
     )
+    from climatemind_ontology_processing_ray.functions.fuzzy import fuzzy_lookup
+
+    # labels = real names with one mutated char, so matches actually
+    # flow through the DP + row expansion (not just the prune)
+    sample_names = (
+        rd.read_parquet(p, columns=["name"]).limit(50).to_pandas()["name"].tolist()
+    )
+    labels = [("z" + n[1:]) for n in dict.fromkeys(sample_names)]
+    _t(
+        f"fuzzy_lookup @2M rows x {len(labels)} labels (d<=1, broadcast, no shuffle)",
+        lambda: f"{fuzzy_lookup(ds, 'name', labels, max_dist=1).count()} matches",
+    )
 
 
 def suite_mergeedges() -> None:
