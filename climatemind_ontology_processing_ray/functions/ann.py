@@ -331,6 +331,66 @@ def knn_graph(
     )
 
 
+def radius_search(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    tau: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 32768,
+) -> Dataset:
+    """Range (radius) similarity search: ALL vectors whose exact integer
+    quantized dot with a query is >= ``tau`` — the epsilon-neighborhood
+    companion to :func:`brute_force_topk`'s top-k (retrieval recall sweeps,
+    near-duplicate audits, "everything above this similarity floor").
+
+    ``queries`` is a small (Q, d) float matrix broadcast ONCE via
+    ``ray.put`` (never re-shipped per batch); each batch runs one
+    (Q, batch) float64 BLAS matmul over ``floor(x*quant+0.5)`` integer
+    components (exact < 2^52, SQL-BIGINT-identical) and emits only the
+    >= tau survivors.  No shuffle at all — a pure streaming filter whose
+    output is threshold-bounded, so it composes with any downstream stage
+    at 100-TB inputs.
+
+    Output: (query_id, id_col, dot int64).
+    """
+    from .broadcast import cached_get
+    from .cluster import _batch_matrix, quantize
+
+    qm = quantize(np.asarray(queries, dtype=np.float64), quant).astype(np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((qm, qids))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        qmat, qid = cached_get(q_ref)
+        v = _batch_matrix(batch, vec_col, quant).astype(np.float64)
+        dots = qmat @ v.T  # (Q, batch), exact ints in fp64
+        qi, vi = np.nonzero(dots >= tau)
+        if not len(qi):
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": pa.array(qid[qi], pa.int64()),
+                id_col: pa.array(ids[vi].astype(np.int64), pa.int64()),
+                "dot": pa.array(dots[qi, vi].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dense_topk_int(
     ds: Dataset,
     query,

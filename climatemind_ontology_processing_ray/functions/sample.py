@@ -318,3 +318,73 @@ def negative_sample(
     out = cand.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
     out["rnk"] = out.groupby("anchor_id").cumcount().astype(np.int64) + 1
     return out[["anchor_id", id_col, "rnk"]]
+
+
+def token_budget_sample(
+    ds: Dataset,
+    budget: int,
+    *,
+    key_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Per-source token-budget mixture: greedily keep each source's
+    documents — in content-addressed (md5 of id) order, i.e. a uniform
+    deterministic shuffle — while the source's running token total stays
+    within ``budget``.  This is the "mix N sources to a per-source token
+    target" step of training-data curation (a la The Pile / Dolma mixture
+    recipes), made exact: the same rows are kept at any parallelism.
+
+    Shuffle structure: ONE hash(key) exchange co-locates each source, then a
+    vectorized per-partition lexsort (key, md5-rank, id) + segment cumsum.
+    Per-partition memory is bounded by the sources hashed there — the
+    exchange is the only data movement, and at web scale the per-source
+    order key means no global sort is ever needed.
+
+    Output: (id_col, key_col, weight_col, cum) for kept rows, where ``cum``
+    is the running total at acceptance time (<= budget by construction).
+    """
+    from .join import hash_bucket
+    from .md5vec import md5_u64_any
+
+    if num_parts is None:
+        from .partitioning import adaptive_parts
+
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = hash_bucket(b[key_col].to_numpy(), num_parts)
+        return b
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        keys = g[key_col].to_numpy()
+        # byteswapped md5-u64 prefix orders exactly like the hex digest's
+        # first 16 chars (md5vec.md5_hex8_u64's widened twin) — the SQL
+        # oracle mirrors it with SUBSTRING(MD5(CAST(id AS VARCHAR)),1,16)
+        h = md5_u64_any(ids).byteswap()
+        codes, _ = pd.factorize(keys, sort=False)
+        order = np.lexsort((ids, h, codes))
+        sk, sw = codes[order], w[order]
+        cum = np.cumsum(sw)
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        seg_base = np.repeat(cum[starts] - sw[starts], np.diff(np.r_[starts, len(sk)]))
+        cum = cum - seg_base  # per-source running totals
+        keep = cum <= budget
+        return pd.DataFrame(
+            {
+                id_col: ids[order][keep],
+                key_col: keys[order][keep],
+                weight_col: sw[keep],
+                "cum": cum[keep].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pick, batch_format="pandas")
+    )

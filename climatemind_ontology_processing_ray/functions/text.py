@@ -401,6 +401,34 @@ def add_canonical_url(ds, url_col: str = "url", out_col: str = "canonical_url"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def prefix_blocklist_filter(
+    ds: Dataset, prefixes: list[str], url_col: str = "url"
+) -> Dataset:
+    """Crawl-policy URL filtering: drop rows whose url starts with any
+    blocklist prefix (robots/spam/ads host and path rules — the
+    URL-level removal step every Common-Crawl curation pipeline runs
+    before content filters).
+
+    Rule sets are policy-sized (thousands, not corpus-sized), so they ride
+    in the task closure and each rule is ONE vectorized pyarrow
+    ``starts_with`` pass over the batch — no shuffle, no per-row Python.
+    (A million-rule list would swap the loop for a sorted-prefix
+    searchsorted bound per batch; the streaming-filter shape is the same.)
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        col = batch.column(url_col)
+        blocked = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        for p in prefixes:
+            blocked = pc.or_kleene(blocked, pc.starts_with(col, pattern=p))
+        return batch.filter(pc.invert(pc.fill_null(blocked, False)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------- #
 # normalization + chunking
 # --------------------------------------------------------------------- #
@@ -610,6 +638,73 @@ def rarity_score(
         .map_groups(score_partition, batch_format="pandas")
     )
     return grouped_sum(partials, [id_col], ["rarity"])
+
+
+def bpe_pair_counts(
+    ds: Dataset,
+    text_col: str = "text",
+    top_k: int = 50,
+    num_parts: int | None = None,
+) -> Dataset:
+    """The BPE tokenizer-training inner loop: corpus-wide adjacent
+    token-pair frequencies, top-``top_k`` by count (the pair a BPE/WordPiece
+    trainer would merge next — run iteratively with a merge applied between
+    rounds to train a full vocab; one round is the distributed primitive).
+
+    Tokenization mirrors :func:`rarity_score` (LOWER + split on single
+    spaces, empties kept — SQL ``STRING_SPLIT`` parity).
+
+    Shuffle structure: per-batch pair counting is ONE vectorized
+    explode+groupby (map-side combine — the exchange carries
+    (lhs, rhs, partial count) rows, never raw token streams), then a single
+    ``grouped_sum`` hash exchange.  After the sum each pair lives in exactly
+    one block, so a per-block top-k prefilter bounds what reaches the driver
+    at k x num_blocks rows regardless of vocabulary size.
+
+    Output: (lhs, rhs, cnt) — NOT yet globally ranked; callers take the
+    final top-k on the (small) prefiltered result.
+    """
+    from .agg import grouped_sum
+
+    if num_parts is None:
+        from .partitioning import adaptive_parts
+
+        num_parts = adaptive_parts(ds)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.split(" ")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_gram = np.maximum(n_tok - 1, 0)
+        total = int(n_gram.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "lhs": pd.Series([], dtype=object),
+                    "rhs": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = toks.explode().to_numpy(dtype=object)
+        starts = np.cumsum(n_tok) - n_tok
+        offs = np.arange(total) - np.repeat(np.cumsum(n_gram) - n_gram, n_gram)
+        idx = offs + np.repeat(starts, n_gram)
+        occ = pd.DataFrame({"lhs": flat[idx], "rhs": flat[idx + 1]})
+        out = occ.groupby(["lhs", "rhs"], sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    summed = grouped_sum(
+        ds.map_batches(pairs, batch_format="pandas"), ["lhs", "rhs"], ["cnt"], num_parts
+    )
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.sort_values(
+            ["cnt", "lhs", "rhs"], ascending=[False, True, True], kind="mergesort"
+        ).head(top_k)
+
+    return summed.map_batches(block_topk, batch_format="pandas")
 
 
 def cooccurrence_pmi(

@@ -6320,6 +6320,188 @@ ORDER BY user_id
 """
 
 
+_BPE_TOPK = 50
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """Tokenizer-training inner loop: corpus-wide top-50 adjacent token
+    pairs (the next BPE merge candidates) — map-side pair combine + one
+    grouped_sum exchange + per-block top-k prefilter
+    (functions/text.py:bpe_pair_counts)."""
+    from ..functions.text import bpe_pair_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bpe_pair_counts(ds, top_k=_BPE_TOPK).to_pandas()
+    out = (
+        out.sort_values(["cnt", "lhs", "rhs"], ascending=[False, True, True])
+        .head(_BPE_TOPK)
+        .reset_index(drop=True)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    out["rn"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["lhs", "rhs", "cnt", "rn"]]
+
+
+SQL_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+  WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 2),
+pairs AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i])) AS lhs,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i + 1])) AS rhs
+  FROM toks),
+cnt AS (
+  SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2)
+SELECT lhs, rhs, cnt, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM cnt)
+WHERE rn <= {_BPE_TOPK} ORDER BY rn
+"""
+
+
+_MIX_BUDGET = 4_000  # chars per source: nontrivial keep rate at every sf tier
+
+
+def q_token_budget_mixture(sf_dir: str):
+    """Per-source token-budget mixture: keep each source's docs in
+    content-addressed md5 order while the running char total stays within
+    budget (functions/sample.py:token_budget_sample; one hash(source)
+    exchange + vectorized segment cumsum)."""
+    from ..functions.sample import token_budget_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = token_budget_sample(ds, _MIX_BUDGET).to_pandas()
+    for c in ("doc_id", "n_chars", "cum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "n_chars", "cum"]
+    ]
+
+
+SQL_TOKEN_BUDGET = f"""
+SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum FROM (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+WHERE cum <= {_MIX_BUDGET} ORDER BY doc_id
+"""
+
+
+_RADIUS_Q = 8  # queries = the 8 smallest vec_ids (broadcast once)
+_RADIUS_QUANT = 32768
+_RADIUS_TAU = 3 * _RADIUS_QUANT * _RADIUS_QUANT // 10  # cosine ~0.3 floor
+
+
+def q_radius_search(sf_dir: str):
+    """Epsilon-neighborhood range search: every vector with exact integer
+    quantized dot >= tau against a broadcast 8-query matrix
+    (functions/ann.py:radius_search; zero-shuffle streaming filter)."""
+    from ..functions.ann import radius_search
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        ds.to_pandas().sort_values("vec_id").head(_RADIUS_Q).reset_index(drop=True)
+    )
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = radius_search(
+        ds,
+        qm,
+        qdf["vec_id"].to_numpy(),
+        _RADIUS_TAU,
+        quant=_RADIUS_QUANT,
+    ).to_pandas()
+    for c in ("query_id", "vec_id", "dot"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+SQL_RADIUS_SEARCH = f"""
+WITH qv AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_RADIUS_QUANT} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+q AS (SELECT * FROM qv ORDER BY vec_id LIMIT {_RADIUS_Q}),
+s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot
+  FROM q a JOIN qv b ON TRUE)
+SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot
+FROM s WHERE dot >= {_RADIUS_TAU}
+ORDER BY query_id, vec_id
+"""
+
+
+# crawl-policy rules: two bad hosts plus one path prefix on a good host.
+# literal list shared verbatim by the engine call and the SQL oracle.
+_BLOCK_PREFIXES = [
+    "https://spam.example.net/",
+    "https://ads.example.net/",
+    "https://news.example.com/sponsored/",
+]
+_BLOCK_HOSTS = [
+    "news.example.com",
+    "blog.example.com",
+    "spam.example.net",
+    "ads.example.net",
+    "docs.example.org",
+]
+
+
+def q_url_blocklist_filter(sf_dir: str):
+    """Crawl-policy URL prefix blocklist (host + path rules) over
+    deterministic synthetic urls; rules ride in the closure, one
+    vectorized starts_with pass per rule — pure streaming filter
+    (functions/text.py:prefix_blocklist_filter)."""
+    from ..functions.text import prefix_blocklist_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        hosts = np.array(_BLOCK_HOSTS, dtype=object)[ids % len(_BLOCK_HOSTS)]
+        path = np.where(ids % 7 == 0, "sponsored", "page")
+        urls = (
+            "https://"
+            + pd.Series(hosts, index=b.index)
+            + "/"
+            + pd.Series(path, index=b.index)
+            + "/"
+            + b["source"]
+            + "/"
+            + pd.Series(ids.astype(str), index=b.index)
+        )
+        return b.assign(url=urls)
+
+    kept = prefix_blocklist_filter(
+        ds.map_batches(synth, batch_format="pandas"), _BLOCK_PREFIXES
+    )
+    out = kept.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "url"]]
+
+
+def _sql_url_blocklist() -> str:
+    host_case = " ".join(
+        f"WHEN doc_id % {len(_BLOCK_HOSTS)} = {i} THEN '{h}'"
+        for i, h in enumerate(_BLOCK_HOSTS)
+    )
+    likes = " OR ".join(f"url LIKE '{p}%'" for p in _BLOCK_PREFIXES)
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || (CASE {host_case} END) || '/' ||
+         (CASE WHEN doc_id % 7 = 0 THEN 'sponsored' ELSE 'page' END) || '/' ||
+         source || '/' || doc_id AS url
+  FROM documents)
+SELECT doc_id, url FROM urls
+WHERE NOT ({likes})
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -6358,6 +6540,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "token_budget_mixture": (q_token_budget_mixture, SQL_TOKEN_BUDGET),
+    "radius_search": (q_radius_search, SQL_RADIUS_SEARCH),
+    "url_blocklist_filter": (q_url_blocklist_filter, _sql_url_blocklist),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best),

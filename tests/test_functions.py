@@ -2714,3 +2714,167 @@ def test_ivfpq_store_prunes_and_matches_full_scan(ray_session, tmp_path):
         m = json.load(f)
     one_cell = int(np.unique(codes.to_pandas()["cell"])[0])
     assert len(_covering_ranges(m, one_cell, one_cell)) < len(m["partitions"])
+
+
+# --------------------------------------------------------------------- #
+# round-5 additions: bpe pairs, token budget, radius search, blocklist
+# --------------------------------------------------------------------- #
+
+
+def test_bpe_pair_counts_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import bpe_pair_counts
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a  b a  b",  # double spaces: empties kept, like STRING_SPLIT
+        "single",
+        "",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want = Counter()
+    for t in texts:
+        toks = (t or "").lower().split(" ")
+        for a, b in zip(toks, toks[1:]):
+            want[(a, b)] += 1
+
+    out = (
+        bpe_pair_counts(ray.data.from_pandas(df).repartition(4), top_k=100)
+        .to_pandas()
+        .sort_values(["cnt", "lhs", "rhs"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    got = {(r.lhs, r.rhs): r.cnt for r in out.itertuples()}
+    assert got == dict(want)
+    # top-1 must be ('the','cat') with count 2 alongside ('a','') etc.
+    assert want[("the", "cat")] == 2 and got[("the", "cat")] == 2
+
+
+def test_bpe_pair_counts_topk_prefilter_parallelism_invariant(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import bpe_pair_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [f"w{i % 7} w{i % 5} w{i % 7} w{i % 3}" for i in range(200)],
+        }
+    )
+
+    def run(parts):
+        out = (
+            bpe_pair_counts(ray.data.from_pandas(df).repartition(parts), top_k=5)
+            .to_pandas()
+            .sort_values(["cnt", "lhs", "rhs"], ascending=[False, True, True])
+            .head(5)
+            .reset_index(drop=True)
+        )
+        return list(map(tuple, out[["lhs", "rhs", "cnt"]].to_numpy()))
+
+    assert run(2) == run(13)
+
+
+def test_token_budget_sample_matches_greedy(ray_session):
+    import ray.data
+
+    import hashlib
+
+    from climatemind_ontology_processing_ray.functions.sample import (
+        token_budget_sample,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{i % 6}" for i in range(n)],
+            "n_chars": rng.randint(10, 200, size=n).astype(np.int64),
+        }
+    )
+    budget = 900
+
+    def hkey(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:16]
+
+    want = {}
+    for s, g in df.groupby("source"):
+        g = g.assign(h=[hkey(i) for i in g.doc_id]).sort_values(["h", "doc_id"])
+        cum = 0
+        for r in g.itertuples():
+            cum += r.n_chars
+            if cum > budget:
+                break
+            want[r.doc_id] = (s, r.n_chars, cum)
+
+    out = token_budget_sample(
+        ray.data.from_pandas(df).repartition(5), budget
+    ).to_pandas()
+    got = {
+        r.doc_id: (r.source, r.n_chars, r.cum) for r in out.itertuples()
+    }
+    assert got == want
+    # parallelism invariance
+    out2 = token_budget_sample(
+        ray.data.from_pandas(df).repartition(11), budget
+    ).to_pandas()
+    assert {r.doc_id: (r.source, r.n_chars, r.cum) for r in out2.itertuples()} == want
+
+
+def test_radius_search_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.ann import radius_search
+
+    rng = np.random.RandomState(3)
+    n, d, quant = 120, 8, 1024
+    V = rng.randn(n, d)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    qm, qids = V[:4], ids[:4]
+
+    vq = np.floor(V * quant + 0.5).astype(np.int64)
+    dots = vq[:4] @ vq.T
+    tau = int(np.quantile(dots, 0.95))
+    want = {
+        (int(qids[i]), int(ids[j]), int(dots[i, j]))
+        for i, j in zip(*np.nonzero(dots >= tau))
+    }
+
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(V)})
+    out = radius_search(
+        ray.data.from_pandas(df).repartition(6), qm, qids, tau, quant=quant
+    ).to_pandas()
+    got = set(map(tuple, out[["query_id", "vec_id", "dot"]].to_numpy()))
+    assert got == want and len(want) > 4
+
+
+def test_prefix_blocklist_filter(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        prefix_blocklist_filter,
+    )
+
+    df = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3, 4],
+            "url": [
+                "https://spam.example.net/x",
+                "https://ok.example.com/a",
+                "https://ok.example.com/ads/b",  # path rule
+                None,  # null url: kept (no prefix matches null)
+                "https://spam.example.net",  # no trailing slash: NOT blocked
+            ],
+        }
+    )
+    out = prefix_blocklist_filter(
+        ray.data.from_pandas(df).repartition(3),
+        ["https://spam.example.net/", "https://ok.example.com/ads/"],
+    ).to_pandas()
+    assert sorted(out["id"]) == [1, 3, 4]
