@@ -831,7 +831,84 @@ def suite_hashops() -> None:
     )
 
 
+def suite_r5ops() -> None:
+    """Round-5 additions at scale: BPE pair counting over 1M docs,
+    token-budget mixture + URL blocklist over 10M rows, radius search
+    over the 500k embedding corpus."""
+    ray, rd = _session()
+    _mutated_docs("/tmp/stress_docs_1m", reps=200, shards=5)
+    docs = rd.read_parquet("/tmp/stress_docs_1m", columns=["doc_id", "text"])
+    from climatemind_ontology_processing_ray.functions.text import bpe_pair_counts
+
+    _t(
+        "bpe_pair_counts @1M docs",
+        lambda: f"{bpe_pair_counts(docs, top_k=50).count()} prefiltered rows",
+    )
+
+    p = "/tmp/stress_mix.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(11)
+        n = 10_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n), pa.int64()),
+                    "source": pa.array(
+                        np.char.add("s", (np.arange(n) % 1000).astype(str))
+                    ),
+                    "n_chars": pa.array(
+                        rng.integers(50, 2000, n).astype(np.int64), pa.int64()
+                    ),
+                }
+            ),
+            p,
+        )
+    mix = rd.read_parquet(p)
+    from climatemind_ontology_processing_ray.functions.sample import (
+        token_budget_sample,
+    )
+
+    _t(
+        "token_budget_sample budget=2M @10M rows x 1000 sources",
+        lambda: f"{token_budget_sample(mix, 2_000_000).count()} kept",
+    )
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        prefix_blocklist_filter,
+    )
+
+    def add_urls(b):
+        ids = b["doc_id"].to_numpy()
+        host = np.array(
+            ["a.example.com", "b.example.com", "spam.example.net"], dtype=object
+        )[ids % 3]
+        return b.assign(
+            url="https://" + pd.Series(host, index=b.index) + "/p/" + ids.astype(str)
+        )
+
+    urls = mix.map_batches(add_urls, batch_format="pandas")
+    _t(
+        "prefix_blocklist_filter @10M urls x 3 rules",
+        lambda: f"{prefix_blocklist_filter(urls, ['https://spam.example.net/']).count()} kept",
+    )
+
+    pe = "/tmp/stress_emb.parquet"
+    from climatemind_ontology_processing_ray.functions.ann import radius_search
+
+    if os.path.exists(pe):
+        emb = rd.read_parquet(pe)
+        qdf = emb.limit(16).to_pandas()
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+        _t(
+            "radius_search 16 queries @500k x 32d",
+            lambda: f"{radius_search(emb, qm, qdf['vec_id'].to_numpy(), 40 * 32768 * 32768).count()} hits",
+        )
+    else:
+        print("radius_search: run `stress.py embed` first to build /tmp/stress_emb")
+
+
 SUITES = {
+    "r5ops": suite_r5ops,
     "hashops": suite_hashops,
     "docs": suite_docs,
     "mergeedges": suite_mergeedges,
