@@ -6358,6 +6358,49 @@ WHERE rn <= {_BPE_TOPK} ORDER BY rn
 """
 
 
+def q_quality_tiers(sf_dir: str):
+    """CCNet head/middle/tail bucketing: per-doc bigram rarity (the
+    integer perplexity surrogate), exact corpus quantile cuts at
+    0.33/0.67 (value thresholds, CCNet's actual semantics — positional
+    NTILE would be tie-pathological on degenerate corpora), then a
+    broadcast-threshold streaming label pass.  Composition of
+    functions/text.py:rarity_score + functions/sketch.py:exact_quantiles;
+    the only exchanges are rarity's gram shuffle and the distinct-value
+    histogram."""
+    from ..functions.sketch import exact_quantiles
+    from ..functions.text import rarity_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rar = rarity_score(ds).materialize()  # reused: quantile pass + label pass
+    cuts = exact_quantiles(rar, "rarity", [0.33, 0.67])
+    t33, t67 = (int(v) for v in cuts["value"])
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rarity"].to_numpy(dtype=np.int64)
+        tier = np.where(r > t67, "head", np.where(r > t33, "middle", "tail"))
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "rarity": r, "tier": tier}
+        )
+
+    out = rar.map_batches(label, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_quality_tiers() -> str:
+    body = SQL_RARITY.strip().rstrip()
+    return f"""
+WITH r AS ({body}),
+cuts AS (
+  SELECT quantile_disc(rarity, 0.33) AS t33,
+         quantile_disc(rarity, 0.67) AS t67 FROM r)
+SELECT doc_id, rarity,
+       CASE WHEN rarity > t67 THEN 'head'
+            WHEN rarity > t33 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM r, cuts ORDER BY doc_id
+"""
+
+
 _MIX_BUDGET = 4_000  # chars per source: nontrivial keep rate at every sf tier
 
 
@@ -6544,6 +6587,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_budget_mixture": (q_token_budget_mixture, SQL_TOKEN_BUDGET),
     "radius_search": (q_radius_search, SQL_RADIUS_SEARCH),
     "url_blocklist_filter": (q_url_blocklist_filter, _sql_url_blocklist),
+    "quality_tiers": (q_quality_tiers, _sql_quality_tiers),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best),

@@ -2878,3 +2878,58 @@ def test_prefix_blocklist_filter(ray_session):
         ["https://spam.example.net/", "https://ok.example.com/ads/"],
     ).to_pandas()
     assert sorted(out["id"]) == [1, 3, 4]
+
+
+def test_bpe_train_classic_example(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.bpe import (
+        bpe_train,
+        word_frequencies,
+    )
+
+    # Sennrich's canonical corpus: low x5, lower x2, newest x6, widest x3
+    docs = ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3]
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [d.strip() for d in docs]})
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    wf = word_frequencies(ds)
+    assert dict(zip(wf.word, wf.cnt)) == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    merges = bpe_train(ds, 4)
+    # est</w> dominates: e+s (9), es+t (9), est+</w> (9), then l+o (7)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+
+def test_bpe_encode_reconstructs_and_compresses(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.bpe import (
+        _encode_word,
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [f"the cat w{i % 3} sat on the mat" for i in range(40)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    merges = bpe_train(ds, 20)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    # reconstruction invariant: concatenated subwords == word + </w>
+    for w in ["the", "cat", "unseen", "w1"]:
+        assert "".join(_encode_word(w, ranks)) == w + "</w>"
+
+    out = bpe_encode(ds, merges).to_pandas().sort_values("doc_id")
+    assert (out["n_words"] == 7).all()
+    # frequent words merged to single symbols => fewer subwords than chars
+    n_chars_plus_eow = sum(len(w) + 1 for w in "the cat w0 sat on the mat".split())
+    assert (out["n_subwords"] < n_chars_plus_eow).all()
+    assert (out["n_subwords"] >= out["n_words"]).all()
+    # parallelism invariance
+    out2 = bpe_encode(ds.repartition(9), merges).to_pandas().sort_values("doc_id")
+    assert out["n_subwords"].tolist() == out2["n_subwords"].tolist()
