@@ -1,0 +1,128 @@
+"""Classifier-based quality curation (fastText-style, made exact).
+
+CCNet/fastText-style corpus curation trains a linear classifier on
+labeled seed documents and scores every page with it.  Floating-point
+logistic weights are not reproducible across BLAS builds, so this
+implements the integer-exact core of the same idea — a per-token
+*sign-test* ("token vote") model:
+
+- **Train** (``token_vote_train``): one distributed pass reduces the
+  corpus to per-token DISTINCT-document frequencies in the positive and
+  negative class (map-side combine inside each batch, one grouped_sum
+  exchange — same shuffle structure as boilerplate mining,
+  `functions/quality.py:ngram_doc_frequency`).  A token votes +1 when it
+  is relatively more common in positive documents
+  (``pos_df * n_neg > neg_df * n_pos`` — the cross-multiplied rational
+  compare, no division), -1 when relatively rarer, 0 otherwise.  The
+  model is the vocab-bounded (token, vote) table — driver-feasible by
+  construction, exactly like a fastText vocabulary.
+- **Score** (``token_vote_score``): the model is broadcast once
+  (``ray.put`` + per-worker ``cached_get``) and every document's score
+  is the sum of its DISTINCT tokens' votes — a zero-shuffle streaming
+  map.  ``pred = score > 0``.
+
+At 100 TB: training's only exchange carries per-block distinct-token
+partials (vocab-bounded per block), and scoring is embarrassingly
+parallel with the model shipped to each worker once.
+
+Reference anchor: generalizes the reference's static keyword heuristics
+(e.g. test-node name filtering, `/root/reference/ontology_processing/
+graph_creation/make_graph.py`) into a trained, corpus-derived scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+from .broadcast import cached_get
+
+
+def _distinct_tokens(texts: pd.Series) -> pd.DataFrame:
+    """(row, tok) pairs, one per DISTINCT token per document.
+
+    Tokenization contract (shared with the SQL oracles): LOWER(text)
+    split on single spaces, empty tokens dropped.
+    """
+    ex = texts.fillna("").str.lower().str.split(" ").explode()
+    frame = pd.DataFrame({"row": ex.index.to_numpy(), "tok": ex.to_numpy()})
+    frame = frame[frame["tok"].notna() & (frame["tok"] != "")]
+    return frame.drop_duplicates()
+
+
+def token_vote_train(
+    ds: Dataset,
+    label_col: str,
+    pos_value,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Train the token-vote model: returns the (tok, vote) table with
+    vote in {-1, +1} (zero-vote tokens are dropped — they contribute
+    nothing to any score)."""
+    from .agg import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        pairs = _distinct_tokens(b[text_col])
+        pos = (b[label_col] == pos_value).to_numpy()
+        pairs["pos_df"] = pos[pairs["row"].to_numpy()].astype("int64")
+        pairs["neg_df"] = (1 - pairs["pos_df"]).astype("int64")
+        out = pairs.groupby("tok", sort=False, as_index=False)[
+            ["pos_df", "neg_df"]
+        ].sum()
+        # class-size partials ride along as a sentinel row ("" is never
+        # a token: empty strings are dropped by the contract above)
+        sent = pd.DataFrame(
+            {
+                "tok": [""],
+                "pos_df": [int(pos.sum())],
+                "neg_df": [int(len(b) - pos.sum())],
+            }
+        )
+        return pd.concat([out, sent], ignore_index=True)
+
+    stats = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["tok"], ["pos_df", "neg_df"]
+    ).to_pandas()  # vocab-bounded by construction (model-sized, not corpus-sized)
+
+    sent = stats[stats["tok"] == ""]
+    n_pos = int(sent["pos_df"].iloc[0]) if len(sent) else 0
+    n_neg = int(sent["neg_df"].iloc[0]) if len(sent) else 0
+    stats = stats[stats["tok"] != ""]
+
+    lhs = stats["pos_df"].to_numpy() * n_neg
+    rhs = stats["neg_df"].to_numpy() * n_pos
+    vote = np.sign(lhs - rhs).astype("int64")
+    model = pd.DataFrame({"tok": stats["tok"].to_numpy(), "vote": vote})
+    return model[model["vote"] != 0].reset_index(drop=True)
+
+
+def token_vote_score(
+    ds: Dataset,
+    model: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Score every document with a trained (tok, vote) model: one
+    broadcast, zero shuffles.  Output: (id_col, score, pred)."""
+    ref = ray.put(dict(zip(model["tok"], model["vote"])))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        votes: dict = cached_get(ref)
+        b = b.reset_index(drop=True)
+        pairs = _distinct_tokens(b[text_col])
+        v = pairs["tok"].map(votes).fillna(0).astype("int64")
+        per_row = v.groupby(pairs["row"].to_numpy()).sum()
+        out = np.zeros(len(b), dtype=np.int64)
+        out[per_row.index.to_numpy()] = per_row.to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].astype("int64"),
+                "score": out,
+                "pred": out > 0,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -325,3 +325,87 @@ def duplicate_spans(
     )
     hits = joined.groupby("__part").map_groups(filter_hits, batch_format="pandas")
     return hits.groupby("__dpart").map_groups(merge_islands, batch_format="pandas")
+
+
+def ngram_novelty(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> Dataset:
+    """Per-document n-gram novelty: how much of a doc is FIRST-SEEN here.
+
+    For each document: ``n_grams`` = its count of distinct word n-grams,
+    ``n_novel`` = how many of those have their corpus-wide first
+    occurrence (minimum ``id_col``) in this document.  The per-doc novel
+    fraction is the classic curriculum/streaming-dedup signal (a doc
+    whose grams all appeared earlier is near-duplicate filler; cf. the
+    substring-dedup span operator above, which finds the spans — this
+    scores the docs).
+
+    Shuffle structure: ``n_grams`` is an exact zero-shuffle per-row map
+    (a doc's distinct grams are local to its row).  First-occurrence
+    needs ONE exchange: per-batch (gram, min doc) partials hash-partition
+    by gram (map-side combine keeps rows at distinct-grams-per-block),
+    then per-partition first-doc counts flow through a doc-keyed
+    grouped_sum (partial counts, corpus-doc-sized — still streaming).
+    The novel counts join back to the base via the outer-safe bucketed
+    hash join.  Tokenization contract: LOWER(text) split on single
+    spaces, empties dropped (shared with the SQL oracle).
+    """
+    from .agg import grouped_min, grouped_sum
+    from .join import bucketed_hash_join
+
+    def doc_grams(t) -> set:
+        words = [w for w in (t or "").lower().split(" ") if w]
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+    def base(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].astype("int64"),
+                "n_grams": [len(doc_grams(t)) for t in b[text_col]],
+            }
+        ).astype({"n_grams": "int64"})
+
+    def gram_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        gs: dict[str, int] = {}
+        for i, t in zip(ids, b[text_col]):
+            for g in doc_grams(t):
+                prev = gs.get(g)
+                if prev is None or i < prev:
+                    gs[g] = i
+        return pd.DataFrame(
+            {"gram": list(gs.keys()), "first_doc": list(gs.values())}
+        ).astype({"first_doc": "int64"})
+
+    firsts = grouped_min(
+        ds.map_batches(gram_partial, batch_format="pandas"), ["gram"], ["first_doc"]
+    )
+
+    def novel_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["first_doc"].value_counts()
+        return pd.DataFrame(
+            {id_col: vc.index.astype("int64"), "n_novel": vc.to_numpy().astype("int64")}
+        )
+
+    novel = grouped_sum(
+        firsts.map_batches(novel_partial, batch_format="pandas"), [id_col], ["n_novel"]
+    )
+
+    joined = bucketed_hash_join(
+        ds.map_batches(base, batch_format="pandas"), novel, id_col, join_type="left outer"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].astype("int64"),
+                "n_grams": b["n_grams"].fillna(0).astype("int64"),
+                "n_novel": b["n_novel"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -6401,6 +6401,89 @@ FROM r, cuts ORDER BY doc_id
 """
 
 
+def q_token_vote_quality(sf_dir: str):
+    """fastText-style classifier curation, integer-exact: train a
+    per-token sign-test model on the lang='en' seed class (one
+    distinct-token-frequency exchange), broadcast the vocab-bounded
+    (tok, vote) table, score every doc in a zero-shuffle map.
+    functions/classify.py:token_vote_train/token_vote_score."""
+    from ..functions.classify import token_vote_score, token_vote_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = token_vote_train(ds, "lang", "en")
+    out = token_vote_score(ds, model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TOKEN_VOTE = """
+WITH docs AS (
+  SELECT doc_id, COALESCE(LOWER(text), '') AS t, (lang = 'en') AS pos
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, pos,
+         UNNEST(LIST_FILTER(STRING_SPLIT(t, ' '), x -> x <> '')) AS tok
+  FROM docs),
+n AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg FROM docs),
+stats AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_df,
+         SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS neg_df
+  FROM pairs GROUP BY tok),
+votes AS (
+  SELECT tok,
+         CASE WHEN pos_df * n.n_neg > neg_df * n.n_pos THEN 1
+              WHEN pos_df * n.n_neg < neg_df * n.n_pos THEN -1
+              ELSE 0 END AS vote
+  FROM stats, n),
+scores AS (
+  SELECT p.doc_id, SUM(v.vote) AS score
+  FROM pairs p JOIN votes v USING (tok) GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       (COALESCE(s.score, 0) > 0) AS pred
+FROM (SELECT doc_id FROM documents) d LEFT JOIN scores s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc first-occurrence 3-gram novelty (curriculum / streaming-
+    dedup signal): n_grams is a zero-shuffle per-row map; first-seen
+    needs one gram-keyed min exchange; novel counts re-key by doc and
+    join back via the outer-safe bucketed hash join.
+    functions/quality.py:ngram_novelty."""
+    from ..functions.quality import ngram_novelty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_novelty(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH docs AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(COALESCE(LOWER(text), ''), ' '),
+                     x -> x <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM docs WHERE LEN(w) >= 3),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+base AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY first_doc)
+SELECT d.doc_id,
+       CAST(COALESCE(b.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN base b USING (doc_id)
+LEFT JOIN novel nv USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 _MIX_BUDGET = 4_000  # chars per source: nontrivial keep rate at every sf tier
 
 
@@ -6588,6 +6671,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "radius_search": (q_radius_search, SQL_RADIUS_SEARCH),
     "url_blocklist_filter": (q_url_blocklist_filter, _sql_url_blocklist),
     "quality_tiers": (q_quality_tiers, _sql_quality_tiers),
+    "token_vote_quality": (q_token_vote_quality, SQL_TOKEN_VOTE),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best),
