@@ -2933,3 +2933,135 @@ def test_bpe_encode_reconstructs_and_compresses(ray_session):
     # parallelism invariance
     out2 = bpe_encode(ds.repartition(9), merges).to_pandas().sort_values("doc_id")
     assert out["n_subwords"].tolist() == out2["n_subwords"].tolist()
+
+
+def test_token_vote_classifier_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.classify import (
+        token_vote_score,
+        token_vote_train,
+    )
+
+    texts = [
+        ("good clean prose here", "en"),
+        ("good solid prose again", "en"),
+        ("ruido basura spam spam", "es"),
+        ("basura ruido aqui", "es"),
+        ("prose with ruido mixed", "en"),
+        ("", "es"),
+        (None, "en"),
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": [t for t, _ in texts],
+            "lang": [l for _, l in texts],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    model = token_vote_train(ds, "lang", "en")
+
+    # brute-force the sign-test votes
+    n_pos = sum(1 for _, l in texts if l == "en")
+    n_neg = len(texts) - n_pos
+    from collections import defaultdict
+
+    pos_df: dict = defaultdict(int)
+    neg_df: dict = defaultdict(int)
+    for t, l in texts:
+        toks = {w for w in (t or "").lower().split(" ") if w}
+        for w in toks:
+            (pos_df if l == "en" else neg_df)[w] += 1
+    want_votes = {}
+    for w in set(pos_df) | set(neg_df):
+        lhs, rhs = pos_df[w] * n_neg, neg_df[w] * n_pos
+        if lhs != rhs:
+            want_votes[w] = 1 if lhs > rhs else -1
+    got_votes = dict(zip(model["tok"], model["vote"]))
+    assert got_votes == want_votes
+
+    out = (
+        token_vote_score(ds, model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for r in out.itertuples():
+        t = texts[r.doc_id][0]
+        toks = {w for w in (t or "").lower().split(" ") if w}
+        want = sum(want_votes.get(w, 0) for w in toks)
+        assert r.score == want and r.pred == (want > 0)
+    # positive-class docs must outscore the negative seed docs
+    assert out.loc[0, "pred"] and not out.loc[2, "pred"]
+
+
+def test_token_vote_parallelism_invariant(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.classify import (
+        token_vote_score,
+        token_vote_train,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab_pos = ["alpha", "beta", "gamma"]
+    vocab_neg = ["zeta", "eta", "theta"]
+    rows = []
+    for i in range(60):
+        pos = i % 2 == 0
+        words = rng.choice(vocab_pos if pos else vocab_neg, size=5).tolist()
+        words.append("shared")
+        rows.append(
+            {"doc_id": i, "text": " ".join(words), "lang": "en" if pos else "xx"}
+        )
+    df = pd.DataFrame(rows)
+
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        model = token_vote_train(ds, "lang", "en")
+        outs.append(
+            token_vote_score(ds, model)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["pred"].iloc[0] and not outs[0]["pred"].iloc[1]
+
+
+def test_ngram_novelty_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.quality import ngram_novelty
+
+    texts = [
+        "a b c d",          # grams: abc, bcd -> both first-seen here
+        "a b c d e",        # grams: abc, bcd, cde -> only cde novel
+        "x y",              # < 3 words: zero grams
+        "",                 # empty
+        None,               # null
+        "a b c d",          # all grams seen in doc 0
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        ngram_novelty(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # brute force
+    first: dict = {}
+    grams_of = []
+    for i, t in enumerate(texts):
+        w = [x for x in (t or "").lower().split(" ") if x]
+        gs = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+        grams_of.append(gs)
+        for g in gs:
+            first.setdefault(g, i)
+    for r in out.itertuples():
+        gs = grams_of[r.doc_id]
+        assert r.n_grams == len(gs)
+        assert r.n_novel == sum(1 for g in gs if first[g] == r.doc_id)
+    assert out["n_grams"].tolist() == [2, 3, 0, 0, 0, 2]
+    assert out["n_novel"].tolist() == [2, 1, 0, 0, 0, 0]
