@@ -2586,6 +2586,73 @@ def _kg_oracle_pages_path(n_pages: int) -> str:
     return path
 
 
+def _kg_oracle_html_path(n_pages: int) -> str:
+    """Sibling of :func:`_kg_oracle_pages_path` carrying (url, html-as-
+    text) for oracles over raw markup (link graph).  The cache-key digest
+    is DERIVED from the pages path, so any generator/fixture change that
+    invalidates the text corpus invalidates this one too."""
+    base = _kg_oracle_pages_path(n_pages)
+    digest = os.path.basename(base).rsplit("_", 1)[1].split(".")[0]
+    path = os.path.join(_KG_ORACLE_DIR, f"html_n{n_pages}_{digest}.parquet")
+    if not os.path.exists(path):
+        from ..ontology.fixture import build_fixture_snapshot
+        from ..sources.pages import generate_pages
+
+        table, _ = generate_pages(build_fixture_snapshot(), n_pages, seed=13)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": table.column("url"),
+                    "html": pc.cast(table.column("html"), pa.string()),
+                }
+            ),
+            path + ".tmp",
+        )
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_link_graph(sf_dir: str):
+    """Hyperlink graph over the crawl corpus: compiled-regex href
+    extraction + root-relative URL resolution (zero-shuffle map), then
+    per-target total and distinct-source in-link counts (one grouped_sum
+    exchange + one pair-partitioned exact distinct).
+    functions/links.py:extract_links/inlink_counts."""
+    from ..functions.links import extract_links, inlink_counts
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    out = inlink_counts(extract_links(pages)).to_pandas()
+    return out.sort_values("dst").reset_index(drop=True)
+
+
+def _sql_link_graph() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+links AS (
+  SELECT url AS src,
+         UNNEST(regexp_extract_all(html, 'href=["'']([^"'']*)["'']', 1)) AS href
+  FROM pages),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS dst
+  FROM links)
+SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src_pages
+FROM resolved GROUP BY dst ORDER BY dst
+"""
+
+
 def _kg_edges_cte(pages_path: str) -> str:
     """Shared CTE chain pages -> linked triples, built from the fixture's
     surface index + the extractor's connective table (both deterministic).
@@ -6695,6 +6762,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "kg_extract": (q_kg_extract, SQL_KG_EXTRACT),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "link_graph": (q_link_graph, _sql_link_graph),
     "kg_canonical_edges": (q_kg_canonical_edges, _sql_kg_canonical_edges),
     "kg_adjacency": (q_kg_adjacency, _sql_kg_adjacency),
     "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),

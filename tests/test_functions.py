@@ -3065,3 +3065,55 @@ def test_ngram_novelty_matches_bruteforce(ray_session):
         assert r.n_novel == sum(1 for g in gs if first[g] == r.doc_id)
     assert out["n_grams"].tolist() == [2, 3, 0, 0, 0, 2]
     assert out["n_novel"].tolist() == [2, 1, 0, 0, 0, 0]
+
+
+def test_extract_links_and_inlink_counts(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.links import (
+        extract_links,
+        inlink_counts,
+    )
+
+    pages = [
+        # bytes html, single-quoted hrefs, duplicates kept
+        ("https://a.example/p1", b"<a href='/'>Home</a> <a href='/'>Home</a>"),
+        # double-quoted + absolute + path-relative
+        (
+            "https://a.example/p2",
+            b'<a href="https://b.example/x">X</a> <a href="sub/page">S</a>',
+        ),
+        ("https://b.example/q", b"<a href='/about'>About</a>"),
+        ("https://c.example/r", b"no links here"),
+        ("https://c.example/s", None),
+    ]
+    df = pd.DataFrame({"url": [u for u, _ in pages], "html": [h for _, h in pages]})
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    links = (
+        extract_links(ds).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    want_links = sorted(
+        [
+            ("https://a.example/p1", "https://a.example/"),
+            ("https://a.example/p1", "https://a.example/"),
+            ("https://a.example/p2", "https://b.example/x"),
+            ("https://a.example/p2", "https://a.example/sub/page"),
+            ("https://b.example/q", "https://b.example/about"),
+        ]
+    )
+    assert list(map(tuple, links.to_numpy())) == want_links
+
+    counts = (
+        inlink_counts(extract_links(ds))
+        .to_pandas()
+        .sort_values("dst")
+        .reset_index(drop=True)
+    )
+    got = {r.dst: (r.n_links, r.n_src_pages) for r in counts.itertuples()}
+    assert got == {
+        "https://a.example/": (2, 1),
+        "https://a.example/sub/page": (1, 1),
+        "https://b.example/about": (1, 1),
+        "https://b.example/x": (1, 1),
+    }
