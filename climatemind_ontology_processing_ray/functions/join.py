@@ -253,13 +253,20 @@ def _bucketed_membership_join(
     unioned = l_tagged.union(r_tagged)
     l_other = [n for n in l_names if n != key]
 
-    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        _quiet_size_estimator()
-        l = g[g["__side"] == 0][[key] + l_other]
-        member = l[key].isin(set(g.loc[g["__side"] == 1, key]))
-        return l[member] if keep_matches else l[~member]
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native so left columns keep their exact types: the right
+        # side's null-padded rows would force pandas to upcast int64 ->
+        # float64 for the whole group frame, leaking floats into the
+        # anti/semi output even though only left rows survive.
+        import pyarrow.compute as pc
 
-    return unioned.groupby("__bucket").map_groups(filter_bucket, batch_format="pandas")
+        side = g.column("__side")
+        l = g.filter(pc.equal(side, 0)).select([key] + l_other)
+        r_keys = pc.unique(g.filter(pc.equal(side, 1)).column(key))
+        member = pc.is_in(l.column(key), value_set=r_keys)
+        return l.filter(member if keep_matches else pc.invert(member))
+
+    return unioned.groupby("__bucket").map_groups(filter_bucket, batch_format="pyarrow")
 
 
 def bucketed_semi_join(

@@ -2653,6 +2653,65 @@ FROM resolved GROUP BY dst ORDER BY dst
 """
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Crawl frontier discovery: link targets NOT yet in the crawled URL
+    set, prioritized by in-link count — the operator a crawler runs
+    between fetch rounds.  Composition: link extraction (zero-shuffle) →
+    in-link counts (bounded exchanges) → bucketed ANTI join against the
+    crawled set (both sides stream; no broadcast of the billion-URL
+    crawl set).  functions/links.py + functions/join.py:bucketed_anti_join."""
+    from ..functions.join import bucketed_anti_join
+    from ..functions.links import extract_links, inlink_counts
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    counts = inlink_counts(extract_links(pages)).map_batches(
+        lambda b: b.rename(columns={"dst": "url"}), batch_format="pandas"
+    )
+    crawled = rd.from_arrow(table.select(["url"]))
+    out = bucketed_anti_join(counts, crawled, "url").to_pandas()
+    # the anti-join tag stage aligns batches to the Dataset's SAMPLED
+    # schema; a sampled outer-join bucket with nulls reports double for
+    # the count columns, so pin the exact int64 the oracle emits
+    out = out.astype({"n_links": "int64", "n_src_pages": "int64"})
+    return (
+        out[["url", "n_links", "n_src_pages"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_crawl_frontier() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+links AS (
+  SELECT url AS src,
+         UNNEST(regexp_extract_all(html, 'href=["'']([^"'']*)["'']', 1)) AS href
+  FROM pages),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS dst
+  FROM links),
+counts AS (
+  SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src_pages
+  FROM resolved GROUP BY dst)
+SELECT c.url, c.n_links, c.n_src_pages
+FROM counts c WHERE NOT EXISTS (SELECT 1 FROM pages p WHERE p.url = c.url)
+ORDER BY c.url
+"""
+
+
 def _kg_edges_cte(pages_path: str) -> str:
     """Shared CTE chain pages -> linked triples, built from the fixture's
     surface index + the extractor's connective table (both deterministic).
@@ -6763,6 +6822,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kg_extract": (q_kg_extract, SQL_KG_EXTRACT),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "link_graph": (q_link_graph, _sql_link_graph),
+    "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier),
     "kg_canonical_edges": (q_kg_canonical_edges, _sql_kg_canonical_edges),
     "kg_adjacency": (q_kg_adjacency, _sql_kg_adjacency),
     "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),
