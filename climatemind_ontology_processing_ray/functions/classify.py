@@ -126,3 +126,105 @@ def token_vote_score(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _all_tokens(texts: pd.Series) -> pd.DataFrame:
+    """(row, tok) pairs, one per token OCCURRENCE (multiplicity kept —
+    the multiclass vote weighs tokens by occurrence count).  Same
+    tokenization contract as :func:`_distinct_tokens`."""
+    ex = texts.fillna("").str.lower().str.split(" ").explode()
+    frame = pd.DataFrame({"row": ex.index.to_numpy(), "tok": ex.to_numpy()})
+    return frame[frame["tok"].notna() & (frame["tok"] != "")]
+
+
+def lang_profile_train(
+    ds: Dataset,
+    label_col: str,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Multiclass Naive-Bayes-style language profiles, made exact.
+
+    One distributed pass reduces the corpus to per-(label, token)
+    occurrence counts (map-side combine per batch, one grouped_sum
+    exchange — the token-vote shuffle shape, multiclass).  Each token's
+    predicted label is the argmax over labels of its RELATIVE frequency
+    c[l,t] / T[l]; the comparison is the cross-multiplied rational
+    compare c_a * T_b > c_b * T_a evaluated in Python ints (exact at any
+    corpus size — int64 would overflow at c ~ 1e6 x T ~ 1e9), ties
+    broken toward the lexicographically smallest label.  The model is
+    the vocab-bounded (tok, lang) table.
+    """
+    from .agg import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        pairs = _all_tokens(b[text_col])
+        pairs["lang"] = b[label_col].to_numpy()[pairs["row"].to_numpy()]
+        out = pairs.groupby(["lang", "tok"], sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    stats = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "tok"], ["c"]
+    ).to_pandas()  # bounded by n_labels x vocab — model-sized
+
+    grid = (
+        stats.pivot_table(index="tok", columns="lang", values="c", fill_value=0)
+        .astype("int64")
+        .sort_index(axis=1)
+    )
+    langs = list(grid.columns)
+    totals = {l: int(grid[l].sum()) for l in langs}
+    # exact argmax sweep: labels ascending, strict > replaces — ties keep
+    # the smaller label.  Object-int arrays: vocab-bounded driver work.
+    best = np.full(len(grid), langs[0], dtype=object)
+    best_c = grid[langs[0]].to_numpy().astype(object)
+    best_t = np.full(len(grid), totals[langs[0]], dtype=object)
+    for l in langs[1:]:
+        c = grid[l].to_numpy().astype(object)
+        better = (c * best_t) > (best_c * np.asarray(totals[l], dtype=object))
+        best[better] = l
+        best_c[better] = c[better]
+        best_t[better] = totals[l]
+    return pd.DataFrame({"tok": grid.index.to_numpy(), "lang": best.astype(str)})
+
+
+def lang_profile_score(
+    ds: Dataset,
+    model: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> Dataset:
+    """Predict a label per document with a trained (tok, lang) profile:
+    one broadcast, zero shuffles.  Each token occurrence votes for its
+    profile label; the document's prediction is the majority vote, ties
+    toward the lexicographically smallest label.  Documents with no
+    model-covered tokens are omitted (inner-join semantics, matching
+    the SQL oracle).  Output: (id_col, pred_lang, *keep_cols)."""
+    ref = ray.put(dict(zip(model["tok"], model["lang"])))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        profile: dict = cached_get(ref)
+        b = b.reset_index(drop=True)
+        pairs = _all_tokens(b[text_col])
+        pairs["lang"] = pairs["tok"].map(profile)
+        pairs = pairs[pairs["lang"].notna()]
+        votes = (
+            pairs.groupby(["row", "lang"], sort=False).size().reset_index(name="n")
+        )
+        top = votes.sort_values(
+            ["row", "n", "lang"], ascending=[True, False, True]
+        ).drop_duplicates("row")
+        rows = top["row"].to_numpy()
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[rows],
+                "pred_lang": top["lang"].to_numpy(),
+            }
+        )
+        for col in keep_cols:
+            out[col] = b[col].to_numpy()[rows]
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -6573,6 +6573,65 @@ ORDER BY doc_id
 """
 
 
+def q_lang_id(sf_dir: str):
+    """Multiclass language identification via trained token profiles
+    (Naive-Bayes argmax made integer-exact): one (lang, tok) count
+    exchange to train, cross-multiplied rational argmax on the driver
+    (vocab-bounded), broadcast profile + zero-shuffle majority-vote
+    scoring.  functions/classify.py:lang_profile_train/
+    lang_profile_score."""
+    from ..functions.classify import lang_profile_score, lang_profile_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = lang_profile_train(ds, "lang")
+    out = lang_profile_score(ds, model, keep_cols=("lang",)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "pred_lang", "lang"]
+    ]
+
+
+SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok),
+tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY lang),
+grid AS (
+  SELECT v.tok, l.lang, COALESCE(c.c, 0) AS c, l.t
+  FROM (SELECT DISTINCT tok FROM cnt) v
+  CROSS JOIN tot l
+  LEFT JOIN cnt c ON c.tok = v.tok AND c.lang = l.lang),
+wins AS (
+  SELECT a.tok, a.lang,
+         SUM(CASE WHEN CAST(a.c AS HUGEINT) * b.t > CAST(b.c AS HUGEINT) * a.t
+                   OR (CAST(a.c AS HUGEINT) * b.t = CAST(b.c AS HUGEINT) * a.t
+                       AND a.lang < b.lang)
+             THEN 1 ELSE 0 END) AS w
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.lang <> b.lang
+  GROUP BY a.tok, a.lang),
+winner AS (
+  SELECT tok, lang FROM wins
+  WHERE w = (SELECT COUNT(*) FROM tot) - 1),
+votes AS (
+  SELECT t.doc_id, w.lang, COUNT(*) AS n
+  FROM toks t JOIN winner w ON w.tok = t.tok
+  GROUP BY t.doc_id, w.lang),
+pred AS (
+  SELECT doc_id, lang AS pred_lang
+  FROM (SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, lang ASC) AS rn
+        FROM votes)
+  WHERE rn = 1)
+SELECT d.doc_id, p.pred_lang, d.lang
+FROM documents d JOIN pred p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-doc first-occurrence 3-gram novelty (curriculum / streaming-
     dedup signal): n_grams is a zero-shuffle per-row map; first-seen
@@ -6798,6 +6857,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "url_blocklist_filter": (q_url_blocklist_filter, _sql_url_blocklist),
     "quality_tiers": (q_quality_tiers, _sql_quality_tiers),
     "token_vote_quality": (q_token_vote_quality, SQL_TOKEN_VOTE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -3117,3 +3117,57 @@ def test_extract_links_and_inlink_counts(ray_session):
         "https://b.example/about": (1, 1),
         "https://b.example/x": (1, 1),
     }
+
+
+def test_lang_profile_multiclass_exact_ties(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.classify import (
+        lang_profile_score,
+        lang_profile_train,
+    )
+
+    # planted corpus: "shared" has EQUAL relative frequency in de and en
+    # (1/4 each) -> tie must break to 'de' (lexicographically smaller);
+    # "nur" only in de; "only" only in en; "mas" dominant in es.
+    texts = [
+        ("shared nur nur shared", "de"),          # de total 4
+        ("shared only only shared", "en"),        # en total 4
+        ("mas mas mas shared", "es"),             # es total 4, shared 1/4 too
+        ("", "en"),
+        (None, "de"),
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": [t for t, _ in texts],
+            "lang": [l for _, l in texts],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    model = lang_profile_train(ds, "lang")
+    profile = dict(zip(model["tok"], model["lang"]))
+    # three-way exact tie on relative frequency -> smallest label wins
+    assert profile == {"shared": "de", "nur": "de", "only": "en", "mas": "es"}
+
+    out = (
+        lang_profile_score(ds, model, keep_cols=("lang",))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # empty/None docs omitted (no covered tokens)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    # doc 0: 2x shared->de + 2x nur->de = de; doc 1: 2 de vs 2 en votes,
+    # majority TIE breaks to the smaller label 'de'; doc 2: mas wins
+    assert out["pred_lang"].tolist() == ["de", "de", "es"]
+    assert out["lang"].tolist() == ["de", "en", "es"]
+
+    # parallelism invariance
+    out2 = (
+        lang_profile_score(ds.repartition(5), model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2["pred_lang"].tolist() == out["pred_lang"].tolist()
