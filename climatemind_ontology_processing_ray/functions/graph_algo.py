@@ -554,3 +554,132 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge in {max_rounds} peel rounds — raise max_rounds"
     )
+
+
+def sssp_hops(
+    edges: Dataset,
+    sources: Dataset,
+    max_hops: int,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    weight_col: str = "w",
+    node_col: str = "node",
+    driver_threshold: int = 250_000,
+) -> Dataset:
+    """Bounded-hop weighted shortest paths over the UNDIRECTED simple
+    graph: (node, cost) = min total weight over paths of <= ``max_hops``
+    edges from any source (sources at cost 0).  Weights are int64 and
+    min is exact, so the result is unique regardless of partitioning —
+    the ``bfs_levels`` determinism contract, weighted.  Parallel edges
+    collapse to their MIN weight; self-loops drop.
+
+    Two execution shapes, gated like ``bfs_levels``:
+
+    - distinct edge count <= ``driver_threshold``: collect the provably
+      small edge table once and relax on the driver (each distributed
+      round costs ~1-2s of fixed scheduling — at small m that IS the
+      runtime).
+    - above: delta-based Bellman-Ford — each round expands only the
+      nodes whose cost improved last round through one bucketed hash
+      join, folds candidates with a coarse-partition grouped MIN, and
+      detects improvements with one outer join against the label table.
+      All per-round state (labels, frontier) is node-sized and stays
+      distributed; blocks are pinned so lineage does not re-execute
+      geometrically.
+    """
+    from .agg import grouped_min
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str)
+        c = b[dst_col].astype(str)
+        w = b[weight_col].astype("int64")
+        keep = a != c
+        a, c, w = a[keep], c[keep], w[keep]
+        return pd.DataFrame(
+            {"u": np.minimum(a, c), "v": np.maximum(a, c), "w": w}
+        )
+
+    # undirected weighted simple graph: min weight per normalized pair,
+    # then both directions
+    uw = grouped_min(
+        edges.map_batches(norm, batch_format="pandas"), ["u", "v"], ["w"]
+    )
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([b.u, b.v], ignore_index=True),
+                "nbr": pd.concat([b.v, b.u], ignore_index=True),
+                "w": pd.concat([b.w, b.w], ignore_index=True).astype("int64"),
+            }
+        )
+
+    ue = uw.map_batches(both, batch_format="pandas").materialize()
+
+    if ue.count() <= 2 * driver_threshold:  # ue holds both directions
+        edf = ue.to_pandas()
+        sdf = sources.to_pandas()
+        cost: dict[str, int] = {str(s): 0 for s in sdf[node_col]}
+        frontier = dict(cost)
+        for _ in range(max_hops):
+            if not frontier:
+                break
+            f = pd.DataFrame(
+                {"node": list(frontier), "cost": list(frontier.values())}
+            )
+            hop = edf.merge(f, on="node")
+            if not len(hop):
+                break
+            cand = (hop["cost"] + hop["w"]).groupby(hop["nbr"].to_numpy()).min()
+            frontier = {
+                n: int(c)
+                for n, c in cand.items()
+                if n not in cost or c < cost[n]
+            }
+            cost.update(frontier)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": list(cost),
+                    "cost": pd.Series(list(cost.values()), dtype="int64"),
+                }
+            )
+        )
+
+    def as_label(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b[node_col].astype(str), "cost": np.int64(0)})
+
+    labels = pin_blocks(sources.map_batches(as_label, batch_format="pandas"), 16)
+    frontier = labels
+
+    for _ in range(max_hops):
+        if frontier.count() == 0:
+            break
+        hops = bucketed_hash_join(frontier, ue, "node").map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b.nbr, "cost": (b.cost + b.w).astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        cand = grouped_min(hops, ["node"], ["cost"])
+        # improvements only: candidates strictly below the current label
+        # (or unlabeled).  cost columns collide -> _l/_r suffixes.
+        merged = bucketed_hash_join(cand, labels, "node", join_type="left outer")
+        frontier = pin_blocks(
+            merged.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["node"],
+                        "cost": b["cost_l"].astype("int64"),
+                    }
+                )[b["cost_r"].isna().to_numpy() | (b["cost_l"] < b["cost_r"]).to_numpy()],
+                batch_format="pandas",
+            ),
+            16,
+        )
+        labels = pin_blocks(
+            grouped_min(labels.union(frontier), ["node"], ["cost"]), 16
+        )
+    return labels

@@ -4813,6 +4813,51 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+_SSSP_HOPS = 3
+
+
+def q_doc_graph_sssp(sf_dir: str):
+    """Bounded-hop WEIGHTED shortest paths from the doc_id % 50 == 0
+    seeds over the document-similarity graph, edge weight
+    (u + v) % 5 + 1 — delta-based Bellman-Ford, integer-exact min-plus
+    relaxation (one bucketed join + grouped MIN + improvement outer-join
+    per round).  functions/graph_algo.py:sssp_hops."""
+    from ..functions.graph_algo import sssp_hops
+
+    edges = _doc_sim_edges(sf_dir).map_batches(
+        lambda b: b.assign(w=((b.subject + b.object) % 5 + 1).astype("int64")),
+        batch_format="pandas",
+    )
+    sources = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .filter(lambda r: r["doc_id"] % 50 == 0)
+        .map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}), batch_format="pandas"
+        )
+    )
+    out = sssp_hops(edges, sources, _SSSP_HOPS).to_pandas()
+    out["cost"] = out["cost"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_DOC_GRAPH_SSSP = f"""
+WITH RECURSIVE {_SIM_EDGES_SQL},
+we AS (SELECT u, v, (u + v) % 5 + 1 AS w FROM e0),
+uw AS (SELECT u AS node, v AS nbr, w FROM we
+       UNION ALL SELECT v, u, w FROM we),
+src AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM src
+  UNION
+  SELECT uw.nbr, walk.cost + uw.w, walk.hops + 1
+  FROM walk JOIN uw ON uw.node = walk.node
+  WHERE walk.hops < {_SSSP_HOPS}
+)
+SELECT CAST(node AS VARCHAR) AS node, CAST(MIN(cost) AS BIGINT) AS cost
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def q_similarity_join(sf_dir: str):
     """EXACT all-pairs Jaccard >= 0.6 over 3-gram shingle sets via
     prefix filtering (All-Pairs/PPJoin; functions/simjoin.py) — no
@@ -6936,6 +6981,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "doc_graph_kcore": (q_doc_graph_kcore, _sql_doc_graph_kcore),
     "doc_graph_bfs": (q_doc_graph_bfs, SQL_DOC_GRAPH_BFS),
+    "doc_graph_sssp": (q_doc_graph_sssp, SQL_DOC_GRAPH_SSSP),
     "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

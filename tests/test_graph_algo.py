@@ -288,3 +288,67 @@ class TestShardedInvertedIndex:
         joined = ",".join(hot.postings)
         assert joined == flat.loc["hot", "postings"]
         assert int(hot.df.sum()) == int(flat.loc["hot", "df"])
+
+
+class TestSsspHops:
+    def _ring_edges(self, n=12):
+        # weighted ring + one chord: costs differ from hop counts, so a
+        # wrong (BFS-like) implementation fails
+        rows = []
+        for i in range(n):
+            rows.append((i, (i + 1) % n, (i % 3) + 1))
+        rows.append((0, 3, 10))  # heavy chord: 3 hops around is cheaper
+        return pd.DataFrame(rows, columns=["subject", "object", "w"])
+
+    def _brute(self, edf, sources, k):
+        # exact <=k-edge min cost by full Bellman-Ford rounds
+        import collections
+
+        adj = collections.defaultdict(list)
+        for s, o, w in edf.itertuples(index=False):
+            adj[str(s)].append((str(o), w))
+            adj[str(o)].append((str(s), w))
+        cost = {str(s): 0 for s in sources}
+        for _ in range(k):
+            nxt = dict(cost)
+            for u, c in cost.items():
+                for v, w in adj[u]:
+                    if v not in nxt or c + w < nxt[v]:
+                        nxt[v] = c + w
+            cost = nxt
+        return cost
+
+    @pytest.mark.parametrize("threshold", [250_000, 0])
+    def test_matches_bruteforce_both_paths(self, ray_session, threshold):
+        from climatemind_ontology_processing_ray.functions.graph_algo import sssp_hops
+
+        edf = self._ring_edges()
+        edges = rd.from_pandas(edf).repartition(3)
+        sources = rd.from_pandas(pd.DataFrame({"node": [0]}))
+        out = (
+            sssp_hops(edges, sources, 3, driver_threshold=threshold)
+            .to_pandas()
+            .sort_values("node")
+        )
+        want = self._brute(edf, [0], 3)
+        got = dict(zip(out["node"], out["cost"].astype(int)))
+        assert got == want
+        # the heavy chord must NOT be the cost to node 3: 1+2+3=6 < 10
+        assert got["3"] == 6
+
+    def test_parallel_edges_collapse_to_min(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.graph_algo import sssp_hops
+
+        edf = pd.DataFrame(
+            {"subject": [1, 2, 1, 1], "object": [2, 1, 2, 1], "w": [5, 2, 9, 7]}
+        )  # parallel edges both directions -> min w=2; self-loop drops
+        out = (
+            sssp_hops(
+                rd.from_pandas(edf),
+                rd.from_pandas(pd.DataFrame({"node": [1]})),
+                2,
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out["node"], out["cost"])) == {"1": 0, "2": 2}
