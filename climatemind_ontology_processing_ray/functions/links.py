@@ -50,6 +50,15 @@ _HREF_RE = re.compile(r"""href=["']([^"']*)["']""")
 _HOST_RE = re.compile(r"^(https?://[^/]+)")
 
 
+def _resolve(src: pd.Series, href: pd.Series) -> np.ndarray:
+    """Vectorized href resolution (the URL contract above): absolute
+    kept, root-relative joins scheme+host, else scheme+host+'/'+href."""
+    is_abs = href.str.match(r"https?://")
+    host = src.str.extract(_HOST_RE, expand=False).fillna("")
+    is_root = href.str.startswith("/")
+    return np.where(is_abs, href, np.where(is_root, host + href, host + "/" + href))
+
+
 def extract_links(
     ds: Dataset,
     url_col: str = "url",
@@ -69,14 +78,7 @@ def extract_links(
         src = np.repeat(b[url_col].to_numpy(), counts)
         href = np.concatenate([np.asarray(h, dtype=object) for h in hits]) if counts.sum() else np.array([], dtype=object)
         out = pd.DataFrame({"src": src, "href": href})
-        is_abs = out["href"].str.match(r"https?://")
-        host = out["src"].str.extract(_HOST_RE, expand=False).fillna("")
-        is_root = out["href"].str.startswith("/")
-        out["dst"] = np.where(
-            is_abs,
-            out["href"],
-            np.where(is_root, host + out["href"], host + "/" + out["href"]),
-        )
+        out["dst"] = _resolve(out["src"], out["href"])
         return out[["src", "dst"]]
 
     return ds.map_batches(per_batch, batch_format="pandas")
@@ -109,3 +111,59 @@ def inlink_counts(links: Dataset) -> Dataset:
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# anchor contract (shared with the SQL oracle): single-quoted hrefs,
+# PLAIN anchor text only (the pattern requires </a> right after the
+# text — anchors with nested markup are out of the checked envelope,
+# like ../ path resolution above); text normalized LOWER(TRIM(.)).
+_ANCHOR_RE = re.compile(r"<a [^>]*?href='([^']*)'[^>]*>([^<]*)</a>")
+
+
+def anchor_texts(
+    ds: Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> Dataset:
+    """Per-target anchor-text index: (url, anchor, n) — the web-retrieval
+    alias/ranking signal (anchor text describes the TARGET page).
+
+    Zero-shuffle regex pass (pandas ``str.extractall`` — both capture
+    groups in one vectorized call), resolution shared with
+    :func:`extract_links`, then map-side (dst, anchor) combine feeding
+    ONE grouped_sum exchange; output is bounded by distinct
+    (target, anchor) pairs.
+    """
+    from .agg import grouped_sum
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)  # extractall level-0 must be positional
+        raw = b[html_col]
+        if len(raw) and isinstance(raw.iloc[0], (bytes, bytearray)):
+            html = raw.map(lambda v: v.decode("utf-8", "replace") if v is not None else "")
+        else:
+            html = raw.fillna("")
+        hits = html.str.extractall(_ANCHOR_RE)
+        if not len(hits):
+            return pd.DataFrame(
+                {"url": pd.Series([], dtype=str),
+                 "anchor": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        src = b[url_col].to_numpy()[hits.index.get_level_values(0).to_numpy()]
+        out = pd.DataFrame(
+            {
+                "url": _resolve(pd.Series(src), hits[0].reset_index(drop=True)),
+                "anchor": hits[1].str.strip().str.lower().to_numpy(),
+            }
+        )
+        return (
+            out.groupby(["url", "anchor"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": "int64"})
+        )
+
+    return grouped_sum(
+        ds.map_batches(per_batch, batch_format="pandas"), ["url", "anchor"], ["n"]
+    )

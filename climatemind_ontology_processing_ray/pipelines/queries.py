@@ -2712,6 +2712,51 @@ ORDER BY c.url
 """
 
 
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text index per link target (the web-retrieval alias /
+    ranking signal): one vectorized two-group regex pass, shared URL
+    resolution, map-side (target, anchor) combine + ONE grouped_sum
+    exchange.  functions/links.py:anchor_texts."""
+    from ..functions.links import anchor_texts
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    out = anchor_texts(pages).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["url", "anchor"]).reset_index(drop=True)[
+        ["url", "anchor", "n"]
+    ]
+
+
+def _sql_anchor_texts() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+anchors AS (
+  SELECT url AS src, z[1] AS href, LOWER(TRIM(z[2])) AS anchor
+  FROM (
+    SELECT url, UNNEST(list_zip(
+      regexp_extract_all(html, '<a [^>]*?href=''([^'']*)''[^>]*>([^<]*)</a>', 1),
+      regexp_extract_all(html, '<a [^>]*?href=''([^'']*)''[^>]*>([^<]*)</a>', 2))) AS z
+    FROM pages) u),
+resolved AS (
+  SELECT CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS url,
+         anchor
+  FROM anchors)
+SELECT url, anchor, CAST(COUNT(*) AS BIGINT) AS n
+FROM resolved GROUP BY url, anchor ORDER BY url, anchor
+"""
+
+
 def _kg_edges_cte(pages_path: str) -> str:
     """Shared CTE chain pages -> linked triples, built from the fixture's
     surface index + the extractor's connective table (both deterministic).
@@ -6928,6 +6973,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "link_graph": (q_link_graph, _sql_link_graph),
     "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier),
+    "anchor_texts": (q_anchor_texts, _sql_anchor_texts),
     "kg_canonical_edges": (q_kg_canonical_edges, _sql_kg_canonical_edges),
     "kg_adjacency": (q_kg_adjacency, _sql_kg_adjacency),
     "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),

@@ -3171,3 +3171,37 @@ def test_lang_profile_multiclass_exact_ties(ray_session):
         .reset_index(drop=True)
     )
     assert out2["pred_lang"].tolist() == out["pred_lang"].tolist()
+
+
+def test_anchor_texts_index(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.links import anchor_texts
+
+    pages = pd.DataFrame(
+        {
+            "url": [
+                "https://a.example/page",
+                "https://b.example/",
+                "https://c.example/x",
+            ],
+            "html": [
+                # two anchors to the same target with same text (case and
+                # whitespace fold), one absolute
+                b"<a href='/t'> Home </a><a href='/t'>home</a>"
+                b"<a class='z' href='https://b.example/'>B Site</a>",
+                # nested markup inside the anchor is OUT of the
+                # envelope (the contract requires </a> right after the
+                # plain text; engine and oracle agree) -> no row
+                b"<a href='/u'>bold<b>er</b></a>",
+                b"no anchors here",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(pages).repartition(3)
+    out = anchor_texts(ds).to_pandas().sort_values(["url", "anchor"])
+    got = {(r.url, r.anchor): r.n for r in out.itertuples()}
+    assert got == {
+        ("https://a.example/t", "home"): 2,
+        ("https://b.example/", "b site"): 1,
+    }
