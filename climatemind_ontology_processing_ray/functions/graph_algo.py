@@ -683,3 +683,82 @@ def sssp_hops(
             grouped_min(labels.union(frontier), ["node"], ["cost"]), 16
         )
     return labels
+
+
+def hits_fixed(
+    edges: Dataset,
+    iters: int = 2,
+    scale: int = 10**9,
+    src_col: str = "subject",
+    dst_col: str = "object",
+) -> pd.DataFrame:
+    """Fixed-iteration HITS (hubs & authorities, Kleinberg 1999) in
+    integer fixed-point arithmetic — the link-analysis companion to
+    :func:`pagerank_fixed` for DIRECTED web link graphs.
+
+    Per iteration (ALL integer ops, floor division — bit-exact at any
+    partitioning and exactly reproducible by the SQL oracle)::
+
+        auth_raw[v] = sum(hub[u]  for (u, v) in E)
+        auth[v]     = auth_raw[v] * scale // max(auth_raw)
+        hub_raw[u]  = sum(auth[v] for (u, v) in E)
+        hub[u]      = hub_raw[u]  * scale // max(hub_raw)
+
+    (classic HITS L2-normalizes — a float; the max-rescale keeps the
+    same fixed-point ORDERING exactly in integers).  Two exchanges per
+    iteration, each a streaming map over the pinned distinct-edge
+    Dataset emitting per-batch partial sums (map-side combine) into a
+    node-sized grouped_sum.  Node-sized state broadcasts per iteration —
+    the pagerank_fixed partitioning assumption (module docstring) holds.
+    """
+    from .agg import grouped_sum
+    from .dedup import pin_blocks
+
+    ded = pin_blocks(distinct_edges(edges, src_col, dst_col), target_blocks=64)
+    deg = degree_stats(ded, src_col, dst_col, assume_distinct=True).to_pandas()
+    if len(deg) == 0 or "node" not in deg.columns:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=object),
+                "auth_scaled": pd.Series([], dtype="int64"),
+                "hub_scaled": pd.Series([], dtype="int64"),
+            }
+        )
+    nodes = sorted(deg["node"].astype(str))
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+
+    def _sweep(state_ref, key_col, sum_col):
+        # one streaming pass: per-batch partial sums of the broadcast
+        # state over one endpoint, keyed by the other
+        def partial(b: pd.DataFrame, _ref=state_ref) -> pd.DataFrame:
+            state = ray.get(_ref)
+            contrib = b[sum_col].astype(str).map(state).astype("int64")
+            sums = contrib.groupby(b[key_col].astype(str).to_numpy()).sum()
+            return pd.DataFrame(
+                {"node": sums.index.to_numpy(), "s": sums.to_numpy()}
+            )
+
+        agg = grouped_sum(
+            ded.map_batches(partial, batch_format="pandas"), ["node"], ["s"]
+        ).to_pandas()
+        return dict(zip(agg["node"].astype(str), agg["s"].astype("int64")))
+
+    def _rescale(raw: dict) -> dict:
+        mx = max(raw.values(), default=0)
+        if mx <= 0:
+            return {v: 0 for v in nodes}
+        # python-int product: raw * scale can exceed int64
+        return {v: (int(raw.get(v, 0)) * scale) // int(mx) for v in nodes}
+
+    for _ in range(iters):
+        auth = _rescale(_sweep(ray.put(hub), dst_col, src_col))
+        hub = _rescale(_sweep(ray.put(auth), src_col, dst_col))
+
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "auth_scaled": pd.Series([auth[v] for v in nodes], dtype="int64"),
+            "hub_scaled": pd.Series([hub[v] for v in nodes], dtype="int64"),
+        }
+    )

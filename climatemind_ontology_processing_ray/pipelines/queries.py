@@ -2712,6 +2712,160 @@ ORDER BY c.url
 """
 
 
+_CRAWL_BUDGET = 2  # fetches per host per politeness round
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness-aware crawl scheduling: rank each link target within
+    its host by in-link priority (n_links DESC, url ASC) and assign a
+    fetch round under a fixed per-host-per-round budget — link
+    extraction (zero-shuffle) + in-link counts (bounded exchanges) +
+    ONE coarse hash(host) ranking pass
+    (functions/windows.py:window_rank; rank state never leaves a
+    partition)."""
+    from ..functions.links import extract_links, inlink_counts
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    counts = inlink_counts(extract_links(pages)).map_batches(
+        lambda b: b.assign(
+            host=b["dst"].str.extract(r"^(https?://[^/]+)", expand=False),
+            neg=(-b["n_links"]).astype("int64"),
+        ),
+        batch_format="pandas",
+    )
+    from ..functions.windows import window_rank
+
+    ranked = window_rank(counts, "host", "neg", tiebreak_cols=["dst"])
+    out = ranked.select_columns(["dst", "host", "n_links", "rn"]).to_pandas()
+    out = out.rename(columns={"dst": "url", "rn": "slot"})
+    out["slot"] = out["slot"].astype("int64")
+    out["n_links"] = out["n_links"].astype("int64")
+    out["fetch_round"] = ((out["slot"] - 1) // _CRAWL_BUDGET).astype("int64")
+    return out.sort_values("url").reset_index(drop=True)[
+        ["url", "host", "n_links", "slot", "fetch_round"]
+    ]
+
+
+def _sql_crawl_schedule() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+links AS (
+  SELECT url AS src,
+         UNNEST(regexp_extract_all(html, 'href=["'']([^"'']*)["'']', 1)) AS href
+  FROM pages),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS dst
+  FROM links),
+counts AS (
+  SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_links FROM resolved GROUP BY dst),
+ranked AS (
+  SELECT url, regexp_extract(url, '^(https?://[^/]+)', 1) AS host, n_links,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(url, '^(https?://[^/]+)', 1)
+           ORDER BY n_links DESC, url ASC) AS BIGINT) AS slot
+  FROM counts)
+SELECT url, host, n_links, slot,
+       CAST((slot - 1) // {_CRAWL_BUDGET} AS BIGINT) AS fetch_round
+FROM ranked ORDER BY url
+"""
+
+
+_HITS_ITERS = 2
+_HITS_SCALE = 10**9
+
+
+def q_link_hits(sf_dir: str):
+    """HITS hubs & authorities over the DIRECTED crawl link graph in
+    integer fixed-point (bit-exact at any partitioning): link
+    extraction (zero-shuffle) feeds functions/graph_algo.py:hits_fixed —
+    two streaming map-side-combined exchanges per iteration over the
+    pinned distinct-edge Dataset."""
+    from ..functions.graph_algo import hits_fixed
+    from ..functions.links import extract_links
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    out = hits_fixed(
+        extract_links(pages),
+        iters=_HITS_ITERS,
+        scale=_HITS_SCALE,
+        src_col="src",
+        dst_col="dst",
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_link_hits() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    scale = _HITS_SCALE
+    iter_ctes = []
+    for k in range(1, _HITS_ITERS + 1):
+        prev_h = f"h{k - 1}"
+        iter_ctes.append(
+            f"""araw{k} AS (
+  SELECT e.dst AS node, SUM(h.h) AS s
+  FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst),
+amax{k} AS (SELECT MAX(s) AS m FROM araw{k}),
+a{k} AS (
+  SELECT nd.node,
+         CASE WHEN am.m > 0
+              THEN CAST(CAST(COALESCE(ar.s, 0) AS HUGEINT) * {scale} // am.m AS BIGINT)
+              ELSE 0 END AS a
+  FROM nodes nd LEFT JOIN araw{k} ar ON ar.node = nd.node CROSS JOIN amax{k} am),
+hraw{k} AS (
+  SELECT e.src AS node, SUM(a.a) AS s
+  FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
+hmax{k} AS (SELECT MAX(s) AS m FROM hraw{k}),
+h{k} AS (
+  SELECT nd.node,
+         CASE WHEN hm.m > 0
+              THEN CAST(CAST(COALESCE(hr.s, 0) AS HUGEINT) * {scale} // hm.m AS BIGINT)
+              ELSE 0 END AS h
+  FROM nodes nd LEFT JOIN hraw{k} hr ON hr.node = nd.node CROSS JOIN hmax{k} hm)"""
+        )
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+links AS (
+  SELECT url AS src,
+         UNNEST(regexp_extract_all(html, 'href=["'']([^"'']*)["'']', 1)) AS href
+  FROM pages),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS dst
+  FROM links),
+e AS (SELECT DISTINCT src, dst FROM resolved),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes),
+{",".join(iter_ctes)}
+SELECT a{_HITS_ITERS}.node,
+       a{_HITS_ITERS}.a AS auth_scaled,
+       h{_HITS_ITERS}.h AS hub_scaled
+FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} USING (node)
+ORDER BY node
+"""
+
+
 def q_anchor_texts(sf_dir: str):
     """Anchor-text index per link target (the web-retrieval alias /
     ranking signal): one vectorized two-group regex pass, shared URL
@@ -6974,6 +7128,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "link_graph": (q_link_graph, _sql_link_graph),
     "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier),
     "anchor_texts": (q_anchor_texts, _sql_anchor_texts),
+    "crawl_schedule": (q_crawl_schedule, _sql_crawl_schedule),
+    "link_hits": (q_link_hits, _sql_link_hits),
     "kg_canonical_edges": (q_kg_canonical_edges, _sql_kg_canonical_edges),
     "kg_adjacency": (q_kg_adjacency, _sql_kg_adjacency),
     "kg_degree_stats": (q_kg_degree_stats, _sql_kg_degree_stats),

@@ -352,3 +352,33 @@ class TestSsspHops:
             .sort_values("node")
         )
         assert dict(zip(out["node"], out["cost"])) == {"1": 0, "2": 2}
+
+
+class TestHitsFixed:
+    def test_bipartite_hubs_vs_authorities(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.graph_algo import hits_fixed
+
+        # h1, h2 are pure hubs pointing at a1..a3 (a1 gets both hubs)
+        edges = pd.DataFrame(
+            {
+                "subject": ["h1", "h1", "h2", "h2"],
+                "object": ["a1", "a2", "a1", "a3"],
+            }
+        )
+        out = hits_fixed(rd.from_pandas(edges).repartition(3), iters=2)
+        s = out.set_index("node")
+        # a1 (in-degree 2) is the max authority -> exactly scale
+        assert s.loc["a1", "auth_scaled"] == 10**9
+        assert s.loc["a2", "auth_scaled"] == s.loc["a3", "auth_scaled"]
+        assert 0 < s.loc["a2", "auth_scaled"] < 10**9
+        # hubs have zero authority; authorities have zero hub score
+        assert s.loc["h1", "auth_scaled"] == 0
+        assert s.loc["a1", "hub_scaled"] == 0
+        # h1 and h2 are symmetric -> equal max hub score
+        assert s.loc["h1", "hub_scaled"] == s.loc["h2", "hub_scaled"] == 10**9
+
+        # parallelism invariance (bit-exact integer contract)
+        out2 = hits_fixed(rd.from_pandas(edges).repartition(1), iters=2)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), out2.reset_index(drop=True)
+        )
