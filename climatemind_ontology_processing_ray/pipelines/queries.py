@@ -5738,6 +5738,74 @@ FROM t
 """
 
 
+def q_customer_trend(sf_dir: str):
+    """PER-KEY exact-integer OLS trend (the GROUPED companion to
+    length_correlation's global statistics): per customer, the spend
+    trend slope over order dates as an exact rational — map-side partial
+    sums (n, Σx, Σy, Σxy, Σx²) per key feed ONE grouped_sum exchange
+    (mergeable statistics: a key's moments combine associatively, so the
+    shuffle carries 5 ints per key per block, never the rows).  x =
+    epoch-day of o_orderdate, y = o_totalprice in exact cents; slope =
+    slope_num / slope_den, divided at the edge by callers — no float
+    crosses a partition."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b.o_orderdate.astype("int64") // (86_400 * 10**6)).to_numpy()
+        y = np.floor(b.o_totalprice.to_numpy() * 100 + 0.5).astype("int64")
+        g = pd.DataFrame(
+            {
+                "o_custkey": b.o_custkey.astype("int64"),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("o_custkey", sort=False, as_index=False).sum()
+
+    agg = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        ["n", "sx", "sy", "sxy", "sxx"],
+    ).to_pandas()
+    n = agg["n"].astype("int64")
+    sx = agg["sx"].astype("int64")
+    sy = agg["sy"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "o_custkey": agg["o_custkey"].astype("int64"),
+            "n": n,
+            "slope_num": n * agg["sxy"].astype("int64") - sx * sy,
+            "slope_den": n * agg["sxx"].astype("int64") - sx * sx,
+        }
+    )
+    out = out[(out["n"] >= 2) & (out["slope_den"] != 0)]
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMER_TREND = """
+WITH t AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+agg AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM t GROUP BY o_custkey)
+SELECT o_custkey, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM agg
+WHERE n >= 2 AND n * sxx - sx * sx <> 0
+ORDER BY o_custkey
+"""
+
+
 def q_bag_difference(sf_dir: str):
     """Multiset EXCEPT ALL: per-key multiplicity difference
     max(0, n_left - n_right) — each order priority appears in the output
@@ -7198,6 +7266,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "price_quantiles_cont": (q_price_quantiles_cont, _sql_price_quantiles_cont),
     "event_ntiles": (q_event_ntiles, SQL_EVENT_NTILES),
     "length_correlation": (q_length_correlation, SQL_LENGTH_CORRELATION),
+    "customer_trend": (q_customer_trend, SQL_CUSTOMER_TREND),
     "bag_difference": (q_bag_difference, SQL_BAG_DIFFERENCE),
     "bag_intersection": (q_bag_intersection, SQL_BAG_INTERSECTION),
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
