@@ -762,3 +762,130 @@ def hits_fixed(
             "hub_scaled": pd.Series([hub[v] for v in nodes], dtype="int64"),
         }
     )
+
+
+_WALK_MOD = 2_147_483_648  # 2^31: keeps every hash operand < 2^63
+_WALK_A = 1_103_515_245
+_WALK_B = 12_345
+_WALK_C = 2_654_435_761
+
+
+def _walk_hash(node: np.ndarray, step: int) -> np.ndarray:
+    """Deterministic per-(node, step) pseudo-random draw, identical in
+    the SQL oracle: ((node % 2^31) * A + step * B + C) % 2^31."""
+    return ((node % _WALK_MOD) * _WALK_A + step * _WALK_B + _WALK_C) % _WALK_MOD
+
+
+def random_walks(
+    edges: Dataset,
+    sources: Dataset,
+    length: int,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    node_col: str = "node",
+    num_parts: int = 64,
+) -> Dataset:
+    """Deterministic random walks (the DeepWalk/node2vec sampling stage)
+    over the UNDIRECTED simple graph with INTEGER node ids: one walk of
+    ``length`` steps per source; at step t the walk at node u moves to
+    its ``_walk_hash(u, t) % deg(u)``-th neighbor in ascending-id order.
+    Fully deterministic (no RNG state), so the result is reproducible at
+    any partitioning AND by the SQL oracle.  A walk stops early at an
+    isolated node.
+
+    Shuffle shape: the ranked adjacency (node, idx, nbr, deg) is built
+    with ONE coarse hash(node) exchange and pinned; each step is ONE
+    bucketed hash join of the walk state against it (state rows fan out
+    deg(u) wide, then filter to the drawn neighbor — for graphs with
+    very hot nodes, swap the filter for a composite (node, idx) join
+    key to make the exchange walk-sized instead of degree-sized).
+    Output: (start, step, node) rows, step 0 = the source itself.
+    """
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join, hash_bucket
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype("int64")
+        c = b[dst_col].astype("int64")
+        keep = (a != c).to_numpy()
+        return pd.DataFrame(
+            {"u": np.minimum(a, c)[keep], "v": np.maximum(a, c)[keep]}
+        )
+
+    ded = distinct_edges(edges.map_batches(norm, batch_format="pandas"), "u", "v")
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([b.u, b.v], ignore_index=True).astype("int64"),
+                "nbr": pd.concat([b.v, b.u], ignore_index=True).astype("int64"),
+            }
+        )
+
+    ue = ded.map_batches(both, batch_format="pandas")
+
+    # ranked adjacency: one coarse hash(node) exchange; idx/deg never
+    # leave their partition (the window_rank pattern)
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b["node"].to_numpy(), num_parts))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "nbr"])
+        grp = g.groupby("node", sort=False)
+        return pd.DataFrame(
+            {
+                "node": g["node"].to_numpy(),
+                "idx": grp.cumcount().to_numpy().astype("int64"),
+                "nbr": g["nbr"].to_numpy(),
+                "deg": grp["nbr"].transform("size").to_numpy().astype("int64"),
+            }
+        )
+
+    adj = pin_blocks(
+        ue.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(rank_part, batch_format="pandas"),
+        16,
+    )
+
+    def as_state(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[node_col].astype("int64")
+        return pd.DataFrame({"start": s, "node": s})
+
+    state = sources.map_batches(as_state, batch_format="pandas")
+    outputs = [
+        state.map_batches(
+            lambda b: b.assign(step=np.int64(0))[["start", "step", "node"]],
+            batch_format="pandas",
+        )
+    ]
+
+    for t in range(1, length + 1):
+        hop = bucketed_hash_join(state, adj, "node")
+
+        def draw(b: pd.DataFrame, _t=t) -> pd.DataFrame:
+            k = _walk_hash(b["node"].to_numpy().astype("int64"), _t) % b[
+                "deg"
+            ].to_numpy().astype("int64")
+            pick = b[b["idx"].to_numpy() == k]
+            return pd.DataFrame(
+                {
+                    "start": pick["start"].astype("int64"),
+                    "node": pick["nbr"].astype("int64"),
+                }
+            )
+
+        state = pin_blocks(hop.map_batches(draw, batch_format="pandas"), 16)
+        outputs.append(
+            state.map_batches(
+                lambda b, _t=t: b.assign(step=np.int64(_t))[
+                    ["start", "step", "node"]
+                ],
+                batch_format="pandas",
+            )
+        )
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out

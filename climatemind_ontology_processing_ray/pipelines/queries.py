@@ -5057,6 +5057,59 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+_WALK_LEN = 4
+
+
+def q_doc_random_walks(sf_dir: str):
+    """Deterministic DeepWalk/node2vec-style walk sampling from the
+    doc_id % 50 == 0 seeds over the document-similarity graph: ranked
+    adjacency built in ONE coarse hash(node) exchange and pinned, one
+    bucketed join per step, hash-drawn neighbor (reproducible at any
+    partitioning and by the SQL oracle).
+    functions/graph_algo.py:random_walks."""
+    from ..functions.graph_algo import random_walks
+
+    sources = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .filter(lambda r: r["doc_id"] % 50 == 0)
+        .map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}), batch_format="pandas"
+        )
+    )
+    out = random_walks(_doc_sim_edges(sf_dir), sources, _WALK_LEN).to_pandas()
+    for c in ("start", "step", "node"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["start", "step", "node"]).reset_index(drop=True)
+
+
+def _sql_doc_random_walks() -> str:
+    mod, a, b, c = 2_147_483_648, 1_103_515_245, 12_345, 2_654_435_761
+    step_ctes, unions = [], ["SELECT start, 0 AS step, node FROM s0"]
+    for t in range(1, _WALK_LEN + 1):
+        step_ctes.append(
+            f"""s{t} AS (
+  SELECT s.start, adj.nbr AS node
+  FROM s{t - 1} s JOIN adj ON adj.node = s.node
+   AND adj.idx = (((s.node % {mod}) * {a} + {t} * {b} + {c}) % {mod}) % adj.deg)"""
+        )
+        unions.append(f"SELECT start, {t} AS step, node FROM s{t}")
+    return f"""
+WITH {_SIM_EDGES_SQL},
+ue AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+adj AS (
+  SELECT node, nbr,
+         CAST(ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS BIGINT) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY node) AS BIGINT) AS deg
+  FROM ue),
+s0 AS (SELECT doc_id AS start, doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+{",".join(step_ctes)}
+SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM ({" UNION ALL ".join(unions)})
+ORDER BY start, step, node
+"""
+
+
 def q_similarity_join(sf_dir: str):
     """EXACT all-pairs Jaccard >= 0.6 over 3-gram shingle sets via
     prefix filtering (All-Pairs/PPJoin; functions/simjoin.py) — no
@@ -7252,6 +7305,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_graph_kcore": (q_doc_graph_kcore, _sql_doc_graph_kcore),
     "doc_graph_bfs": (q_doc_graph_bfs, SQL_DOC_GRAPH_BFS),
     "doc_graph_sssp": (q_doc_graph_sssp, SQL_DOC_GRAPH_SSSP),
+    "doc_random_walks": (q_doc_random_walks, _sql_doc_random_walks),
     "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

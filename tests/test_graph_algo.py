@@ -382,3 +382,44 @@ class TestHitsFixed:
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), out2.reset_index(drop=True)
         )
+
+
+class TestRandomWalks:
+    def test_deterministic_and_correct(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.graph_algo import (
+            _walk_hash,
+            random_walks,
+        )
+
+        # path graph 1-2-3-4 plus isolated seed 9
+        edges = pd.DataFrame(
+            {"subject": [1, 2, 3], "object": [2, 3, 4]}
+        )
+        sources = rd.from_pandas(pd.DataFrame({"node": [1, 9]}))
+        out = (
+            random_walks(rd.from_pandas(edges).repartition(2), sources, 3)
+            .to_pandas()
+            .sort_values(["start", "step"])
+            .reset_index(drop=True)
+        )
+        # isolated seed: exactly the step-0 row
+        w9 = out[out.start == 9]
+        assert w9[["step", "node"]].values.tolist() == [[0, 9]]
+        # seed 1: replay the hash draw by hand
+        w1 = out[out.start == 1].set_index("step")["node"].to_dict()
+        adj = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3]}
+        cur, want = 1, {0: 1}
+        for t in (1, 2, 3):
+            nbrs = adj[cur]
+            cur = nbrs[int(_walk_hash(np.array([cur]), t)[0]) % len(nbrs)]
+            want[t] = cur
+        assert w1 == want
+
+        # parallelism invariance
+        out2 = (
+            random_walks(rd.from_pandas(edges).repartition(7), sources, 3)
+            .to_pandas()
+            .sort_values(["start", "step"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
