@@ -889,3 +889,169 @@ def random_walks(
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+def clustering_coeff(
+    edges: Dataset,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    broadcast_threshold: int = 1_000_000,
+) -> Dataset:
+    """Per-node local clustering coefficient of the UNDIRECTED simple
+    graph as EXACT integers: (node, n_tri, n_wedges) with
+    coefficient = n_tri / n_wedges (divide at the edge — no float
+    crosses a partition; n_wedges = deg*(deg-1)//2).
+
+    Same degree-oriented wedge shape as :func:`triangle_count` — each
+    triangle is found ONCE at its order-minimal corner — but the wedge
+    carries its three nodes, and a closed wedge credits ALL of them
+    (map-side combine + one grouped_sum).  Closure membership is the
+    broadcast edge-key set below ``broadcast_threshold`` edges, else a
+    bucketed semi join; the final degree/triangle merge is one
+    outer-safe bucketed join.
+    """
+    from itertools import combinations
+
+    from .agg import grouped_sum
+    from .join import bucketed_hash_join, hash_bucket
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str)
+        c = b[dst_col].astype(str)
+        lo, hi = a.where(a < c, c), c.where(a < c, a)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out.u != out.v]
+
+    e = distinct_edges(
+        edges.map_batches(norm, batch_format="pandas"), "u", "v"
+    ).materialize()
+    m = e.count()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([b.u, b.v], ignore_index=True)
+        g = nodes.value_counts()
+        return pd.DataFrame({"node": g.index, "d": g.to_numpy().astype("int64")})
+
+    deg = grouped_sum(e.map_batches(explode, batch_format="pandas"), ["node"], ["d"])
+
+    if m <= broadcast_threshold:
+        dd = deg.to_pandas()
+        deg_ref = ray.put(dict(zip(dd["node"], dd["d"])))
+
+        def orient_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            dm = ray.get(deg_ref)
+            du, dv = b.u.map(dm), b.v.map(dm)
+            u_first = (du < dv) | ((du == dv) & (b.u < b.v))
+            return pd.DataFrame(
+                {"s": b.u.where(u_first, b.v), "t": b.v.where(u_first, b.u)}
+            )
+
+        oriented = e.map_batches(orient_bcast, batch_format="pandas")
+        ed = e.to_pandas()
+        ekey_ref = ray.put(set(ed["u"] + "\x1f" + ed["v"]))
+    else:
+        with_du = bucketed_hash_join(
+            e,
+            deg.map_batches(
+                lambda b: b.rename(columns={"node": "u", "d": "du"}),
+                batch_format="pandas",
+            ),
+            "u",
+        )
+        with_dv = bucketed_hash_join(
+            with_du,
+            deg.map_batches(
+                lambda b: b.rename(columns={"node": "v", "d": "dv"}),
+                batch_format="pandas",
+            ),
+            "v",
+        )
+
+        def orient(b: pd.DataFrame) -> pd.DataFrame:
+            u_first = (b.du < b.dv) | ((b.du == b.dv) & (b.u < b.v))
+            return pd.DataFrame(
+                {"s": b.u.where(u_first, b.v), "t": b.v.where(u_first, b.u)}
+            )
+
+        oriented = with_dv.map_batches(orient, batch_format="pandas")
+        ekey_ref = None
+
+    oriented = oriented.materialize()
+
+    # wedges with their corner (coarse-partition pattern; \x1f key —
+    # see triangle_count for both rationales)
+    def wedges_part(g: pd.DataFrame):
+        import pyarrow as pa
+
+        corners: list[str] = []
+        ps: list[str] = []
+        qs: list[str] = []
+        for s, grp in g.groupby("s", sort=False):
+            nbrs = sorted(grp.t)
+            for p, q in combinations(nbrs, 2):
+                corners.append(s)
+                ps.append(p)
+                qs.append(q)
+        return pa.table(
+            {
+                "corner": pa.array(corners, pa.string()),
+                "p": pa.array(ps, pa.string()),
+                "q": pa.array(qs, pa.string()),
+                "pq": pa.array(
+                    [f"{p}\x1f{q}" for p, q in zip(ps, qs)], pa.string()
+                ),
+            }
+        )
+
+    w = (
+        oriented.map_batches(
+            lambda b: b.assign(__part=hash_bucket(b.s.to_numpy(), _NUM_PARTS)),
+            batch_format="pandas",
+        )
+        .groupby("__part")
+        .map_groups(wedges_part, batch_format="pandas")
+    )
+
+    if ekey_ref is not None:
+
+        def close_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            ek = ray.get(ekey_ref)
+            return b[[k in ek for k in b["pq"]]]
+
+        closed = w.map_batches(close_bcast, batch_format="pandas")
+    else:
+        from .join import bucketed_semi_join
+
+        # re-normalize: oriented pairs are (degree, node)-ordered, wedge
+        # keys are id-ordered
+        ekeys = oriented.map_batches(
+            lambda b: pd.DataFrame(
+                {"pq": np.where(b.s < b.t, b.s + "\x1f" + b.t, b.t + "\x1f" + b.s)}
+            ),
+            batch_format="pandas",
+        )
+        closed = bucketed_semi_join(w, ekeys, "pq")
+
+    def credit(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([b["corner"], b["p"], b["q"]], ignore_index=True)
+        g = nodes.value_counts()
+        return pd.DataFrame(
+            {"node": g.index, "n_tri": g.to_numpy().astype("int64")}
+        )
+
+    ntri = grouped_sum(
+        closed.map_batches(credit, batch_format="pandas"), ["node"], ["n_tri"]
+    )
+    merged = bucketed_hash_join(deg, ntri, "node", join_type="left outer")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["d"].astype("int64")
+        return pd.DataFrame(
+            {
+                "node": b["node"],
+                "n_tri": b["n_tri"].fillna(0).astype("int64"),
+                "n_wedges": (d * (d - 1) // 2).astype("int64"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")

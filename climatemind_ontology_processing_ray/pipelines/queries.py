@@ -5057,6 +5057,44 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the doc-similarity
+    graph as EXACT integers (n_tri, n_wedges; divide at the edge):
+    degree-oriented wedge generation (each triangle found once, credits
+    all three corners) + one grouped_sum + one outer-safe bucketed join.
+    functions/graph_algo.py:clustering_coeff."""
+    from ..functions.graph_algo import clustering_coeff
+
+    out = clustering_coeff(_doc_sim_edges(sf_dir)).to_pandas()
+    out["n_tri"] = out["n_tri"].astype("int64")
+    out["n_wedges"] = out["n_wedges"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_SIM_EDGES_SQL},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+tri_nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+ntri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tri_nodes GROUP BY node),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node)
+SELECT CAST(deg.node AS VARCHAR) AS node,
+       COALESCE(ntri.n_tri, 0) AS n_tri,
+       CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS n_wedges
+FROM deg LEFT JOIN ntri ON ntri.node = deg.node
+ORDER BY node
+"""
+
+
 _WALK_LEN = 4
 
 
@@ -7306,6 +7344,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_graph_bfs": (q_doc_graph_bfs, SQL_DOC_GRAPH_BFS),
     "doc_graph_sssp": (q_doc_graph_sssp, SQL_DOC_GRAPH_SSSP),
     "doc_random_walks": (q_doc_random_walks, _sql_doc_random_walks),
+    "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
     "similarity_join": (q_similarity_join, SQL_SIMILARITY_JOIN),
     "bm25_search": (q_bm25_search, _sql_bm25_search),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

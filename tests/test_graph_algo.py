@@ -423,3 +423,34 @@ class TestRandomWalks:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestClusteringCoeff:
+    # K4 minus one edge: nodes a,b,c,d; edges ab ac ad bc bd (no cd)
+    PAIRS = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+
+    WANT = {
+        # triangles: abc, abd
+        "a": (2, 3),  # deg 3 -> 3 wedges
+        "b": (2, 3),
+        "c": (1, 1),  # deg 2 -> 1 wedge
+        "d": (1, 1),
+    }
+
+    @pytest.mark.parametrize("threshold", [1_000_000, 0])
+    def test_exact_counts_both_paths(self, ray_session, threshold):
+        from climatemind_ontology_processing_ray.functions.graph_algo import (
+            clustering_coeff,
+        )
+
+        out = (
+            clustering_coeff(
+                _edges_ds(self.PAIRS, 3), broadcast_threshold=threshold
+            )
+            .to_pandas()
+            .set_index("node")
+        )
+        got = {
+            n: (int(r.n_tri), int(r.n_wedges)) for n, r in out.iterrows()
+        }
+        assert got == self.WANT
