@@ -217,6 +217,19 @@ def run_bench() -> dict:
         "approx_quantiles_by_key",
         "phrase_search_indexed",
         "quality_floor_filter",
+        "quality_tiers",
+        "token_vote_quality",
+        "ngram_novelty",
+        "lang_id",
+        "link_graph",
+        "crawl_frontier",
+        "crawl_schedule",
+        "anchor_texts",
+        "link_hits",
+        "doc_graph_sssp",
+        "doc_random_walks",
+        "clustering_coeff",
+        "customer_trend",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

@@ -7035,6 +7035,116 @@ ORDER BY d.doc_id
 """
 
 
+_TOPTOK_K = 5
+
+
+def q_top_tokens_by_lang(sf_dir: str):
+    """GROUPED top-k: the k most frequent tokens per language
+    (n DESC, token ASC tiebreak) — one vocab-bounded (lang, tok) count
+    exchange with map-side combine, then window_rank's coarse
+    hash(lang) ranking pass (rank state never leaves a partition)."""
+    from ..functions.agg import grouped_sum
+    from ..functions.windows import window_rank
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].fillna("").str.lower().str.split(" ").explode()
+        frame = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy()[
+                    ex.index.get_level_values(0).to_numpy()
+                ]
+                if isinstance(ex.index, pd.MultiIndex)
+                else b["lang"].to_numpy()[ex.index.to_numpy()],
+                "tok": ex.to_numpy(),
+            }
+        )
+        frame = frame[frame["tok"].notna() & (frame["tok"] != "")]
+        out = frame.groupby(["lang", "tok"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_sum(
+        ds.map_batches(
+            lambda b: partial(b.reset_index(drop=True)), batch_format="pandas"
+        ),
+        ["lang", "tok"],
+        ["n"],
+    ).map_batches(
+        lambda b: b.assign(neg=(-b["n"]).astype("int64")), batch_format="pandas"
+    )
+    ranked = window_rank(counts, "lang", "neg", tiebreak_cols=["tok"])
+    out = ranked.select_columns(["lang", "tok", "n", "rn"]).to_pandas()
+    out = out[out["rn"] <= _TOPTOK_K].rename(columns={"rn": "rank"})
+    out["n"] = out["n"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+SQL_TOP_TOKENS_BY_LANG = f"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY lang, tok),
+ranked AS (
+  SELECT lang, tok, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+  FROM cnt)
+SELECT lang, tok, n, rank FROM ranked
+WHERE rank <= {_TOPTOK_K}
+ORDER BY lang, rank
+"""
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window EXACT distinct users (1h window, 30min step):
+    window explode inside the map (each event covers two windows), then
+    grouped_count_distinct's pair-partitioned dedup — a hot window's
+    users still spread across partitions at the dedup stage."""
+    from ..functions.agg import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = (b["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        frames = []
+        for i in range(2):  # window 3600 / step 1800
+            start = (epoch - i * 1800) // 3600 * 3600 + i * 1800
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": start.astype("int64"),
+                        "user_id": b["user_id"].astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    pairs = ds.map_batches(explode, batch_format="pandas")
+    out = grouped_count_distinct(
+        pairs, "window_start", "user_id", out_col="n_users"
+    ).to_pandas()
+    out["window_start"] = out["window_start"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+SQL_SLIDING_DISTINCT_USERS = """
+WITH x AS (
+  SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start, user_id
+  FROM events
+  UNION ALL
+  SELECT CAST(EPOCH(DATE_TRUNC('hour', ts - INTERVAL 30 MINUTE)) AS BIGINT)
+         + 1800 AS window_start, user_id
+  FROM events)
+SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY window_start ORDER BY window_start
+"""
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-doc first-occurrence 3-gram novelty (curriculum / streaming-
     dedup signal): n_grams is a zero-shuffle per-row map; first-seen
@@ -7261,6 +7371,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_tiers": (q_quality_tiers, _sql_quality_tiers),
     "token_vote_quality": (q_token_vote_quality, SQL_TOKEN_VOTE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
+    "sliding_distinct_users": (q_sliding_distinct_users, SQL_SLIDING_DISTINCT_USERS),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
