@@ -230,6 +230,9 @@ def run_bench() -> dict:
         "doc_random_walks",
         "clustering_coeff",
         "customer_trend",
+        "top_tokens_by_lang",
+        "sliding_distinct_users",
+        "curation_pipeline",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

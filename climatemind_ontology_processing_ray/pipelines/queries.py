@@ -1013,22 +1013,14 @@ ORDER BY c.doc_id
 """
 
 
-def q_quality_floor_filter(sf_dir: str):
-    """Per-source quality floor (the 'every domain keeps only its better
-    half' curation stage): score docs with the exact-integer composite
-    quality (quality_milli, same formula the hash-green quality_scores
-    oracle replays), compute each source's MEDIAN score with one tiny
-    (source, score)-count exchange — raw docs never shuffle — then
-    broadcast the per-source thresholds and filter in a second streaming
-    pass.  The pattern at 100 TB: the only all-to-all is over distinct
-    (source, score) pairs; the doc-sized side is two map-only passes."""
-    import math
-
-    from ..functions.agg import grouped_sum
-    from ..functions.broadcast import cached_get
+def _score_quality_milli(ds, extra_cols: tuple[str, ...] = ()):
+    """Score docs with the exact-integer composite quality
+    (quality_milli, the hash-green quality_scores formula) and pin the
+    narrow scored projection ONCE — both the histogram and the filter
+    pass read it, and without pinning the lazy lineage re-runs the
+    regex scorer per pass (~30 B/row pinned vs re-scoring ~2 KB/row of
+    text — the right trade at any scale)."""
     from ..functions.text import TextQualityScorer
-
-    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def qm(b: pd.DataFrame) -> pd.DataFrame:
         w = np.maximum(b["n_words"].to_numpy(), 1)
@@ -1037,25 +1029,35 @@ def q_quality_floor_filter(sf_dir: str):
         u = b["n_uniq_words"].to_numpy()
         a = b["n_alpha_chars"].to_numpy()
         q = (400 * np.minimum(4 * s, w) * c + 300 * u * c + 300 * a * w) // (w * c)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": b["doc_id"].to_numpy().astype(np.int64),
                 "source": b["source"],
                 "quality_milli": q.astype(np.int64),
             }
         )
+        for col in extra_cols:
+            out[col] = b[col].to_numpy()
+        return out
 
-    # materialize the 3-narrow-column scored projection ONCE: both the
-    # histogram and the filter pass read it, and without pinning the lazy
-    # lineage re-runs the regex scorer per pass (~30 B/row pinned vs
-    # re-scoring ~2 KB/row of text — the right trade at any scale)
-    scored = (
+    return (
         ds.map_batches(
             TextQualityScorer, batch_format="pandas", concurrency=2, num_cpus=0.5
         )
         .map_batches(qm, batch_format="pandas")
         .materialize()
     )
+
+
+def _source_median_filter(scored):
+    """Per-source MEDIAN floor: one tiny (source, score)-count exchange
+    (raw docs never shuffle), broadcast thresholds, second streaming
+    filter pass.  The pattern at 100 TB: the only all-to-all is over
+    distinct (source, score) pairs; the doc-sized side is map-only."""
+    import math
+
+    from ..functions.agg import grouped_sum
+    from ..functions.broadcast import cached_get
 
     def vc(b: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -1088,7 +1090,15 @@ def q_quality_floor_filter(sf_dir: str):
         thr = b["source"].map(m).to_numpy()
         return b[b["quality_milli"].to_numpy() >= thr]
 
-    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
+    return scored.map_batches(keep, batch_format="pandas")
+
+
+def q_quality_floor_filter(sf_dir: str):
+    """Per-source quality floor (the 'every domain keeps only its better
+    half' curation stage): exact-integer scoring + median-threshold
+    broadcast filter (see _score_quality_milli/_source_median_filter)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = _source_median_filter(_score_quality_milli(ds)).to_pandas()
     return (
         out.sort_values("doc_id")
         .reset_index(drop=True)[["doc_id", "source", "quality_milli"]]
@@ -1125,6 +1135,93 @@ SELECT s.doc_id, s.source, s.quality_milli
 FROM s JOIN m USING (source)
 WHERE s.quality_milli >= m.med
 ORDER BY s.doc_id
+"""
+
+
+_CURATE_QUOTA = 50  # kept docs per language
+
+
+def q_curation_pipeline(sf_dir: str):
+    """END-TO-END corpus curation composition (the canonical
+    training-data order, all stages streaming over one Dataset flow):
+
+    1. EXACT dedup — keep min doc_id per content (one hash(text)
+       partition exchange, functions/dedup.py:exact_dedup),
+    2. per-source quality floor — exact-integer scoring + median
+       broadcast filter (_score_quality_milli/_source_median_filter;
+       only the (source, score) histogram shuffles),
+    3. per-language quota — top 50 by (quality_milli DESC, doc_id ASC)
+       via window_rank's coarse hash(lang) pass.
+
+    Demonstrates the composition contract: each stage consumes the
+    previous stage's Dataset lazily; nothing doc-sized materializes
+    except the pinned narrow scored projection."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.windows import window_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    ded = exact_dedup(ds, "doc_id")
+    kept = _source_median_filter(_score_quality_milli(ded, extra_cols=("lang",)))
+    ranked = window_rank(
+        kept.map_batches(
+            lambda b: b.assign(neg=(-b["quality_milli"]).astype("int64")),
+            batch_format="pandas",
+        ),
+        "lang",
+        "neg",
+        tiebreak_cols=["doc_id"],
+    )
+    out = ranked.select_columns(
+        ["doc_id", "source", "lang", "quality_milli", "rn"]
+    ).to_pandas()
+    out = out[out["rn"] <= _CURATE_QUOTA].rename(columns={"rn": "rank"})
+    for c in ("doc_id", "quality_milli", "rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "lang", "quality_milli", "rank"]
+    ]
+
+
+def _sql_curation_pipeline() -> str:
+    from ..functions.text import _STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""
+WITH winners AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+docs AS (SELECT d.* FROM documents d JOIN winners USING (doc_id)),
+counts AS (
+  SELECT doc_id, source, lang,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+')) AS n_words,
+         LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'))) AS n_uniq,
+         LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9'']+'),
+                         w -> w IN ({stop_list}))) AS n_stop,
+         LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]')) AS n_alpha,
+         LEN(text) AS n_chars
+  FROM docs
+),
+s AS (
+  SELECT doc_id, source, lang,
+         CAST((400 * LEAST(4 * n_stop, GREATEST(n_words, 1)) * GREATEST(n_chars, 1)
+               + 300 * n_uniq * GREATEST(n_chars, 1)
+               + 300 * n_alpha * GREATEST(n_words, 1))
+              // (GREATEST(n_words, 1) * GREATEST(n_chars, 1)) AS BIGINT)
+           AS quality_milli
+  FROM counts
+),
+m AS (SELECT source, quantile_disc(quality_milli, 0.5) AS med
+      FROM s GROUP BY source),
+fl AS (
+  SELECT s.doc_id, s.source, s.lang, s.quality_milli
+  FROM s JOIN m USING (source)
+  WHERE s.quality_milli >= m.med),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY quality_milli DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM fl)
+SELECT doc_id, source, lang, quality_milli, rank
+FROM ranked WHERE rank <= {_CURATE_QUOTA}
+ORDER BY doc_id
 """
 
 
@@ -7373,6 +7470,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
     "sliding_distinct_users": (q_sliding_distinct_users, SQL_SLIDING_DISTINCT_USERS),
+    "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
