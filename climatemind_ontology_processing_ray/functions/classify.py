@@ -228,3 +228,65 @@ def lang_profile_score(
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def hashed_features(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+):
+    """Feature hashing (the Weinberger et al. 2009 'hashing trick'):
+    each token occurrence lands in bucket ``md5_u64(tok) % dim`` with a
+    sign drawn from an INDEPENDENT hash bit (bit 33), and a document's
+    feature vector is the signed occurrence count per bucket — the
+    fixed-width, vocabulary-free featurization linear classifiers train
+    on at corpus scale.
+
+    Output is long-form ``(id, bucket, weight)`` over TOUCHED buckets
+    (zero-sum collisions kept: both sides of the oracle group the same
+    rows).  Shape: per-batch explode + one md5 pass + per-batch
+    (id, bucket) pre-combine, then one grouped-sum exchange whose key
+    count is bounded by rows × dim — never by vocabulary."""
+    from .agg import grouped_sum
+    from .md5vec import md5_u64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.lower().str.split(" ").explode()
+        toks = ex.to_numpy()
+        rows = ex.index.to_numpy()
+        keep = pd.notna(toks) & (toks != "")
+        toks, rows = toks[keep], rows[keep]
+        if not len(toks):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "weight": pd.Series([], dtype="int64"),
+                }
+            )
+        h = md5_u64(toks)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(33)) & np.uint64(1), -1, 1).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[rows],
+                "bucket": bucket,
+                "weight": sign,
+            }
+        )
+        out = (
+            out.groupby([id_col, "bucket"], sort=False)["weight"]
+            .sum()
+            .reset_index()
+        )
+        out[id_col] = out[id_col].astype("int64")
+        out["weight"] = out["weight"].astype("int64")
+        return out
+
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        [id_col, "bucket"],
+        ["weight"],
+    )

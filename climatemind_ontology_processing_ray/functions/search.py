@@ -454,3 +454,102 @@ def phrase_search_indexed(
         .groupby("__part")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+def boolean_search(
+    ds: Dataset,
+    terms: list[str],
+    min_match: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Multi-term boolean retrieval over raw text: for every document
+    holding at least ``min_match`` DISTINCT query terms (default: ALL of
+    them — conjunctive AND), emit ``(id, n_hit)``.
+
+    A document is one row, so term-set membership is embarrassingly
+    parallel — ZERO exchanges: per batch, explode to (row, token) pairs,
+    ``isin`` against the (tiny) query-term set, and count distinct hit
+    terms per row.  Disjunctive OR is ``min_match=1``; weak-AND is any
+    middle value.  Tokenization matches the corpus convention everywhere
+    in this engine: lowercase, split on ' ', drop empties."""
+    import numpy as np
+
+    qset = sorted({w for w in (t.lower() for t in terms) if w})
+    if not qset:
+        raise ValueError("empty term list")
+    need = len(qset) if min_match is None else min_match
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.lower().str.split(" ").explode()
+        rows = ex.index.to_numpy()
+        toks = ex.to_numpy()
+        hit = pd.Series(toks).isin(qset).to_numpy()
+        frame = pd.DataFrame({"row": rows[hit], "tok": toks[hit]}).drop_duplicates()
+        n_hit = frame.groupby("row", sort=False).size()
+        keep = n_hit[n_hit >= need]
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[keep.index.to_numpy()],
+                "n_hit": keep.to_numpy().astype("int64"),
+            }
+        )
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def boolean_search_indexed(
+    index: Dataset,
+    terms: list[str],
+    min_match: int | None = None,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """The same boolean-retrieval contract as :func:`boolean_search`
+    but over a prebuilt inverted index (``text.inverted_index`` /
+    :func:`positional_index` rows: one (token, doc) posting per row,
+    optionally doc-range sharded) — the plan REPEATED queries use:
+    an ``is_in`` filter keeps only the query terms' posting rows
+    (query-bounded read, the point of the index), then ONE hash(doc)
+    exchange + a distinct-term count per doc.  Sharding is transparent:
+    (token, doc) appears in exactly one doc-range shard, so postings
+    arrive globally distinct."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    num_parts = adaptive_parts(index)
+    qset = sorted({w for w in (t.lower() for t in terms) if w})
+    if not qset:
+        raise ValueError("empty term list")
+    need = len(qset) if min_match is None else min_match
+    uniq = pa.array(qset, pa.string())
+
+    def pick(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("token"), value_set=uniq))
+        t = t.select(["token", id_col])
+        pids = hash_bucket(
+            t.column(id_col).to_numpy(zero_copy_only=False), num_parts
+        )
+        return t.append_column("__part", pa.array(pids, pa.int32()))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        n_hit = g.groupby(id_col, sort=False)["token"].nunique()
+        keep = n_hit[n_hit >= need]
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(keep.index.to_numpy(), dtype="int64"),
+                "n_hit": pd.Series(keep.to_numpy(), dtype="int64"),
+            }
+        )
+
+    return (
+        index.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(count, batch_format="pandas")
+    )

@@ -648,3 +648,231 @@ def windowed_active_users(
 
     expanded = pres.map_batches(expand, batch_format="pandas")
     return grouped_count_distinct(expanded, "window_day", key_col, out_col="wau")
+
+
+def rolling_quantile_disc(
+    ds: Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    keep_cols: list[str],
+    q: float = 0.5,
+    out_col: str = "roll_q",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Per-key trailing ROWS-window DISCRETE quantile
+    (``QUANTILE_DISC(v, q) OVER (PARTITION BY key ORDER BY ...
+    ROWS window-1 PRECEDING)``) — the robust (order-statistic) sibling
+    of :func:`rolling_sum` for streaming features: rolling median /
+    p90 latency, spike-resistant smoothing.
+
+    The picked element is an EXACT copy of an input value (discrete
+    quantile: element at index floor(q*(n-1)) of the sorted window — the
+    DuckDB convention), so float columns hash-compare bit-identically.
+    One hash(key) exchange; inside a partition rows are grouped by
+    their window LENGTH (1..window — short lengths only at key-segment
+    heads), and each length class is one ``np.sort`` over a strided
+    (rows, L) matrix — vectorized, never a loop per key or per row."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g[value_col].to_numpy()
+        n = len(g)
+        out_v = np.empty(n, dtype=v.dtype)
+        if n:
+            idx = np.arange(n)
+            new_key = np.ones(n, dtype=bool)
+            kv = g[key_col].to_numpy()
+            new_key[1:] = kv[1:] != kv[:-1]
+            seg_start = np.flatnonzero(new_key)[np.cumsum(new_key) - 1]
+            wlen = np.minimum(idx - seg_start + 1, window)
+            for L in np.unique(wlen):
+                rows = np.flatnonzero(wlen == L)
+                mat = v[rows[:, None] - np.arange(int(L))[::-1][None, :]]
+                mat.sort(axis=1)
+                out_v[rows] = mat[:, int(np.floor(q * (int(L) - 1)))]
+        out = g[keep_cols].copy()
+        out[out_col] = out_v
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def resample_ffill(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+    tiebreak_col: str,
+    out_ts_col: str = "grid_ts",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Resample an irregular per-key event stream onto a fixed
+    epoch-aligned time grid with FORWARD FILL: for every grid instant
+    ``g`` (multiples of ``step_sec`` between the key's first and last
+    event), emit the value of the key's last event at or before ``g``
+    ("last" by (ts, tiebreak) — ties are deterministic).  The classic
+    time-series densification step before windowed feature extraction.
+
+    One hash(key) exchange.  The kernel never searches: after sorting
+    (key, ts, tiebreak), each EVENT owns the grid interval
+    [ceil(ts/step), ceil(next_ts/step)) (last event: through
+    floor(ts_last/step)), so the output materializes as one
+    repeat + cumsum-arange expansion — fully vectorized, and an event
+    with zero owned grid points (superseded within the same step)
+    costs nothing.  Values are copied, never recomputed, so float
+    columns hash-compare exactly."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    step_us = step_sec * 1_000_000
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        g = g.reset_index(drop=True)
+        n = len(g)
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                out_ts_col: pd.Series([], dtype="int64"),
+                value_col: pd.Series([], dtype=g[value_col].dtype if n else "float64"),
+            }
+        )
+        if not n:
+            return empty
+        ts = (g[ts_col] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ts = ts.to_numpy()
+        kv = g[key_col].to_numpy()
+        last_in_key = np.ones(n, dtype=bool)
+        last_in_key[:-1] = kv[:-1] != kv[1:]
+        gfirst = -(-ts // step_us)  # ceil
+        glast = np.empty(n, dtype=np.int64)
+        glast[:-1] = -(-ts[1:] // step_us) - 1  # next event's first slot - 1
+        glast[last_in_key] = ts[last_in_key] // step_us  # floor at segment end
+        cnt = np.maximum(glast - gfirst + 1, 0)
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        rows = np.repeat(np.arange(n), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        grid = (np.repeat(gfirst, cnt) + within) * step_us
+        out = pd.DataFrame(
+            {
+                key_col: kv[rows],
+                out_ts_col: grid.astype("int64"),
+                value_col: g[value_col].to_numpy()[rows],
+            }
+        )
+        out[key_col] = out[key_col].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(expand, batch_format="pandas")
+    )
+
+
+def ewma_scan(
+    ds: Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_int_col: str,
+    history: int,
+    scale: int,
+    num: int = 1,
+    den: int = 4,
+    out_col: str = "ewma",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Bounded-history integer-exact EWMA per key: over each key's LAST
+    ``history`` rows (ordered by ``order_cols``), run the fixed-point
+    recurrence
+
+        s_1 = v_1 * scale
+        s_t = ((den - num) * s_{t-1} + num * v_t * scale) // den
+
+    and emit the final state — the streaming-feature smoother
+    (recent-activity level per user/host) in exact integers, so the
+    result is identical at any partitioning and SQL-checkable (a
+    depth-``history`` recursion, never corpus-depth).  ``value_int_col``
+    must be a non-negative integer column (callers quantize floats
+    first); ``//`` is floor division and DuckDB's ``//`` truncates, so
+    negatives would diverge between engine and oracle.
+
+    One hash(key) exchange.  The kernel's only loop is over the
+    ``history`` TIME STEPS (the recurrence's inherent sequential
+    depth); each step updates every key in the partition at once on
+    aligned numpy lanes."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(g)
+        if not n:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    out_col: pd.Series([], dtype="int64"),
+                }
+            )
+        kv = g[key_col].to_numpy()
+        v = g[value_int_col].to_numpy().astype(np.int64)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        seg_start = np.flatnonzero(new_key)
+        seg_end = np.append(seg_start[1:], n)  # exclusive
+        seg_len = seg_end - seg_start
+        # last `history` rows of each segment, aligned so lane t holds
+        # every key's t-th kept row
+        kept_len = np.minimum(seg_len, history)
+        first_kept = seg_end - kept_len
+        s = v[first_kept] * scale
+        for t in range(1, int(kept_len.max()) if n else 0):
+            live = kept_len > t
+            idx = first_kept[live] + t
+            s[live] = ((den - num) * s[live] + num * v[idx] * scale) // den
+        return pd.DataFrame(
+            {
+                key_col: kv[seg_start].astype("int64"),
+                out_col: s.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -7423,6 +7423,238 @@ ORDER BY doc_id
 """
 
 
+_BOOL_TERMS = ["join", "hash", "vector"]  # conjunctive query terms
+
+
+def q_boolean_search(sf_dir: str):
+    """Conjunctive boolean retrieval (docs containing ALL query terms):
+    zero-exchange scan — a doc is one row, so distinct-term membership
+    is per-batch vectorized (functions/search.py:boolean_search)."""
+    from ..functions.search import boolean_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = boolean_search(ds, _BOOL_TERMS).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hit"] = out["n_hit"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_boolean_search_indexed(sf_dir: str):
+    """The same boolean query answered from the doc-range-sharded
+    inverted index — the repeated-query plan: is_in posting filter
+    (query-bounded read) + ONE hash(doc) exchange
+    (functions/search.py:boolean_search_indexed).  Shares the scan's
+    oracle, so index and scan are proven equivalent."""
+    from ..functions.search import boolean_search_indexed
+    from ..functions.text import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = inverted_index(ds, shard_range=512)
+    # sharded postings are (token, shard) rows with comma-joined ids;
+    # boolean search wants (token, doc) posting pairs — explode once
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["postings"].str.split(",")
+        n = ids.str.len().to_numpy()
+        return pd.DataFrame(
+            {
+                "token": np.repeat(b["token"].to_numpy(), n),
+                "doc_id": pd.to_numeric(
+                    pd.Series(np.concatenate(ids.to_numpy()))
+                    if len(b)
+                    else pd.Series([], dtype=object)
+                ).astype("int64"),
+            }
+        )
+
+    pairs = idx.map_batches(explode, batch_format="pandas")
+    out = boolean_search_indexed(pairs, _BOOL_TERMS).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hit"] = out["n_hit"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BOOLEAN_SEARCH = f"""
+WITH hits AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+    FROM documents)
+  WHERE tok IN ({", ".join(f"'{t}'" for t in sorted(set(_BOOL_TERMS)))}))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+FROM hits GROUP BY doc_id
+HAVING COUNT(*) >= {len(set(_BOOL_TERMS))}
+ORDER BY doc_id
+"""
+
+
+_FHASH_DIM = 32
+
+
+def q_hashed_features(sf_dir: str):
+    """Feature hashing (hashing-trick featurization, Weinberger et al.
+    2009): signed token-occurrence counts in md5 buckets — long-form
+    (doc_id, bucket, weight) with one map-side-combined grouped-sum
+    exchange (functions/classify.py:hashed_features)."""
+    from ..functions.classify import hashed_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = hashed_features(ds, dim=_FHASH_DIM).to_pandas()
+    for c in ("doc_id", "bucket", "weight"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+SQL_HASHED_FEATURES = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents),
+h AS (
+  SELECT doc_id, {_SQL_H64} AS h64
+  FROM (SELECT doc_id, md5(w) AS m FROM toks WHERE w <> ''))
+SELECT doc_id,
+       CAST(h64 % {_FHASH_DIM} AS BIGINT) AS bucket,
+       CAST(SUM(CASE WHEN (h64 // 8589934592) % 2 = 1 THEN -1 ELSE 1 END)
+            AS BIGINT) AS weight
+FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket
+"""
+
+
+def q_rolling_median(sf_dir: str):
+    """Per-user trailing-5-event rolling MEDIAN of event value — the
+    order-statistic (robust) rolling feature.  Discrete quantile: the
+    emitted value is an exact copy of an input double, so the float
+    column hash-compares bit-identically
+    (functions/windows.py:rolling_quantile_disc — one hash(user)
+    exchange, window-length-classed vectorized np.sort)."""
+    from ..functions.windows import rolling_quantile_disc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_quantile_disc(
+        ds,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        window=5,
+        keep_cols=["event_id", "user_id"],
+        q=0.5,
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       QUANTILE_DISC(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_q
+FROM events ORDER BY event_id
+"""
+
+
+_RESAMPLE_STEP_SEC = 21_600  # 6-hour grid
+
+
+def q_resample_ffill(sf_dir: str):
+    """Per-user resample of the event-value stream onto an epoch-aligned
+    6-hour grid with forward fill (last value at or before each grid
+    instant, ties broken by event_id) — time-series densification
+    before windowed features (functions/windows.py:resample_ffill —
+    one hash(user) exchange, repeat+cumsum grid expansion, zero
+    searches)."""
+    from ..functions.windows import resample_ffill
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = resample_ffill(
+        ds, "user_id", "ts", "value", _RESAMPLE_STEP_SEC, tiebreak_col="event_id"
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["grid_ts"] = out["grid_ts"].astype("int64")
+    return out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+
+_RESAMPLE_STEP_US = _RESAMPLE_STEP_SEC * 1_000_000
+
+SQL_RESAMPLE_FFILL = f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS tus,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+iv AS (
+  SELECT user_id, value,
+         (tus + {_RESAMPLE_STEP_US} - 1) // {_RESAMPLE_STEP_US} AS gfirst,
+         CASE WHEN nxt IS NULL THEN tus // {_RESAMPLE_STEP_US}
+              ELSE (nxt + {_RESAMPLE_STEP_US} - 1) // {_RESAMPLE_STEP_US} - 1
+         END AS glast
+  FROM e)
+SELECT user_id,
+       CAST(UNNEST(GENERATE_SERIES(gfirst, glast)) * {_RESAMPLE_STEP_US}
+            AS BIGINT) AS grid_ts,
+       value
+FROM iv WHERE glast >= gfirst
+ORDER BY user_id, grid_ts
+"""
+
+
+_EWMA_HISTORY = 16
+_EWMA_SCALE = 1000
+
+
+def q_ewma_features(sf_dir: str):
+    """Per-user bounded-history (last 16 events) integer fixed-point
+    EWMA of event-value cents (alpha = 1/4, state scaled by 1000) — the
+    streaming smoothed-activity feature, exact at any partitioning
+    (functions/windows.py:ewma_scan — one hash(user) exchange, the only
+    loop is the 16 recurrence steps, each a full-partition numpy
+    lane update)."""
+    from ..functions.windows import ewma_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "ts": b["ts"],
+                "user_id": b["user_id"].astype("int64"),
+                "cents": np.floor(b["value"].to_numpy() * 100 + 0.5).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    out = ewma_scan(
+        ds.map_batches(cents, batch_format="pandas"),
+        "user_id",
+        ["ts", "event_id"],
+        "cents",
+        history=_EWMA_HISTORY,
+        scale=_EWMA_SCALE,
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["ewma"] = out["ewma"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EWMA_FEATURES = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w - GREATEST(COUNT(*) OVER (PARTITION BY user_id)
+                                        - {_EWMA_HISTORY}, 0) AS t,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+kept AS (SELECT * FROM base WHERE t >= 1),
+r AS (
+  SELECT user_id, t, cents * {_EWMA_SCALE} AS s FROM kept WHERE t = 1
+  UNION ALL
+  SELECT r.user_id, k.t, (3 * r.s + k.cents * {_EWMA_SCALE}) // 4
+  FROM r JOIN kept k ON k.user_id = r.user_id AND k.t = r.t + 1)
+SELECT user_id, CAST(s AS BIGINT) AS ewma
+FROM r QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) = 1
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -7471,6 +7703,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
     "sliding_distinct_users": (q_sliding_distinct_users, SQL_SLIDING_DISTINCT_USERS),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline),
+    "boolean_search": (q_boolean_search, SQL_BOOLEAN_SEARCH),
+    "boolean_search_indexed": (q_boolean_search_indexed, SQL_BOOLEAN_SEARCH),
+    "hashed_features": (q_hashed_features, SQL_HASHED_FEATURES),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+    "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
+    "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -3205,3 +3205,249 @@ def test_anchor_texts_index(ray_session):
         ("https://a.example/t", "home"): 2,
         ("https://b.example/", "b site"): 1,
     }
+
+
+def test_boolean_search_scan_and_indexed_agree(ray_session):
+    """Conjunctive/weak-AND retrieval: the zero-shuffle scan, the
+    posting-intersection plan over a sharded inverted index, and a
+    Python brute force must agree — including a min_match (weak-AND)
+    setting and a doc hitting terms only via repeats."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.search import (
+        boolean_search,
+        boolean_search_indexed,
+    )
+    from climatemind_ontology_processing_ray.functions.text import inverted_index
+
+    docs = [
+        "hash join scan vector",
+        "hash hash hash",  # repeats count once
+        "join vector",
+        "vector hash  join",  # double space -> empty token dropped
+        "scan",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(3)
+    terms = ["hash", "join", "vector"]
+
+    def brute(min_match):
+        out = []
+        for i, t in enumerate(docs):
+            hit = len(set(t.lower().split(" ")) & set(terms) - {""})
+            if hit >= min_match:
+                out.append((i, hit))
+        return out
+
+    for mm in (1, 2, 3):
+        got = (
+            boolean_search(ds, terms, min_match=mm)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(map(tuple, got.to_numpy())) == brute(mm)
+
+    # indexed plan over doc-range-sharded postings (explode like the query)
+    idx = inverted_index(ds, shard_range=2)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["postings"].str.split(",")
+        n = ids.str.len().to_numpy()
+        return pd.DataFrame(
+            {
+                "token": np.repeat(b["token"].to_numpy(), n),
+                "doc_id": pd.to_numeric(
+                    pd.Series(np.concatenate(ids.to_numpy()))
+                ).astype("int64"),
+            }
+        )
+
+    pairs = idx.map_batches(explode, batch_format="pandas")
+    for mm in (1, 2, 3):
+        got = (
+            boolean_search_indexed(pairs, terms, min_match=mm)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(map(tuple, got.to_numpy())) == brute(mm)
+
+
+def test_hashed_features_matches_bruteforce(ray_session):
+    """Feature hashing: signed bucket counts equal a per-token hashlib
+    brute force, at two different partitionings (the grouped-sum
+    exchange must not care)."""
+    import hashlib
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.classify import (
+        hashed_features,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(1, 30))) for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": docs})
+    dim = 16
+
+    def h64(tok: str) -> int:
+        d = hashlib.md5(tok.encode()).digest()
+        return int.from_bytes(d[:8], "little")
+
+    exp: dict[tuple[int, int], int] = {}
+    for i, t in enumerate(docs):
+        for w in t.split(" "):
+            if not w:
+                continue
+            h = h64(w)
+            sign = -1 if (h >> 33) & 1 else 1
+            exp[(i, h % dim)] = exp.get((i, h % dim), 0) + sign
+
+    for parts in (2, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = hashed_features(ds, dim=dim).to_pandas()
+        got_map = {
+            (int(r.doc_id), int(r.bucket)): int(r.weight)
+            for r in got.itertuples()
+        }
+        assert got_map == exp
+
+
+def test_rolling_quantile_disc_matches_bruteforce(ray_session):
+    """Trailing-window discrete quantile: element at floor(q*(n-1)) of
+    the sorted window, checked per row against a Python brute force for
+    q in {0.5, 0.9} and short key segments."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        rolling_quantile_disc,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "u": rng.integers(0, 23, n),
+            "t": rng.permutation(n),
+            "v": rng.random(n) * 100,
+        }
+    )
+    for q in (0.5, 0.9):
+        out = (
+            rolling_quantile_disc(
+                ray.data.from_pandas(df).repartition(5),
+                "u",
+                ["t", "eid"],
+                "v",
+                window=5,
+                keep_cols=["eid"],
+                q=q,
+                out_col="rq",
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        exp = {}
+        for u, g in df.sort_values(["u", "t", "eid"]).groupby("u"):
+            vals = g["v"].tolist()
+            for j, eid in enumerate(g["eid"]):
+                w = sorted(vals[max(0, j - 4) : j + 1])
+                exp[eid] = w[int(np.floor(q * (len(w) - 1)))]
+        assert out["rq"].tolist() == [exp[e] for e in out["eid"]]
+
+
+def test_resample_ffill_matches_bruteforce(ray_session):
+    """Grid resample with forward fill: per-key epoch-aligned grid from
+    ceil(first/step) to floor(last/step), value = last event at or
+    before the instant with (ts, tiebreak) ordering — including exact
+    ts ties and a key whose span covers no grid point."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        resample_ffill,
+    )
+
+    step = 10  # seconds
+    rows = [
+        # key 1: ts seconds 3, 12, 12 (tie), 37
+        (1, 3_000_000, 10.0, 0),
+        (1, 12_000_000, 20.0, 1),
+        (1, 12_000_000, 30.0, 2),  # tie: later event_id wins from t=12
+        (1, 37_000_000, 40.0, 3),
+        # key 2: span too short for any grid point (14..18)
+        (2, 14_000_000, 5.0, 4),
+        (2, 18_000_000, 6.0, 5),
+        # key 3: lands exactly on a grid point
+        (3, 20_000_000, 7.0, 6),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "tus", "v", "eid"])
+    df["ts"] = pd.to_datetime(df["tus"], unit="us")
+    out = (
+        resample_ffill(
+            ray.data.from_pandas(df[["u", "ts", "v", "eid"]]).repartition(3),
+            "u",
+            "ts",
+            "v",
+            step,
+            tiebreak_col="eid",
+        )
+        .to_pandas()
+        .sort_values(["u", "grid_ts"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, out[["u", "grid_ts", "v"]].to_numpy()))
+    # key 1: grid 10/20/30s (tie at 12s: eid 2 wins from t=20s on);
+    # key 2: no grid point in [14s, 18s]; key 3: exactly on 20s.
+    assert got == [
+        (1, 10_000_000, 10.0),
+        (1, 20_000_000, 30.0),
+        (1, 30_000_000, 30.0),
+        (3, 20_000_000, 7.0),
+    ]
+
+
+def test_ewma_scan_matches_bruteforce(ray_session):
+    """Bounded-history integer EWMA: the step-vectorized kernel equals a
+    per-key Python recurrence, identically at two partitionings, with
+    key lengths straddling the history bound."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import ewma_scan
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "u": rng.integers(0, 19, n),
+            "t": rng.permutation(n),
+            "v": rng.integers(0, 10_000, n).astype("int64"),
+        }
+    )
+    hist, scale = 8, 1000
+    exp = {}
+    for u, g in df.sort_values(["u", "t", "eid"]).groupby("u"):
+        vals = g["v"].tolist()[-hist:]
+        s = vals[0] * scale
+        for x in vals[1:]:
+            s = (3 * s + x * scale) // 4
+        exp[int(u)] = s
+    for parts in (3, 9):
+        out = (
+            ewma_scan(
+                ray.data.from_pandas(df).repartition(parts),
+                "u",
+                ["t", "eid"],
+                "v",
+                history=hist,
+                scale=scale,
+            )
+            .to_pandas()
+            .sort_values("u")
+        )
+        assert {int(r.u): int(r.ewma) for r in out.itertuples()} == exp
