@@ -1055,3 +1055,369 @@ def clustering_coeff(
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def _tarjan_scc(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Iterative Tarjan over a collected edge frame (the driver path of
+    :func:`scc`): (node, scc_id) with scc_id = the component's MIN node
+    (string order — node ids are strings engine-wide, like
+    :func:`bfs_levels`)."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for u, v in zip(edges_df["u"], edges_df["v"]):
+        nodes.add(u)
+        nodes.add(v)
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    out: dict[str, str] = {}
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack.add(node)
+            recurse = False
+            nbrs = adj.get(node, ())
+            for j in range(pi, len(nbrs)):
+                w = nbrs[j]
+                if w not in index:
+                    work[-1] = (node, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+    return pd.DataFrame(
+        {"node": list(out), "scc_id": list(out.values())}
+    ).astype({"node": str, "scc_id": str})
+
+
+def scc(
+    edges: Dataset,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    driver_threshold: int = 250_000,
+    max_rounds: int = 50,
+) -> Dataset:
+    """Strongly connected components of the DIRECTED simple graph:
+    (node, scc_id) for every edge endpoint, scc_id = the component's
+    minimum node id (node ids compare as strings engine-wide).  The
+    directed sibling of the ``dup_clusters``/``kg_components`` WCC —
+    what link-graph analysis runs to find mutually-reachable crawl
+    neighborhoods (the web's SCC "bowtie" core).
+
+    Below ``driver_threshold`` distinct edges the table is provably
+    small: collect once and run iterative Tarjan (linear, exact) — the
+    bfs_levels/k_core gating pattern.  Above it, the distributed
+    FW-BW-Trim coloring algorithm (Orzan 2004; Hong et al. 2013; the
+    Slota et al. multistep variant), every step built from this
+    engine's exchange primitives:
+
+    1. TRIM to fixpoint: a node with no in-edges or no out-edges in the
+       active subgraph is a singleton SCC (degree tables via map-side
+       combined grouped_sum; removal via bucketed endpoint semi joins).
+    2. COLOR: forward min-label propagation to fixpoint — color(v) =
+       min active node that reaches v (frontier-driven: one bucketed
+       join + grouped MIN per round; only changed labels expand).
+    3. COLLECT: color-class roots (color(v) == v) backward-BFS along
+       REVERSED same-color edges; every node reaching its root inside
+       its color class is in the root's SCC (the FW-BW theorem).
+    4. Assign, remove, repeat on the leftovers.
+
+    Labels/colors are mins of node ids — associative, exact, identical
+    at any partitioning.  Rounds are diameter-bounded per fixpoint;
+    ``max_rounds`` RAISES on non-convergence rather than returning a
+    superset (the dup_clusters contract).  Worst case: a long pure
+    chain trims from both ends only (documented, like simhash's
+    degenerate corpora) — real web graphs trim and color in a handful
+    of rounds."""
+    from .agg import grouped_min, grouped_sum
+    from .dedup import pin_blocks
+    from .join import bucketed_anti_join, bucketed_hash_join, bucketed_semi_join
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[src_col].astype(str)
+        v = b[dst_col].astype(str)
+        return pd.DataFrame({"u": u, "v": v})
+
+    e = pin_blocks(
+        distinct_edges(edges.map_batches(norm, batch_format="pandas"), "u", "v"),
+        16,
+    )
+    m = e.count()
+    if m <= driver_threshold:
+        edf = e.to_pandas() if m else pd.DataFrame({"u": [], "v": []})
+        return ray.data.from_pandas(_tarjan_scc(edf))
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"node": pd.concat([b.u, b.v], ignore_index=True).unique()}
+        )
+        return out.assign(__part=_part_of(out["node"].to_numpy()))
+
+    active_nodes = pin_blocks(
+        e.map_batches(endpoints, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: g[["node"]].drop_duplicates(), batch_format="pandas"
+        ),
+        16,
+    )
+    # self-loops never affect SCC membership; drop them from the walkable set
+    active_edges = pin_blocks(e.filter(lambda r: r["u"] != r["v"]), 16)
+    assigned: list[Dataset] = []
+
+    def _sizes() -> tuple[int, int]:
+        return active_nodes.count(), active_edges.count()
+
+    n_active, m_active = _sizes()
+    for _ in range(max_rounds):
+        if n_active == 0:
+            break
+        # ---- 1. trim to fixpoint -------------------------------------
+        for _trim in range(max_rounds):
+            if m_active == 0:
+                # no edges left: every active node is a singleton SCC
+                assigned.append(
+                    active_nodes.map_batches(
+                        lambda b: pd.DataFrame(
+                            {"node": b.node, "scc_id": b.node}
+                        ),
+                        batch_format="pandas",
+                    )
+                )
+                active_nodes = active_nodes.limit(0)
+                n_active = 0
+                break
+            outdeg = grouped_sum(
+                active_edges.map_batches(
+                    lambda b: pd.DataFrame({"node": b.u.unique()}).assign(
+                        d=np.int64(1)
+                    ),
+                    batch_format="pandas",
+                ),
+                ["node"],
+                ["d"],
+            ).map_batches(
+                lambda b: b[["node"]].assign(has_out=np.int64(1)),
+                batch_format="pandas",
+            )
+            indeg = grouped_sum(
+                active_edges.map_batches(
+                    lambda b: pd.DataFrame({"node": b.v.unique()}).assign(
+                        d=np.int64(1)
+                    ),
+                    batch_format="pandas",
+                ),
+                ["node"],
+                ["d"],
+            ).map_batches(
+                lambda b: b[["node"]].assign(has_in=np.int64(1)),
+                batch_format="pandas",
+            )
+            core = bucketed_semi_join(
+                bucketed_semi_join(active_nodes, outdeg, "node"), indeg, "node"
+            )
+            core = pin_blocks(core.select_columns(["node"]), 16)
+            n_core = core.count()
+            if n_core == n_active:
+                break
+            trimmed = bucketed_anti_join(active_nodes, core, "node")
+            assigned.append(
+                trimmed.map_batches(
+                    lambda b: pd.DataFrame({"node": b.node, "scc_id": b.node}),
+                    batch_format="pandas",
+                )
+            )
+            active_nodes, n_active = core, n_core
+            active_edges = pin_blocks(
+                bucketed_semi_join(
+                    bucketed_semi_join(
+                        active_edges,
+                        active_nodes.map_batches(
+                            lambda b: b.rename(columns={"node": "u"}),
+                            batch_format="pandas",
+                        ),
+                        "u",
+                    ),
+                    active_nodes.map_batches(
+                        lambda b: b.rename(columns={"node": "v"}),
+                        batch_format="pandas",
+                    ),
+                    "v",
+                ),
+                16,
+            )
+            m_active = active_edges.count()
+        if n_active == 0:
+            break
+        # ---- 2. forward min-label coloring to fixpoint ----------------
+        labels = pin_blocks(
+            active_nodes.map_batches(
+                lambda b: pd.DataFrame({"node": b.node, "color": b.node}),
+                batch_format="pandas",
+            ),
+            16,
+        )
+        frontier = labels
+        for _color in range(max_rounds * 4):
+            if frontier.count() == 0:
+                break
+            cand = bucketed_hash_join(
+                frontier.map_batches(
+                    lambda b: pd.DataFrame({"u": b.node, "color": b.color}),
+                    batch_format="pandas",
+                ),
+                active_edges,
+                "u",
+            ).map_batches(
+                lambda b: pd.DataFrame({"node": b.v, "color": b.color}),
+                batch_format="pandas",
+            )
+            new_labels = pin_blocks(
+                grouped_min(labels.union(cand), ["node"], ["color"]), 16
+            )
+            # changed labels only: join new against old, keep strict improvements
+            frontier = bucketed_hash_join(
+                new_labels,
+                labels.map_batches(
+                    lambda b: b.rename(columns={"color": "old_color"}),
+                    batch_format="pandas",
+                ),
+                "node",
+            ).filter(lambda r: r["color"] < r["old_color"]).select_columns(
+                ["node", "color"]
+            )
+            frontier = pin_blocks(frontier, 16)
+            labels = new_labels
+        else:
+            raise RuntimeError(
+                f"scc coloring did not converge in {max_rounds * 4} rounds"
+            )
+        # ---- 3. roots + backward reach within color class -------------
+        roots = labels.filter(lambda r: r["node"] == r["color"]).select_columns(
+            ["node"]
+        )
+        # same-color edge set, reversed: (v, u) pairs where color(u)==color(v)
+        eu = bucketed_hash_join(
+            active_edges,
+            labels.map_batches(
+                lambda b: pd.DataFrame({"u": b.node, "cu": b.color}),
+                batch_format="pandas",
+            ),
+            "u",
+        )
+        ec = bucketed_hash_join(
+            eu,
+            labels.map_batches(
+                lambda b: pd.DataFrame({"v": b.node, "cv": b.color}),
+                batch_format="pandas",
+            ),
+            "v",
+        ).filter(lambda r: r["cu"] == r["cv"]).select_columns(["u", "v"])
+        ec_rev = pin_blocks(
+            ec.map_batches(
+                lambda b: pd.DataFrame({"u": b.v, "v": b.u}), batch_format="pandas"
+            ),
+            16,
+        )
+        reach = pin_blocks(
+            roots.map_batches(
+                lambda b: pd.DataFrame({"node": b.node, "scc_id": b.node}),
+                batch_format="pandas",
+            ),
+            16,
+        )
+        frontier = reach
+        for _back in range(max_rounds * 4):
+            if frontier.count() == 0:
+                break
+            cand = bucketed_hash_join(
+                frontier.map_batches(
+                    lambda b: pd.DataFrame({"u": b.node, "scc_id": b.scc_id}),
+                    batch_format="pandas",
+                ),
+                ec_rev,
+                "u",
+            ).map_batches(
+                lambda b: pd.DataFrame({"node": b.v, "scc_id": b.scc_id}),
+                batch_format="pandas",
+            )
+            # a node has exactly one color hence at most one root: min = the root
+            new_reach = pin_blocks(
+                grouped_min(reach.union(cand), ["node"], ["scc_id"]), 16
+            )
+            frontier = pin_blocks(
+                bucketed_anti_join(new_reach, reach, "node"), 16
+            )
+            reach = new_reach
+        else:
+            raise RuntimeError(
+                f"scc backward sweep did not converge in {max_rounds * 4} rounds"
+            )
+        assigned.append(reach)
+        # ---- 4. remove settled nodes, keep going ----------------------
+        active_nodes = pin_blocks(
+            bucketed_anti_join(active_nodes, reach, "node"), 16
+        )
+        n_active = active_nodes.count()
+        if n_active:
+            active_edges = pin_blocks(
+                bucketed_semi_join(
+                    bucketed_semi_join(
+                        active_edges,
+                        active_nodes.map_batches(
+                            lambda b: b.rename(columns={"node": "u"}),
+                            batch_format="pandas",
+                        ),
+                        "u",
+                    ),
+                    active_nodes.map_batches(
+                        lambda b: b.rename(columns={"node": "v"}),
+                        batch_format="pandas",
+                    ),
+                    "v",
+                ),
+                16,
+            )
+            m_active = active_edges.count()
+    else:
+        raise RuntimeError(f"scc did not converge in {max_rounds} FW-BW rounds")
+
+    if not assigned:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series([], dtype=str), "scc_id": pd.Series([], dtype=str)}
+            )
+        )
+    out = assigned[0]
+    for part in assigned[1:]:
+        out = out.union(part)
+    return out

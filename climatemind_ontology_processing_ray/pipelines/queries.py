@@ -7655,6 +7655,121 @@ ORDER BY user_id
 """
 
 
+_SCC_B = 16  # block width of the synthetic directed doc graph
+
+
+def _scc_edges(sf_dir: str):
+    """Deterministic directed graph over doc_ids, block width 16, block
+    shape by (block % 3): 0 = path (singleton SCCs), 1 = ring (+ chords
+    from doc_id%5==0 nodes — one block-sized SCC), 2 = two half-rings
+    bridged by a DAG edge (two SCCs the algorithm must NOT merge).
+    Even blocks add one forward cross-block edge (acyclic across
+    blocks).  The same arithmetic runs in the SQL oracle."""
+    B = _SCC_B
+    n_docs = _table_rows(_t(sf_dir, "documents"))
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["doc_id"].to_numpy().astype(np.int64)
+        blk = u // B
+        base = blk * B
+        size = np.minimum(B, n_docs - base)
+        pos = u - base
+        btype = blk % 3
+        half = size // 2
+        srcs, dsts = [], []
+
+        def emit(mask, dst):
+            srcs.append(u[mask])
+            dsts.append(dst[mask] if isinstance(dst, np.ndarray) else dst)
+
+        emit((btype == 0) & (pos + 1 < size), u + 1)
+        emit((btype == 1) & (size >= 2), base + (pos + 1) % np.maximum(size, 1))
+        emit(
+            (btype == 1) & (size >= 2) & (u % 5 == 0),
+            base + (pos + 7) % np.maximum(size, 1),
+        )
+        emit(
+            (btype == 2) & (half >= 1) & (pos < half),
+            base + (pos + 1) % np.maximum(half, 1),
+        )
+        sz2 = np.maximum(size - half, 1)
+        emit(
+            (btype == 2) & (pos >= half),
+            base + half + (pos - half + 1) % sz2,
+        )
+        emit((btype == 2) & (pos == 0) & (size > half) & (half >= 1), base + half)
+        emit((blk % 2 == 0) & (pos == 0) & (base + B < n_docs), base + B)
+        return pd.DataFrame(
+            {
+                "subject": np.concatenate(srcs),
+                "object": np.concatenate(dsts),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas")
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components of the directed doc graph — the
+    web bowtie-core primitive (mutually-reachable crawl neighborhoods).
+    scc_id = component's min node id, string order
+    (functions/graph_algo.py:scc — Tarjan below the driver threshold,
+    distributed FW-BW-Trim coloring above; the distributed path is
+    forced and brute-checked in pytest)."""
+    from ..functions.graph_algo import scc
+
+    out = scc(_scc_edges(sf_dir)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_scc() -> str:
+    B = _SCC_B
+    return f"""
+WITH RECURSIVE
+params AS (SELECT COUNT(*) AS n FROM documents),
+d AS (
+  SELECT doc_id AS u, (doc_id // {B}) * {B} AS base,
+         LEAST({B}, (SELECT n FROM params) - (doc_id // {B}) * {B}) AS size,
+         doc_id - (doc_id // {B}) * {B} AS pos,
+         (doc_id // {B}) % 3 AS btype,
+         (doc_id // {B}) % 2 AS bpar
+  FROM documents),
+edges AS (
+  SELECT u, u + 1 AS v FROM d WHERE btype = 0 AND pos + 1 < size
+  UNION ALL
+  SELECT u, base + (pos + 1) % size FROM d WHERE btype = 1 AND size >= 2
+  UNION ALL
+  SELECT u, base + (pos + 7) % size FROM d
+  WHERE btype = 1 AND size >= 2 AND u % 5 = 0
+  UNION ALL
+  SELECT u, base + (pos + 1) % GREATEST(size // 2, 1) FROM d
+  WHERE btype = 2 AND size // 2 >= 1 AND pos < size // 2
+  UNION ALL
+  SELECT u, base + size // 2 + (pos - size // 2 + 1)
+            % GREATEST(size - size // 2, 1)
+  FROM d WHERE btype = 2 AND pos >= size // 2
+  UNION ALL
+  SELECT u, base + size // 2 FROM d
+  WHERE btype = 2 AND pos = 0 AND size > size // 2 AND size // 2 >= 1
+  UNION ALL
+  SELECT u, base + {B} FROM d
+  WHERE bpar = 0 AND pos = 0 AND base + {B} < (SELECT n FROM params)),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+walk AS (SELECT u AS s, v AS t FROM edges WHERE u <> v
+         UNION
+         SELECT walk.s, e.v FROM walk JOIN edges e ON e.u = walk.t
+         WHERE e.u <> e.v),
+mutual AS (
+  SELECT r1.s AS a, r1.t AS b
+  FROM walk r1 JOIN walk r2 ON r1.s = r2.t AND r1.t = r2.s
+  UNION SELECT node, node FROM nodes)
+SELECT CAST(a AS VARCHAR) AS node,
+       MIN(CAST(b AS VARCHAR)) AS scc_id
+FROM mutual GROUP BY a ORDER BY node
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -7709,6 +7824,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
+    "scc": (q_scc, _sql_scc),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

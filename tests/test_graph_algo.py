@@ -454,3 +454,83 @@ class TestClusteringCoeff:
             n: (int(r.n_tri), int(r.n_wedges)) for n, r in out.iterrows()
         }
         assert got == self.WANT
+
+
+class TestSCC:
+    """Strongly connected components: Tarjan driver path vs a
+    mutual-reachability brute force, and the distributed FW-BW-Trim
+    path (forced via driver_threshold=0) vs Tarjan."""
+
+    @staticmethod
+    def _brute_scc(pairs):
+        """scc_id = min (string order) over the mutual-reachability set."""
+        nodes = sorted({str(x) for p in pairs for x in p})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        reach = [[False] * n for _ in range(n)]
+        for i in range(n):
+            reach[i][i] = True
+        for u, v in pairs:
+            reach[idx[str(u)]][idx[str(v)]] = True
+        for k in range(n):
+            rk = reach[k]
+            for i in range(n):
+                if reach[i][k]:
+                    ri = reach[i]
+                    for j in range(n):
+                        if rk[j]:
+                            ri[j] = True
+        out = {}
+        for i, u in enumerate(nodes):
+            comp = [nodes[j] for j in range(n) if reach[i][j] and reach[j][i]]
+            out[u] = min(comp)
+        return out
+
+    def test_tarjan_matches_bruteforce_random(self, ray_session):
+        from climatemind_ontology_processing_ray.functions.graph_algo import scc
+
+        rng = np.random.default_rng(17)
+        for trial in range(5):
+            n, m = 40, 70
+            pairs = [
+                (f"n{a:02d}", f"n{b:02d}")
+                for a, b in zip(
+                    rng.integers(0, n, m), rng.integers(0, n, m)
+                )
+            ]
+            got = scc(_edges_ds(pairs, 3)).to_pandas()
+            got_map = dict(zip(got["node"], got["scc_id"]))
+            assert got_map == self._brute_scc(pairs), f"trial {trial}"
+
+    def test_distributed_path_matches_tarjan(self, ray_session):
+        """Force the FW-BW-Trim path on a graph with every interesting
+        shape: a ring SCC, two bridged half-rings (DAG edge between
+        SCCs that must NOT merge), a pure path (trim-only), a 2-cycle
+        hanging off it, and a self-loop singleton."""
+        from climatemind_ontology_processing_ray.functions.graph_algo import (
+            _tarjan_scc,
+            scc,
+        )
+
+        pairs = [
+            # ring a0->a1->a2->a0
+            ("a0", "a1"), ("a1", "a2"), ("a2", "a0"),
+            # two half-rings bridged: b0<->b1 -> b2<->b3
+            ("b0", "b1"), ("b1", "b0"), ("b1", "b2"),
+            ("b2", "b3"), ("b3", "b2"),
+            # path c0->c1->c2 (all singletons, trims away)
+            ("c0", "c1"), ("c1", "c2"),
+            # 2-cycle off the path: c2->d0, d0<->d1
+            ("c2", "d0"), ("d0", "d1"), ("d1", "d0"),
+            # self loop
+            ("e0", "e0"),
+        ]
+        exp = _tarjan_scc(pd.DataFrame(pairs, columns=["u", "v"]).astype(str))
+        exp_map = dict(zip(exp["node"], exp["scc_id"]))
+        got = scc(_edges_ds(pairs, 3), driver_threshold=0).to_pandas()
+        got_map = dict(zip(got["node"], got["scc_id"]))
+        assert got_map == exp_map
+        # sanity on the expectation itself
+        assert exp_map["a1"] == "a0" and exp_map["b3"] == "b2"
+        assert exp_map["b0"] == "b0" and exp_map["c1"] == "c1"
+        assert exp_map["d1"] == "d0" and exp_map["e0"] == "e0"
