@@ -3451,3 +3451,50 @@ def test_ewma_scan_matches_bruteforce(ray_session):
             .sort_values("u")
         )
         assert {int(r.u): int(r.ewma) for r in out.itertuples()} == exp
+
+
+def test_write_graph_html_reproducible_and_parseable(tmp_path, snapshot, golden):
+    """The dependency-free HTML/SVG dashboard stand-in: valid XML, one
+    circle+label per node, one line per edge, reference edge colors
+    (visualize.py:156-215), highlight fill by 'all classes'
+    (visualize.py:77-99), and byte-identical across runs."""
+    import xml.etree.ElementTree as ET
+
+    from climatemind_ontology_processing_ray.graph.enrich import (
+        build_enriched_graph,
+    )
+    from climatemind_ontology_processing_ray.graph.writers import write_graph_html
+
+    art = build_enriched_graph(golden, snapshot)
+    G = art.G
+    p1 = write_graph_html(G, str(tmp_path), "viz1", highlight_class="risk solution")
+    p2 = write_graph_html(G, str(tmp_path), "viz2", highlight_class="risk solution")
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1 == b2  # deterministic layout, byte-reproducible
+
+    root = ET.fromstring(b1)  # valid XHTML
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    svg = root.find(".//s:svg", ns)
+    circles = svg.findall("s:circle", ns)
+    lines = svg.findall("s:line", ns)
+    texts = svg.findall("s:text", ns)
+    assert len(circles) == G.number_of_nodes() == len(texts)
+    assert len(lines) == G.number_of_edges()
+    strokes = {ln.get("stroke") for ln in lines}
+    edge_types = {d["type"] for _, _, d in G.edges(data=True)}
+    if "causes_or_promotes" in edge_types:
+        assert "blue" in strokes
+    if "is_inhibited_or_prevented_or_blocked_or_slowed_by" in edge_types:
+        assert "red" in strokes
+    # highlight fill applied iff the class matches
+    want_blue = {
+        n
+        for n in G.nodes
+        if "risk solution" in (G.nodes[n].get("all classes") or [])
+    }
+    got_blue = {
+        c.find("s:title", ns).text
+        for c in circles
+        if c.get("fill") == "#aed9f6"
+    }
+    assert got_blue == want_blue and (want_blue or True)
