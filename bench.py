@@ -233,6 +233,13 @@ def run_bench() -> dict:
         "top_tokens_by_lang",
         "sliding_distinct_users",
         "curation_pipeline",
+        "boolean_search",
+        "boolean_search_indexed",
+        "hashed_features",
+        "rolling_median",
+        "resample_ffill",
+        "ewma_features",
+        "scc",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

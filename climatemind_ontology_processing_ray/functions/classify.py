@@ -249,7 +249,7 @@ def hashed_features(
     (id, bucket) pre-combine, then one grouped-sum exchange whose key
     count is bounded by rows × dim — never by vocabulary."""
     from .agg import grouped_sum
-    from .md5vec import md5_u64
+    from .md5vec import md5_u64_any
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
@@ -266,7 +266,9 @@ def hashed_features(
                     "weight": pd.Series([], dtype="int64"),
                 }
             )
-        h = md5_u64(toks)
+        # tokens repeat corpus-wide: md5 once per UNIQUE token
+        # (dictionary encode + scatter — md5vec.md5_u64_any)
+        h = md5_u64_any(toks)
         bucket = (h % np.uint64(dim)).astype(np.int64)
         sign = np.where((h >> np.uint64(33)) & np.uint64(1), -1, 1).astype(np.int64)
         out = pd.DataFrame(

@@ -907,7 +907,157 @@ def suite_r5ops() -> None:
         print("radius_search: run `stress.py embed` first to build /tmp/stress_emb")
 
 
+
+
+def suite_r6ops() -> None:
+    """Final-session additions at scale: boolean retrieval (scan +
+    sharded-index plans) and feature hashing over 1M docs; rolling
+    quantile / grid resample / EWMA scans over 10M events x 1M keys;
+    distributed SCC forced above the driver threshold (~320k edges)."""
+    ray, rd = _session()
+    _mutated_docs("/tmp/stress_docs_1m", reps=200, shards=5)
+    docs = rd.read_parquet("/tmp/stress_docs_1m", columns=["doc_id", "text"])
+    from climatemind_ontology_processing_ray.functions.classify import (
+        hashed_features,
+    )
+    from climatemind_ontology_processing_ray.functions.search import (
+        boolean_search,
+        boolean_search_indexed,
+    )
+
+    terms = ["join", "hash", "vector"]
+    _t(
+        "boolean_search scan @1M docs",
+        lambda: f"{boolean_search(docs, terms).count()} matches",
+    )
+    from climatemind_ontology_processing_ray.functions.text import inverted_index
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["postings"].str.split(",")
+        n = ids.str.len().to_numpy()
+        return pd.DataFrame(
+            {
+                "token": np.repeat(b["token"].to_numpy(), n),
+                "doc_id": pd.to_numeric(
+                    pd.Series(np.concatenate(ids.to_numpy()))
+                ).astype("int64"),
+            }
+        )
+
+    pairs = inverted_index(docs, shard_range=65_536).map_batches(
+        explode, batch_format="pandas"
+    )
+    _t(
+        "boolean_search_indexed (build sharded index + query) @1M docs",
+        lambda: f"{boolean_search_indexed(pairs, terms).count()} matches",
+    )
+    _t(
+        "hashed_features dim=64 @1M docs",
+        lambda: f"{hashed_features(docs, dim=64).count()} (doc, bucket) rows",
+    )
+
+    p = "/tmp/stress_scan_events.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(23)
+        n = 10_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "eid": pa.array(np.arange(n), pa.int64()),
+                    "u": pa.array(
+                        rng.integers(0, 1_000_000, n).astype(np.int64), pa.int64()
+                    ),
+                    "tus": pa.array(
+                        np.int64(1_700_000_000_000_000)
+                        + rng.integers(0, 30 * 86_400_000_000, n).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "v": pa.array(
+                        rng.integers(0, 100_000, n).astype(np.int64), pa.int64()
+                    ),
+                }
+            ),
+            p,
+        )
+    ev = rd.read_parquet(p).map_batches(
+        lambda b: b.assign(ts=pd.to_datetime(b["tus"], unit="us")),
+        batch_format="pandas",
+    )
+    from climatemind_ontology_processing_ray.functions.windows import (
+        ewma_scan,
+        resample_ffill,
+        rolling_quantile_disc,
+    )
+
+    _t(
+        "rolling_quantile_disc w=8 q=0.5 @10M rows x 1M keys",
+        lambda: f"{rolling_quantile_disc(ev, 'u', ['tus', 'eid'], 'v', 8, ['eid']).count()} rows",
+    )
+    _t(
+        "resample_ffill 1d grid @10M rows x 1M keys",
+        lambda: f"{resample_ffill(ev, 'u', 'ts', 'v', 86_400, 'eid').count()} grid rows",
+    )
+    _t(
+        "ewma_scan hist=16 @10M rows x 1M keys",
+        lambda: f"{ewma_scan(ev, 'u', ['tus', 'eid'], 'v', 16, 1000).count()} keys",
+    )
+
+    # distributed SCC: the sf0.001 block-graph recipe over 300k nodes
+    # (~320k distinct edges > the 250k driver threshold)
+    from climatemind_ontology_processing_ray.functions.graph_algo import scc
+
+    pg = "/tmp/stress_scc_edges.parquet"
+    if not os.path.exists(pg):
+        n = 300_000
+        B = 16
+        u = np.arange(n, dtype=np.int64)
+        blk = u // B
+        base = blk * B
+        size = np.minimum(B, n - base)
+        pos = u - base
+        btype = blk % 3
+        half = size // 2
+        srcs, dsts = [], []
+
+        def emit(mask, dst):
+            srcs.append(u[mask])
+            dsts.append(dst[mask])
+
+        emit((btype == 0) & (pos + 1 < size), u + 1)
+        emit((btype == 1) & (size >= 2), base + (pos + 1) % np.maximum(size, 1))
+        emit(
+            (btype == 1) & (size >= 2) & (u % 5 == 0),
+            base + (pos + 7) % np.maximum(size, 1),
+        )
+        emit(
+            (btype == 2) & (half >= 1) & (pos < half),
+            base + (pos + 1) % np.maximum(half, 1),
+        )
+        emit(
+            (btype == 2) & (pos >= half),
+            base + half + (pos - half + 1) % np.maximum(size - half, 1),
+        )
+        emit((btype == 2) & (pos == 0) & (size > half) & (half >= 1), base + half)
+        emit((blk % 2 == 0) & (pos == 0) & (base + B < n), base + B)
+        pq.write_table(
+            pa.table(
+                {
+                    "subject": pa.array(np.concatenate(srcs), pa.int64()),
+                    "object": pa.array(np.concatenate(dsts), pa.int64()),
+                }
+            ),
+            pg,
+        )
+    edges = rd.read_parquet(pg)
+    _t(
+        "scc distributed FW-BW-Trim @300k nodes / ~319k edges",
+        lambda: f"{scc(edges).count()} assignments",
+    )
+
+
+
 SUITES = {
+    "r6ops": suite_r6ops,
     "r5ops": suite_r5ops,
     "hashops": suite_hashops,
     "docs": suite_docs,
