@@ -876,3 +876,87 @@ def ewma_scan(
         .groupby("__part")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def interval_coverage(
+    ds: Dataset,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    order_cols: list[str],
+    num_parts: int | None = None,
+) -> Dataset:
+    """Per-key union coverage of (possibly overlapping, variable-width)
+    intervals — the gaps-and-islands analytic: merge overlapping
+    [start, end) intervals into islands and emit
+    ``(key, n_islands, covered)`` where ``covered`` is the summed
+    island length.  Uptime/session-coverage accounting in exact int64.
+
+    One hash(key) exchange; the kernel is one sort + one segment-wise
+    running max (pandas groupby.cummax, C-vectorized): an interval
+    starts a new island iff its start exceeds the running max end of
+    everything before it in its key segment.  Island stats then fold as
+    grouped sums over island heads — no per-key or per-island Python
+    loop."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(g)
+        if not n:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "n_islands": pd.Series([], dtype="int64"),
+                    "covered": pd.Series([], dtype="int64"),
+                }
+            )
+        start = g[start_col].to_numpy().astype(np.int64)
+        end = g[end_col].to_numpy().astype(np.int64)
+        kv = g[key_col].to_numpy()
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        run_end = (
+            pd.Series(end).groupby(pd.Series(seg_id), sort=False).cummax().to_numpy()
+        )
+        prev_run_end = np.empty(n, dtype=np.int64)
+        prev_run_end[1:] = run_end[:-1]
+        new_island = new_key | (start > prev_run_end)
+        island_id = np.cumsum(new_island) - 1
+        # island extent: min start = start at the island head (sorted);
+        # max end = run_end at the island's last row
+        heads = np.flatnonzero(new_island)
+        last = np.append(heads[1:], n) - 1
+        lengths = run_end[last] - start[heads]
+        frame = pd.DataFrame(
+            {
+                key_col: kv[heads],
+                "n_islands": np.int64(1),
+                "covered": lengths.astype(np.int64),
+            }
+        )
+        out = (
+            frame.groupby(key_col, sort=False)
+            .agg(n_islands=("n_islands", "sum"), covered=("covered", "sum"))
+            .reset_index()
+        )
+        out[key_col] = out[key_col].astype("int64")
+        out["n_islands"] = out["n_islands"].astype("int64")
+        out["covered"] = out["covered"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(islands, batch_format="pandas")
+    )

@@ -7770,6 +7770,72 @@ FROM mutual GROUP BY a ORDER BY node
 """
 
 
+def q_interval_coverage(sf_dir: str):
+    """Per-user union coverage of overlapping variable-width activity
+    intervals (event start + value-derived duration) — the
+    gaps-and-islands analytic in exact int64 microseconds: merged-island
+    count and total covered time per user
+    (functions/windows.py:interval_coverage — one hash(user) exchange,
+    segment-wise running-max island detection, no per-island loop)."""
+    from ..functions.windows import interval_coverage
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def mk_iv(b: pd.DataFrame) -> pd.DataFrame:
+        s = ((b["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).to_numpy()
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype("int64")
+        dur = (cents % 600 + 1) * 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "s": s.astype("int64"),
+                "e": (s + dur).astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+            }
+        )
+
+    out = interval_coverage(
+        ds.map_batches(mk_iv, batch_format="pandas"),
+        "user_id",
+        "s",
+        "e",
+        ["s", "event_id"],
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 600 + 1) * 1000000
+           AS e
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max,
+         event_id
+  FROM iv),
+fl AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS head
+  FROM w),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(head) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS UNBOUNDED PRECEDING) AS iid
+  FROM fl),
+per AS (
+  SELECT user_id, iid, MAX(e) - MIN(s) AS len
+  FROM isl GROUP BY user_id, iid)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS covered
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -7825,6 +7891,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
     "scc": (q_scc, _sql_scc),
+    "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

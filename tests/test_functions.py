@@ -3498,3 +3498,56 @@ def test_write_graph_html_reproducible_and_parseable(tmp_path, snapshot, golden)
         if c.get("fill") == "#aed9f6"
     }
     assert got_blue == want_blue and (want_blue or True)
+
+
+def test_interval_coverage_matches_bruteforce(ray_session):
+    """Gaps-and-islands union coverage: merged-island count and total
+    covered length per key equal a per-key Python merge, including
+    touching intervals (merged), containment (a long interval swallowing
+    later short ones), and two partitionings."""
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        interval_coverage,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 400
+    start = rng.integers(0, 10_000, n).astype("int64")
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "u": rng.integers(0, 13, n),
+            "s": start,
+            "e": start + rng.integers(1, 800, n).astype("int64"),
+        }
+    )
+    # force a containment case: one giant interval per key 0
+    df.loc[df.index[df["u"] == 0][:1], "e"] = 100_000
+
+    exp = {}
+    for u, g in df.sort_values(["s", "eid"]).groupby("u"):
+        islands = []
+        for s, e in zip(g["s"], g["e"]):
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        exp[int(u)] = (len(islands), sum(e - s for s, e in islands))
+
+    for parts in (2, 6):
+        out = (
+            interval_coverage(
+                ray.data.from_pandas(df).repartition(parts),
+                "u",
+                "s",
+                "e",
+                ["s", "eid"],
+            )
+            .to_pandas()
+            .sort_values("u")
+        )
+        got = {
+            int(r.u): (int(r.n_islands), int(r.covered)) for r in out.itertuples()
+        }
+        assert got == exp
