@@ -468,37 +468,48 @@ def boolean_search(
     them — conjunctive AND), emit ``(id, n_hit)``.
 
     A document is one row, so term-set membership is embarrassingly
-    parallel — ZERO exchanges: per batch, explode to (row, token) pairs,
-    ``isin`` against the (tiny) query-term set, and count distinct hit
-    terms per row.  Disjunctive OR is ``min_match=1``; weak-AND is any
-    middle value.  Tokenization matches the corpus convention everywhere
-    in this engine: lowercase, split on ' ', drop empties."""
+    parallel — ZERO exchanges, all Arrow/numpy: per batch, one
+    ``split_pattern`` + ``index_in`` against the (tiny) query-term set,
+    then distinct (row, term) keys via one ``np.unique`` and a bincount
+    per row.  Disjunctive OR is ``min_match=1``; weak-AND is any middle
+    value.  Tokenization matches the corpus convention everywhere in
+    this engine: lowercase, split on ' ', drop empties (empty tokens
+    can't match a non-empty term, so no explicit drop is needed)."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     qset = sorted({w for w in (t.lower() for t in terms) if w})
     if not qset:
         raise ValueError("empty term list")
     need = len(qset) if min_match is None else min_match
+    uniq = pa.array(qset, pa.string())
+    K = len(qset)
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.reset_index(drop=True)
-        ex = b[text_col].fillna("").str.lower().str.split(" ").explode()
-        rows = ex.index.to_numpy()
-        toks = ex.to_numpy()
-        hit = pd.Series(toks).isin(qset).to_numpy()
-        frame = pd.DataFrame({"row": rows[hit], "tok": toks[hit]}).drop_duplicates()
-        n_hit = frame.groupby("row", sort=False).size()
-        keep = n_hit[n_hit >= need]
-        out = pd.DataFrame(
+    def score(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.utf8_lower(b.column(text_col)), "")
+        toks = pc.split_pattern(txt, " ")
+        if toks.num_chunks != 1:
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tidx = pc.index_in(flat, value_set=uniq)
+        tnp = tidx.to_numpy(zero_copy_only=False)  # float w/ nan for misses
+        mask = ~pd.isna(tnp)
+        keys = parent[mask].astype(np.int64) * K + tnp[mask].astype(np.int64)
+        uk = np.unique(keys)
+        rows_hit = uk // K
+        row_ids, n_hit = np.unique(rows_hit, return_counts=True)
+        keep = n_hit >= need
+        ids = b.column(id_col).take(pa.array(row_ids[keep], pa.int64()))
+        return pa.table(
             {
-                id_col: b[id_col].to_numpy()[keep.index.to_numpy()],
-                "n_hit": keep.to_numpy().astype("int64"),
+                id_col: ids.cast(pa.int64()),
+                "n_hit": pa.array(n_hit[keep].astype(np.int64), pa.int64()),
             }
         )
-        out[id_col] = out[id_col].astype("int64")
-        return out
 
-    return ds.map_batches(score, batch_format="pandas")
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def boolean_search_indexed(
