@@ -241,6 +241,7 @@ def run_bench() -> dict:
         "ewma_features",
         "scc",
         "interval_coverage",
+        "entity_resolution",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

@@ -7836,6 +7836,58 @@ FROM per GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution: blocked fuzzy record linkage
+    (Levenshtein <= 2 within brand) → connected components → canonical
+    key per record (cluster min; singletons map to themselves) — the
+    composed record-linkage pipeline (fuzzy_join → dup_clusters), every
+    stage the bounded distributed path already proven alone."""
+    from ..functions.dedup import dup_clusters
+    from ..functions.fuzzy import fuzzy_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    pairs = fuzzy_join(
+        ds, "p_partkey", "p_name", "p_brand", max_dist=_FUZZY_DIST
+    ).map_batches(
+        lambda b: b.rename(columns={"key_a": "id_a", "key_b": "id_b"})[
+            ["id_a", "id_b"]
+        ]
+        if len(b.columns)
+        else b,
+        batch_format="pandas",
+    )
+    ids = ds.select_columns(["p_partkey"]).map_batches(
+        lambda b: b.rename(columns={"p_partkey": "doc_id"}),
+        batch_format="pandas",
+    )
+    out = dup_clusters(pairs, ids).to_pandas()
+    out = out.rename(columns={"id": "p_partkey", "cluster": "canonical"})
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["canonical"] = out["canonical"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_DIST}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+clus AS (SELECT s AS id, LEAST(s, MIN(d)) AS canonical FROM reach GROUP BY s)
+SELECT p.p_partkey, CAST(COALESCE(c.canonical, p.p_partkey) AS BIGINT)
+         AS canonical
+FROM part p LEFT JOIN clus c ON c.id = p.p_partkey
+ORDER BY p.p_partkey
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -7892,6 +7944,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
     "scc": (q_scc, _sql_scc),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
