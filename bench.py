@@ -242,6 +242,7 @@ def run_bench() -> dict:
         "scc",
         "interval_coverage",
         "entity_resolution",
+        "auc_quality",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

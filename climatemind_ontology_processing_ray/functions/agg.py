@@ -293,3 +293,62 @@ def pareto_frontier_2d(
             batch_format="pandas",
         )
     )
+
+
+def exact_auc(
+    ds: Dataset,
+    label_col: str,
+    score_col: str,
+    num_parts: int | None = None,
+) -> "pd.DataFrame":
+    """Exact ROC-AUC of an integer score against a binary label as a
+    RATIONAL (auc_num / auc_den) — the classifier-evaluation primitive
+    for curation models (quality classifiers, langID, dedup scorers),
+    bit-reproducible at any partitioning so it is SQL-hash-checkable.
+
+    Mann-Whitney rank-sum with midrank tie handling, all integer:
+    ``auc = (2*R_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg)`` where
+    ``R_pos`` uses average ranks over score ties (doubled to stay
+    integral).  Distributed shape: ONE map-side-combined grouped-sum
+    exchange reduces the corpus to (distinct score -> n, n_pos); the
+    rank cumsum runs on the driver over that table, which is bounded by
+    the score's value range, never by corpus rows (integer quality
+    composites have fixed range at any corpus size)."""
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = b[label_col].astype("int64")
+        out = pd.DataFrame({"s": b[score_col].astype("int64"), "y": y})
+        g = (
+            out.groupby("s", sort=False)
+            .agg(t=("y", "size"), p=("y", "sum"))
+            .reset_index()
+        )
+        g["t"] = g["t"].astype("int64")
+        g["p"] = g["p"].astype("int64")
+        return g
+
+    g = (
+        grouped_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["s"],
+            ["t", "p"],
+            num_parts,
+        )
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    t = g["t"].to_numpy().astype(object)  # python ints: no overflow at any N
+    p = g["p"].to_numpy().astype(object)
+    c = np.cumsum(t) - t
+    n_pos = int(p.sum()) if len(g) else 0
+    n = int(t.sum()) if len(g) else 0
+    n_neg = n - n_pos
+    two_r_pos = int((p * (2 * c + t + 1)).sum()) if len(g) else 0
+    auc_num = two_r_pos - n_pos * (n_pos + 1)
+    auc_den = 2 * n_pos * n_neg
+    return pd.DataFrame({"auc_num": [auc_num], "auc_den": [auc_den]}).astype(
+        "int64"
+    )

@@ -7888,6 +7888,47 @@ ORDER BY p.p_partkey
 """
 
 
+def q_auc_quality(sf_dir: str):
+    """Exact ROC-AUC of document length (n_chars) as a classifier for
+    the src0 slice — the curation-model evaluation metric, emitted as an
+    exact integer rational (functions/agg.py:exact_auc — one grouped-sum
+    exchange to a distinct-score table, midrank tie handling, driver
+    work bounded by the score range)."""
+    from ..functions.agg import exact_auc
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "y": (b["source"] == "src0").astype("int64"),
+                "n_chars": b["n_chars"].astype("int64"),
+            }
+        )
+
+    return exact_auc(ds.map_batches(lab, batch_format="pandas"), "y", "n_chars")
+
+
+SQL_AUC_QUALITY = """
+WITH t AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y, n_chars AS s
+  FROM documents),
+g AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS t, CAST(SUM(y) AS HUGEINT) AS p
+      FROM t GROUP BY s),
+o AS (
+  SELECT s, t, p,
+         COALESCE(SUM(t) OVER (ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS c
+  FROM g),
+tot AS (SELECT CAST(SUM(y) AS HUGEINT) AS np, CAST(COUNT(*) AS HUGEINT) AS n
+        FROM t)
+SELECT CAST((SELECT SUM(p * (2*c + t + 1)) FROM o)
+            - (SELECT np * (np + 1) FROM tot) AS BIGINT) AS auc_num,
+       CAST((SELECT 2 * np * (n - np) FROM tot) AS BIGINT) AS auc_den
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -7945,6 +7986,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "scc": (q_scc, _sql_scc),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),
+    "auc_quality": (q_auc_quality, SQL_AUC_QUALITY),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -3551,3 +3551,34 @@ def test_interval_coverage_matches_bruteforce(ray_session):
             int(r.u): (int(r.n_islands), int(r.covered)) for r in out.itertuples()
         }
         assert got == exp
+
+
+def test_exact_auc_matches_pairwise_bruteforce(ray_session):
+    """Exact rational ROC-AUC equals the O(n_pos*n_neg) pairwise
+    definition (wins + half-ties), with heavy score ties and at two
+    partitionings."""
+    from fractions import Fraction
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import exact_auc
+
+    rng = np.random.default_rng(29)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "y": rng.integers(0, 2, n).astype("int64"),
+            "s": rng.integers(0, 20, n).astype("int64"),  # many ties
+        }
+    )
+    pos = df[df.y == 1]["s"].to_numpy()
+    neg = df[df.y == 0]["s"].to_numpy()
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    exp = Fraction(int(2 * wins + ties), int(2 * len(pos) * len(neg)))
+    for parts in (1, 7):
+        out = exact_auc(
+            ray.data.from_pandas(df).repartition(parts), "y", "s"
+        )
+        got = Fraction(int(out["auc_num"][0]), int(out["auc_den"][0]))
+        assert got == exp
