@@ -243,6 +243,9 @@ def run_bench() -> dict:
         "interval_coverage",
         "entity_resolution",
         "auc_quality",
+        "readability",
+        "doc_keywords",
+        "audience_overlap",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

@@ -352,3 +352,82 @@ def exact_auc(
     return pd.DataFrame({"auc_num": [auc_num], "auc_den": [auc_den]}).astype(
         "int64"
     )
+
+
+def category_user_overlap(
+    ds: Dataset,
+    cat_col: str = "event_type",
+    user_col: str = "user_id",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Audience-overlap matrix: for every pair of categories (a < b),
+    the EXACT number of distinct users seen in both and in either —
+    the integer core of pairwise Jaccard between category audiences
+    (segment-overlap analysis / co-engagement mining).
+
+    Shuffle structure — one hash(user) exchange, never an all-pairs
+    user join:
+
+    1. per-batch distinct (user, cat) presence partials;
+    2. ONE hash(user) exchange: each user's full category set
+       co-locates, so the partition computes its presence matrix
+       X (users x cats, 0/1) and the LOCAL co-occurrence counts
+       ``X.T @ X`` — a categories² matrix, tiny regardless of user
+       count.  Partition partials sum exactly because each user lives
+       in one partition;
+    3. one ``grouped_sum`` over (cat_a, cat_b) merges the partials;
+       union sizes derive from the diagonal: |A ∪ B| = |A|+|B|-|A ∩ B|.
+
+    Output: (type_a, type_b, inter_users, union_users) for pairs with
+    inter_users > 0, as a driver-side categories²-sized table.
+    """
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def presence(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[user_col, cat_col]].drop_duplicates()
+        out["__part"] = hash_bucket(out[user_col].to_numpy(), num_parts)
+        return out
+
+    def local_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[user_col, cat_col]].drop_duplicates()
+        x = pd.crosstab(g[user_col], g[cat_col]).clip(upper=1)
+        m = x.T.to_numpy(dtype=np.int64) @ x.to_numpy(dtype=np.int64)
+        cats = list(x.columns)
+        ia, ib = np.triu_indices(len(cats))
+        return pd.DataFrame(
+            {
+                "type_a": np.asarray(cats, dtype=object)[ia],
+                "type_b": np.asarray(cats, dtype=object)[ib],
+                "n": m[ia, ib].astype("int64"),
+            }
+        )
+
+    partials = (
+        ds.map_batches(presence, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(local_counts, batch_format="pandas")
+    )
+    merged = grouped_sum(partials, ["type_a", "type_b"], ["n"]).to_pandas()
+
+    sizes = dict(
+        zip(
+            merged.loc[merged.type_a == merged.type_b, "type_a"],
+            merged.loc[merged.type_a == merged.type_b, "n"],
+        )
+    )
+    pairs = merged[(merged.type_a != merged.type_b) & (merged.n > 0)].copy()
+    pairs["inter_users"] = pairs["n"].astype("int64")
+    pairs["union_users"] = (
+        pairs.type_a.map(sizes).astype("int64")
+        + pairs.type_b.map(sizes).astype("int64")
+        - pairs["inter_users"]
+    ).astype("int64")
+    out = (
+        pairs[["type_a", "type_b", "inter_users", "union_users"]]
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

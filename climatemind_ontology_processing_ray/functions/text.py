@@ -793,3 +793,130 @@ def cooccurrence_pmi(
         return b.assign(pmi_scaled=pd.Series(pmi, dtype="int64", index=b.index))
 
     return pair_counts.map_batches(score, batch_format="pandas")
+
+
+def readability_components(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Flesch reading-ease as an EXACT integer rational per document —
+    the readability leg of a quality-filtering stack (alongside
+    :class:`QualityScorer`'s length/punct/stopword features).
+
+    Components (all RE2 counts, vectorized via
+    ``pyarrow.compute.count_substring_regex`` — zero-copy Arrow, no
+    exchange; a document is one row):
+
+    - ``words``      = matches of ``[^ ]+``   (space-delimited tokens)
+    - ``sentences``  = matches of ``[.!?]+``  (terminator runs)
+    - ``vowel_groups`` = matches of ``[aeiouAEIOU]+`` (the classic
+      syllable proxy: one syllable per vowel run)
+
+    Flesch = 206.835 - 1.015*(W/S) - 84.6*(V/W).  With S,W clamped to
+    >= 1 and everything scaled by 1000*S*W the score is the exact
+    rational ``flesch_num / flesch_den`` where::
+
+        flesch_num = 206835*S*W - 1015*W*W - 84600*V*S
+        flesch_den = 1000*S*W
+
+    No float ever crosses the engine/oracle boundary; magnitudes stay
+    < 2^63 for documents up to ~10^6 tokens.  Output columns:
+    (id_col, words, sentences, vowel_groups, flesch_num, flesch_den).
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(b[text_col], pa.string()), "")
+        w = pc.count_substring_regex(txt, "[^ ]+").to_numpy().astype(np.int64)
+        s = pc.count_substring_regex(txt, "[.!?]+").to_numpy().astype(np.int64)
+        v = (
+            pc.count_substring_regex(txt, "[aeiouAEIOU]+")
+            .to_numpy()
+            .astype(np.int64)
+        )
+        wc = np.maximum(w, 1)
+        sc = np.maximum(s, 1)
+        num = 206835 * sc * wc - 1015 * wc * wc - 84600 * v * sc
+        den = 1000 * sc * wc
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "words": pa.array(w),
+                "sentences": pa.array(s),
+                "vowel_groups": pa.array(v),
+                "flesch_num": pa.array(num),
+                "flesch_den": pa.array(den),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_keywords(
+    ds: Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Per-document keyword extraction: the top-``k`` tokens ranked by
+    (tf DESC, df ASC, token ASC) — term frequency first, corpus rarity
+    as the tiebreak.  The deterministic integer core of tf-idf keyword
+    tagging (no log/float ranks, so results hash-compare exactly).
+
+    Tokens = LOWER(text) split on single spaces, empties dropped.
+
+    Shuffle structure (open-vocabulary safe — document frequency is
+    never broadcast):
+
+    1. per-batch (doc, token, tf) partials — tf is already global
+       because a document is one row;
+    2. ONE hash(token) exchange: every (doc, token) row of a token
+       co-locates, so df = group size attaches in-partition;
+    3. ONE hash(doc) exchange: per-doc sort + head(k) in-partition.
+
+    Output: (id_col, kw_rank, token, tf, df).
+    """
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.split(" ")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        ids = np.repeat(b[id_col].to_numpy(), n)
+        flat = toks.explode().to_numpy(dtype=object)
+        df = pd.DataFrame({id_col: ids, "token": flat})
+        df = df[df["token"] != ""]
+        out = df.groupby([id_col, "token"], sort=False).size().reset_index(name="tf")
+        out["tf"] = out["tf"].astype("int64")
+        out["__part"] = hash_bucket(out["token"].to_numpy(), num_parts)
+        return out
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("token", sort=False)["tf"].transform("size").to_numpy()
+        out = g[[id_col, "token", "tf"]].copy()
+        out["df"] = d.astype("int64")
+        out["__dpart"] = hash_bucket(out[id_col].to_numpy(), num_parts)
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tf", "df", "token"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        g = g.groupby(id_col, sort=False).head(k).copy()
+        g["kw_rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        g["kw_rank"] = g["kw_rank"].astype("int64")
+        return g[[id_col, "kw_rank", "token", "tf", "df"]]
+
+    return (
+        ds.map_batches(tf_partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("__dpart")
+        .map_groups(topk, batch_format="pandas")
+    )

@@ -7929,6 +7929,108 @@ SELECT CAST((SELECT SUM(p * (2*c + t + 1)) FROM o)
 """
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease as an exact integer rational per document
+    (functions/text.py:readability_components): RE2 counts of words /
+    sentence-terminator runs / vowel groups via Arrow
+    count_substring_regex — zero exchange, zero-copy batches.  The
+    readability leg of a curation quality stack."""
+    from ..functions.text import readability_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = readability_components(ds).to_pandas()
+    for c in ("doc_id", "words", "sentences", "vowel_groups", "flesch_num", "flesch_den"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         LEN(regexp_extract_all(text, '[^ ]+')) AS w,
+         LEN(regexp_extract_all(text, '[.!?]+')) AS s,
+         LEN(regexp_extract_all(text, '[aeiouAEIOU]+')) AS v
+  FROM documents),
+g AS (SELECT doc_id, w, s, v,
+             GREATEST(w, 1) AS wc, GREATEST(s, 1) AS sc FROM c)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS words,
+       CAST(s AS BIGINT) AS sentences,
+       CAST(v AS BIGINT) AS vowel_groups,
+       CAST(206835*sc*wc - 1015*wc*wc - 84600*v*sc AS BIGINT) AS flesch_num,
+       CAST(1000*sc*wc AS BIGINT) AS flesch_den
+FROM g ORDER BY doc_id
+"""
+
+
+_KEYWORD_K = 3
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 tokens by (tf DESC,
+    df ASC, token ASC) — deterministic integer tf-idf core
+    (functions/text.py:doc_keywords; one hash(token) exchange for
+    document frequency, one hash(doc) exchange for the per-doc top-k —
+    df is never broadcast, open-vocabulary safe)."""
+    from ..functions.text import doc_keywords
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = doc_keywords(ds, k=_KEYWORD_K).to_pandas()
+    for c in ("doc_id", "kw_rank", "tf", "df"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, COUNT(*) AS m FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS d FROM tf GROUP BY 1),
+r AS (
+  SELECT doc_id, tok, m, d,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY m DESC, d ASC, tok ASC) AS rn
+  FROM tf JOIN df USING (tok))
+SELECT doc_id, CAST(rn AS BIGINT) AS kw_rank, tok AS token,
+       CAST(m AS BIGINT) AS tf, CAST(d AS BIGINT) AS df
+FROM r WHERE rn <= {_KEYWORD_K}
+ORDER BY doc_id, kw_rank
+"""
+
+
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience overlap between event types: exact distinct-user
+    intersection / union per category pair — the integer core of
+    pairwise Jaccard (functions/agg.py:category_user_overlap; one
+    hash(user) exchange, per-partition presence-matrix X^T @ X partials,
+    one categories²-sized grouped_sum — never an all-pairs user join)."""
+    from ..functions.agg import category_user_overlap
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = category_user_overlap(ds).to_pandas()
+    return out
+
+
+SQL_AUDIENCE_OVERLAP = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, COUNT(*) AS c FROM p GROUP BY 1),
+i AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+  FROM p a JOIN p b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS inter_users,
+       CAST(sa.c + sb.c - n AS BIGINT) AS union_users
+FROM i
+JOIN s sa ON sa.event_type = type_a
+JOIN s sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8107,6 +8209,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "throttle_events": (q_throttle_events, SQL_THROTTLE_EVENTS),
     "embed_decontam": (q_embed_decontam, SQL_EMBED_DECONTAM),
     "cdc_snapshot": (q_cdc_snapshot, SQL_CDC_SNAPSHOT),
+    "readability": (q_readability, SQL_READABILITY),
+    "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
+    "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
 }
 
 

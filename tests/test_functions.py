@@ -3582,3 +3582,123 @@ def test_exact_auc_matches_pairwise_bruteforce(ray_session):
         )
         got = Fraction(int(out["auc_num"][0]), int(out["auc_den"][0]))
         assert got == exp
+
+
+def test_readability_components_matches_bruteforce(ray_session):
+    import re
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import (
+        readability_components,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "bee", "Crwth", "dry!", "end.", "quietly?", "x", ""]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 30)).tolist())
+        for _ in range(200)
+    ] + ["", "...", "!!!", "aeiou AEIOU", "no vowels: zzz pfft"]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = (
+        readability_components(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        w = len(re.findall(r"[^ ]+", t))
+        s = len(re.findall(r"[.!?]+", t))
+        v = len(re.findall(r"[aeiouAEIOU]+", t))
+        wc, sc = max(w, 1), max(s, 1)
+        row = got.iloc[i]
+        assert (row.words, row.sentences, row.vowel_groups) == (w, s, v), t
+        assert row.flesch_num == 206835 * sc * wc - 1015 * wc * wc - 84600 * v * sc
+        assert row.flesch_den == 1000 * sc * wc
+        # the rational reproduces the float Flesch formula
+        flesch = 206.835 - 1.015 * (wc / sc) - 84.6 * (v / wc)
+        assert abs(row.flesch_num / row.flesch_den - flesch) < 1e-9
+
+
+def test_doc_keywords_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.text import doc_keywords
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25)).tolist())
+        for _ in range(120)
+    ] + ["solo", "  doubled  spaces  here "]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = (
+        doc_keywords(ds, k=3, num_parts=5)
+        .to_pandas()
+        .sort_values(["doc_id", "kw_rank"])
+        .reset_index(drop=True)
+    )
+
+    # brute force: tf per doc, df over docs, rank by (tf desc, df asc, tok asc)
+    tf: dict[tuple[int, str], int] = {}
+    for i, t in enumerate(texts):
+        for tok in t.lower().split(" "):
+            if tok:
+                tf[(i, tok)] = tf.get((i, tok), 0) + 1
+    df: dict[str, int] = {}
+    for (_, tok) in tf:
+        df[tok] = df.get(tok, 0) + 1
+    want_rows = []
+    for i in range(len(texts)):
+        cand = [(tok, m) for (d, tok), m in tf.items() if d == i]
+        cand.sort(key=lambda x: (-x[1], df[x[0]], x[0]))
+        for r, (tok, m) in enumerate(cand[:3], start=1):
+            want_rows.append((i, r, tok, m, df[tok]))
+    want = pd.DataFrame(
+        want_rows, columns=["doc_id", "kw_rank", "token", "tf", "df"]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "kw_rank": "int64"}),
+        want.astype(
+            {"doc_id": "int64", "kw_rank": "int64", "tf": "int64", "df": "int64"}
+        ),
+    )
+
+
+def test_category_user_overlap_matches_bruteforce(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import (
+        category_user_overlap,
+    )
+
+    rng = np.random.default_rng(3)
+    cats = ["view", "click", "buy", "share"]
+    rows = [
+        {"user_id": int(rng.integers(0, 40)), "event_type": str(rng.choice(cats))}
+        for _ in range(600)
+    ]
+    ds = ray.data.from_items(rows).repartition(7)
+    got = category_user_overlap(ds, num_parts=4).to_pandas()
+
+    users = {c: set() for c in cats}
+    for r in rows:
+        users[r["event_type"]].add(r["user_id"])
+    want = []
+    for a in sorted(cats):
+        for b in sorted(cats):
+            if a < b:
+                inter = len(users[a] & users[b])
+                if inter:
+                    want.append((a, b, inter, len(users[a] | users[b])))
+    want_df = pd.DataFrame(
+        want, columns=["type_a", "type_b", "inter_users", "union_users"]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"inter_users": "int64", "union_users": "int64"}),
+        want_df.astype({"inter_users": "int64", "union_users": "int64"}),
+    )
