@@ -246,6 +246,8 @@ def run_bench() -> dict:
         "readability",
         "doc_keywords",
         "audience_overlap",
+        "copurchase_pairs",
+        "source_overlap",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

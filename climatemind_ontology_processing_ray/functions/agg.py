@@ -431,3 +431,78 @@ def category_user_overlap(
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def copurchase_pair_counts(
+    ds: Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Frequent-itemset pair mining (the A-priori k=2 primitive): for
+    every unordered item pair, the number of distinct baskets containing
+    both, kept at ``count >= min_support``.
+
+    Shuffle structure:
+
+    1. ONE hash(basket) exchange of the raw (basket, item) rows — a
+       basket's items co-locate, so per-basket DISTINCT and pair
+       generation run in-partition.  Pair generation is pure index
+       arithmetic (repeat/cumsum over sorted group offsets) — no Python
+       loop over baskets;
+    2. map-side combine (per-partition pair counts), then one
+       ``grouped_sum`` over (item_a, item_b).
+
+    Pair volume is sum over baskets of C(k, 2) — bounded by basket
+    size, never by corpus size (the classic market-basket contract;
+    a pathological mega-basket should be capped upstream).
+
+    Output: (item_a, item_b, n_baskets) with item_a < item_b.
+    """
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[basket_col, item_col]].drop_duplicates()
+        out["__part"] = hash_bucket(out[basket_col].to_numpy(), num_parts)
+        return out
+
+    def pairs_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[basket_col, item_col]].drop_duplicates()
+        g = g.sort_values([basket_col, item_col], kind="mergesort")
+        items = g[item_col].to_numpy()
+        sizes = g.groupby(basket_col, sort=False).size().to_numpy()
+        # within-group position of every row; row at position j pairs
+        # (as the right element) with the j rows before it
+        starts = np.cumsum(sizes) - sizes
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        total = int(pos.sum())
+        if total == 0:
+            return pd.DataFrame({"item_a": [], "item_b": [], "n": []})
+        rights = np.repeat(np.arange(len(g)), pos)
+        before = np.cumsum(pos) - pos
+        left_off = np.arange(total) - np.repeat(before, pos)
+        lefts = np.repeat(np.repeat(starts, sizes), pos) + left_off
+        out = (
+            pd.DataFrame({"item_a": items[lefts], "item_b": items[rights]})
+            .groupby(["item_a", "item_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    summed = grouped_sum(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pairs_partial, batch_format="pandas"),
+        ["item_a", "item_b"],
+        ["n"],
+    )
+    import pyarrow.compute as pc
+
+    return summed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_support)),
+        batch_format="pyarrow",
+    )

@@ -8031,6 +8031,112 @@ ORDER BY type_a, type_b
 """
 
 
+_COPURCHASE_MINSUP = 2
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Market-basket pair mining over orders (A-priori k=2): distinct
+    part pairs co-purchased in >= 2 orders
+    (functions/agg.py:copurchase_pair_counts; one hash(order) exchange,
+    index-arithmetic pair generation, map-side combined pair counts +
+    one grouped_sum — pair volume bounded per basket)."""
+    from ..functions.agg import copurchase_pair_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = copurchase_pair_counts(
+        ds, "l_orderkey", "l_partkey", min_support=_COPURCHASE_MINSUP
+    ).to_pandas()
+    out = out.rename(columns={"n": "n_baskets"})
+    for c in ("item_a", "item_b", "n_baskets"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+SQL_COPURCHASE = f"""
+WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+pr AS (
+  SELECT a.pk AS item_a, b.pk AS item_b, COUNT(*) AS n
+  FROM p a JOIN p b ON a.o = b.o AND a.pk < b.pk
+  GROUP BY 1, 2)
+SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+       CAST(n AS BIGINT) AS n_baskets
+FROM pr WHERE n >= {_COPURCHASE_MINSUP}
+ORDER BY item_a, item_b
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, the
+    exact number of distinct word-trigram shingles they share and the
+    union size — the pairwise-Jaccard core of corpus-provenance
+    diagnostics (which feeds deduplicate-before-mixing decisions).
+    Reuses functions/agg.py:category_user_overlap with the shingle as
+    the presence key: one hash(shingle) exchange, per-partition
+    presence-matrix X^T @ X partials, sources²-sized output."""
+    from ..functions.agg import category_user_overlap
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def shingles(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_g = np.maximum(n_tok - 2, 0)
+        total = int(n_g.sum())
+        if total == 0:
+            return pd.DataFrame({"source": [], "shingle": []})
+        flat = toks.explode().to_numpy(dtype=object)
+        starts = np.cumsum(n_tok) - n_tok
+        offs = np.arange(total) - np.repeat(np.cumsum(n_g) - n_g, n_g)
+        idx = offs + np.repeat(starts, n_g)
+        s3 = (
+            pd.Series(flat[idx], dtype=object)
+            + " "
+            + pd.Series(flat[idx + 1], dtype=object)
+            + " "
+            + pd.Series(flat[idx + 2], dtype=object)
+        )
+        out = pd.DataFrame(
+            {"source": np.repeat(b["source"].to_numpy(), n_g), "shingle": s3}
+        )
+        return out.drop_duplicates()
+
+    pres = ds.map_batches(shingles, batch_format="pandas")
+    out = category_user_overlap(pres, cat_col="source", user_col="shingle").to_pandas()
+    out = out.rename(
+        columns={
+            "type_a": "source_a",
+            "type_b": "source_b",
+            "inter_users": "inter_shingles",
+            "union_users": "union_shingles",
+        }
+    )
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH toks AS (
+  SELECT source, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS shingle
+  FROM toks),
+s AS (SELECT source, COUNT(*) AS c FROM g GROUP BY 1),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n
+  FROM g a JOIN g b ON a.shingle = b.shingle
+  WHERE a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(n AS BIGINT) AS inter_shingles,
+       CAST(sa.c + sb.c - n AS BIGINT) AS union_shingles
+FROM i
+JOIN s sa ON sa.source = source_a
+JOIN s sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8212,6 +8318,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "readability": (q_readability, SQL_READABILITY),
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
+    "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
 }
 
 

@@ -3702,3 +3702,56 @@ def test_category_user_overlap_matches_bruteforce(ray_session):
         got.astype({"inter_users": "int64", "union_users": "int64"}),
         want_df.astype({"inter_users": "int64", "union_users": "int64"}),
     )
+
+
+def test_copurchase_pair_counts_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import (
+        copurchase_pair_counts,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [
+        {"basket": int(rng.integers(0, 50)), "item": int(rng.integers(0, 20))}
+        for _ in range(700)
+    ]
+    ds = ray.data.from_items(rows).repartition(9)
+    got = (
+        copurchase_pair_counts(ds, "basket", "item", min_support=2, num_parts=4)
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+
+    baskets: dict[int, set[int]] = {}
+    for r in rows:
+        baskets.setdefault(r["basket"], set()).add(r["item"])
+    counts: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(counts.items()) if n >= 2],
+        columns=["item_a", "item_b", "n"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"item_a": "int64", "item_b": "int64", "n": "int64"}),
+        want.astype({"item_a": "int64", "item_b": "int64", "n": "int64"}),
+    )
+
+
+def test_copurchase_single_item_baskets_emit_nothing(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import (
+        copurchase_pair_counts,
+    )
+
+    ds = ray.data.from_items(
+        [{"basket": i, "item": i % 3} for i in range(20)]
+    )
+    out = copurchase_pair_counts(ds, "basket", "item", min_support=1).to_pandas()
+    assert len(out) == 0
