@@ -248,6 +248,7 @@ def run_bench() -> dict:
         "audience_overlap",
         "copurchase_pairs",
         "source_overlap",
+        "association_rules",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

@@ -479,7 +479,16 @@ def copurchase_pair_counts(
         pos = np.arange(len(g)) - np.repeat(starts, sizes)
         total = int(pos.sum())
         if total == 0:
-            return pd.DataFrame({"item_a": [], "item_b": [], "n": []})
+            # typed empty: a bare [] frame is float64 and would poison the
+            # block schema (stringified-integer compares downstream)
+            empty = pd.Series([], dtype=g[item_col].dtype)
+            return pd.DataFrame(
+                {
+                    "item_a": empty,
+                    "item_b": empty.copy(),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
         rights = np.repeat(np.arange(len(g)), pos)
         before = np.cumsum(pos) - pos
         left_off = np.arange(total) - np.repeat(before, pos)

@@ -8083,7 +8083,8 @@ def q_source_overlap(sf_dir: str):
         n_g = np.maximum(n_tok - 2, 0)
         total = int(n_g.sum())
         if total == 0:
-            return pd.DataFrame({"source": [], "shingle": []})
+            empty = pd.Series([], dtype=object)
+            return pd.DataFrame({"source": empty, "shingle": empty.copy()})
         flat = toks.explode().to_numpy(dtype=object)
         starts = np.cumsum(n_tok) - n_tok
         offs = np.arange(total) - np.repeat(np.cumsum(n_g) - n_g, n_g)
@@ -8134,6 +8135,108 @@ FROM i
 JOIN s sa ON sa.source = source_a
 JOIN s sb ON sb.source = source_b
 ORDER BY source_a, source_b
+"""
+
+
+_RULE_CONF_DEN = 8  # keep rules with confidence >= 1/8
+
+
+def q_association_rules(sf_dir: str):
+    """Directed association rules over order baskets (the A-priori
+    rule-generation step on top of q_copurchase_pairs): antecedent ->
+    consequent kept at support >= 2 and EXACT-rational confidence
+    n_both/n_ante >= 1/8 (cross-multiplied — no float ever compared).
+    Antecedent basket counts come from the same hash(order) exchange
+    discipline; the rule<-count attach is one bucketed hash join
+    (functions/agg.py:copurchase_pair_counts +
+    functions/join.py:bucketed_hash_join)."""
+    from ..functions.agg import copurchase_pair_counts, grouped_sum
+    from ..functions.join import bucketed_hash_join, hash_bucket
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = copurchase_pair_counts(
+        li, "l_orderkey", "l_partkey", min_support=_COPURCHASE_MINSUP
+    )
+
+    def directed(t: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {
+                "antecedent": t["item_a"],
+                "consequent": t["item_b"],
+                "n_both": t["n"],
+            }
+        )
+        rev = pa.table(
+            {
+                "antecedent": t["item_b"],
+                "consequent": t["item_a"],
+                "n_both": t["n"],
+            }
+        )
+        return pa.concat_tables([fwd, rev])
+
+    # rules and counts are result-sized (minsup-pruned pairs / one row per
+    # item) — materialize so the join's row estimate doesn't re-execute
+    # the upstream exchanges
+    rules = pairs.map_batches(directed, batch_format="pyarrow").materialize()
+
+    # antecedent basket counts: per-order distinct -> per-part count;
+    # the hash(order) exchange makes the distinct exact across blocks
+    from ..functions.partitioning import adaptive_parts
+
+    num_parts = adaptive_parts(li)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out["__part"] = hash_bucket(out["l_orderkey"].to_numpy(), num_parts)
+        return out
+
+    def count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = g.groupby("l_partkey", sort=False).size().reset_index(name="n_ante")
+        out["n_ante"] = out["n_ante"].astype("int64")
+        return out.rename(columns={"l_partkey": "antecedent"})
+
+    counts = grouped_sum(
+        li.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(count_partial, batch_format="pandas"),
+        ["antecedent"],
+        ["n_ante"],
+    ).materialize()
+
+    joined = bucketed_hash_join(rules, counts, key="antecedent")
+    kept = joined.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                pc.multiply(pc.cast(t["n_both"], pa.int64()), _RULE_CONF_DEN),
+                pc.cast(t["n_ante"], pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    out = kept.to_pandas()
+    for c in ("antecedent", "consequent", "n_both", "n_ante"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["antecedent", "consequent", "n_both", "n_ante"]]
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+c AS (SELECT pk, COUNT(*) AS n_ante FROM p GROUP BY 1),
+pr AS (
+  SELECT a.pk AS ante, b.pk AS cons, COUNT(*) AS n_both
+  FROM p a JOIN p b ON a.o = b.o AND a.pk <> b.pk
+  GROUP BY 1, 2)
+SELECT CAST(ante AS BIGINT) AS antecedent, CAST(cons AS BIGINT) AS consequent,
+       CAST(n_both AS BIGINT) AS n_both, CAST(c.n_ante AS BIGINT) AS n_ante
+FROM pr JOIN c ON c.pk = ante
+WHERE n_both >= {_COPURCHASE_MINSUP} AND {_RULE_CONF_DEN} * n_both >= c.n_ante
+ORDER BY antecedent, consequent
 """
 
 
@@ -8320,6 +8423,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
     "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
 }
 
 

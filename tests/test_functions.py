@@ -3755,3 +3755,29 @@ def test_copurchase_single_item_baskets_emit_nothing(ray_session):
     )
     out = copurchase_pair_counts(ds, "basket", "item", min_support=1).to_pandas()
     assert len(out) == 0
+
+
+def test_copurchase_empty_partition_keeps_int_dtypes(ray_session):
+    import ray.data
+
+    from climatemind_ontology_processing_ray.functions.agg import (
+        copurchase_pair_counts,
+    )
+
+    # many partitions, few baskets: some partitions are pair-free and
+    # must emit TYPED empties (a float64 empty would poison the block
+    # schema and flip the stringified-integer compare downstream)
+    ds = ray.data.from_items(
+        [
+            {"basket": 1, "item": 10},
+            {"basket": 1, "item": 11},
+            {"basket": 2, "item": 10},
+            {"basket": 2, "item": 11},
+            {"basket": 3, "item": 12},
+        ]
+    )
+    out = copurchase_pair_counts(ds, "basket", "item", min_support=2, num_parts=16)
+    df = out.to_pandas()
+    assert df["item_a"].dtype.kind in "i"
+    assert df["n"].dtype.kind in "i"
+    assert df.values.tolist() == [[10, 11, 2]]
