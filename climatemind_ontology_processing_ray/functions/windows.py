@@ -960,3 +960,59 @@ def interval_coverage(
         .groupby("__part")
         .map_groups(islands, batch_format="pandas")
     )
+
+
+def keyed_kgram_counts(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    target_col: str,
+    k: int = 3,
+    tiebreak_cols: list[str] | None = None,
+    num_parts: int = 64,
+) -> Dataset:
+    """Per-key contiguous k-gram counts of ``target_col`` over rows
+    ordered by (order_col, tiebreaks) within each key — the order-k
+    generalization of :func:`lead_lag`'s bigram transitions (sequence
+    mining over user event streams; reference analogue: the edge-pair
+    traversal statistics of SURVEY §2.6, re-expressed as a window op).
+
+    One hash(key) exchange co-locates each key's full sequence; k-gram
+    formation is vectorized ``groupby().shift(-i)`` (ends null out, so
+    grams never cross keys); each partition emits category^k-bounded
+    count partials, reduced by one small :func:`grouped_sum`.  Scale
+    shape: raw rows move exactly once, the reduce moves only distinct
+    gram tuples per partition."""
+    from .agg import grouped_sum
+    from .join import hash_bucket
+
+    order = [key_col, order_col] + (tiebreak_cols or [])
+    gram_cols = [f"g{i + 1}" for i in range(k)]
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[target_col]
+        cols = {gram_cols[0]: g[target_col].reset_index(drop=True)}
+        for i in range(1, k):
+            cols[gram_cols[i]] = grp.shift(-i).reset_index(drop=True)
+        d = pd.DataFrame(cols)
+        # a key's j-th row has shift(-i) non-null iff j+i is in range, so
+        # the LAST gram column nulls exactly the truncated window tails
+        d = d[d[gram_cols[-1]].notna()]
+        if len(d) == 0:
+            empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in gram_cols})
+            empty["n"] = pd.Series([], dtype="int64")
+            return empty
+        out = d.groupby(gram_cols, sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(partial, batch_format="pandas")
+    )
+    return grouped_sum(parts, gram_cols, ["n"])

@@ -8240,6 +8240,38 @@ ORDER BY antecedent, consequent
 """
 
 
+def q_event_trigrams(sf_dir: str):
+    """Order-3 sequence mining: corpus-wide counts of each user's
+    consecutive event-type TRIGRAMS ordered by (ts, event_id) — the
+    next-order Markov statistics above q_event_transitions' bigrams
+    (functions/windows.py:keyed_kgram_counts; one hash(user) exchange,
+    vectorized shift(-1)/shift(-2) gram formation, category³-bounded
+    reduce)."""
+    from ..functions.windows import keyed_kgram_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = keyed_kgram_counts(
+        ev, "user_id", "ts", "event_type", k=3, tiebreak_cols=["event_id"]
+    ).to_pandas()
+    out = out.rename(columns={"g1": "t1", "g2": "t2", "g3": "t3"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH t AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8424,6 +8456,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
+    "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
 }
 
 

@@ -3781,3 +3781,57 @@ def test_copurchase_empty_partition_keeps_int_dtypes(ray_session):
     assert df["item_a"].dtype.kind in "i"
     assert df["n"].dtype.kind in "i"
     assert df.values.tolist() == [[10, 11, 2]]
+
+
+def test_keyed_kgram_counts_matches_bruteforce(ray_session):
+    import itertools
+    import random
+
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.windows import keyed_kgram_counts
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "k": rng.randrange(12),
+                "o": rng.randrange(40),
+                "id": i,
+                "v": rng.choice("abcde"),
+            }
+        )
+    ds = ray.data.from_items(rows).repartition(7)
+    out = (
+        keyed_kgram_counts(ds, "k", "o", "v", k=3, tiebreak_cols=["id"], num_parts=5)
+        .to_pandas()
+        .sort_values(["g1", "g2", "g3"])
+        .reset_index(drop=True)
+    )
+
+    expect: dict[tuple, int] = {}
+    keyfn = lambda r: r["k"]
+    for _, grp in itertools.groupby(sorted(rows, key=lambda r: (r["k"], r["o"], r["id"])), keyfn):
+        seq = [r["v"] for r in grp]
+        for j in range(len(seq) - 2):
+            expect[tuple(seq[j : j + 3])] = expect.get(tuple(seq[j : j + 3]), 0) + 1
+    got = {tuple(r[:3]): r[3] for r in out.values.tolist()}
+    assert got == expect
+
+
+def test_keyed_kgram_counts_short_keys_emit_nothing(ray_session):
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.windows import keyed_kgram_counts
+
+    # every key shorter than k: typed-empty output, no rows
+    ds = ray.data.from_items(
+        [{"k": 1, "o": 0, "v": "a"}, {"k": 1, "o": 1, "v": "b"}, {"k": 2, "o": 0, "v": "c"}]
+    )
+    out = keyed_kgram_counts(ds, "k", "o", "v", k=3, num_parts=8).to_pandas()
+    assert len(out) == 0
+    # a fully-empty dataset drops columns at to_pandas; when any block
+    # carries schema the count column must stay integer-typed
+    if "n" in out.columns:
+        assert out["n"].dtype.kind in "i"
