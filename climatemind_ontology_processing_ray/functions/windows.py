@@ -1016,3 +1016,90 @@ def keyed_kgram_counts(
         .map_groups(partial, batch_format="pandas")
     )
     return grouped_sum(parts, gram_cols, ["n"])
+
+
+def global_exclusive_prefix_max(
+    ds: Dataset,
+    akey_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    key_bits: int = 32,
+    num_buckets: int = 256,
+    out_col: str = "prefix_max",
+) -> Dataset:
+    """Exclusive running MAX of ``val_col`` over the GLOBAL order
+    (akey_col, tiebreak_col) — the distributed scan primitive behind
+    streaming-watermark semantics (an event is late iff its time is
+    below the max event-time of everything that arrived before it).
+
+    Requires ``akey_col`` to be uniform unsigned ints of ``key_bits``
+    bits (hash-derived arrival keys are), so contiguous arrival ranges
+    are exactly the top-bits buckets: pass 1 reduces each bucket to its
+    max (one tiny num_buckets-row table, map-side combined), the driver
+    takes the exclusive cummax over bucket ids (num_buckets scalars —
+    never data-sized), and pass 2 re-shuffles rows once by bucket and
+    combines the broadcast bucket prefix with a vectorized in-bucket
+    exclusive cummax.  Two pruned scans of the input, no global sort.
+    ``out_col`` is NaN for the globally-first row (empty prefix)."""
+    import ray
+
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    shift = key_bits - int(num_buckets).bit_length() + 1
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b[akey_col].to_numpy(dtype=np.uint64) >> np.uint64(shift)).astype(
+            "int64"
+        )
+        return b
+
+    def bucket_max_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"__bucket": pd.Series([], dtype="int64"), "bmax": pd.Series([], dtype="int64")}
+            )
+        out = b.groupby("__bucket", sort=False)[val_col].max().reset_index(name="bmax")
+        out["bmax"] = out["bmax"].astype("int64")
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    # pass 1: per-bucket maxima — each block emits <= num_buckets partial
+    # rows, the reduce is num_buckets-sized regardless of data volume
+    bmax = (
+        tagged.map_batches(bucket_max_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .max("bmax")
+        .to_pandas()
+    )
+    col = "max(bmax)" if "max(bmax)" in bmax.columns else "bmax"
+    lo = np.iinfo(np.int64).min
+    prefix = np.full(num_buckets, lo, dtype=np.int64)
+    if len(bmax):
+        ids = bmax["__bucket"].to_numpy(dtype=np.int64)
+        vals = bmax[col].to_numpy(dtype=np.int64)
+        dense = np.full(num_buckets, lo, dtype=np.int64)
+        dense[ids] = vals
+        np.maximum.accumulate(dense, out=dense)
+        prefix[1:] = dense[:-1]  # exclusive: bucket b sees maxima of buckets < b
+    prefix_ref = ray.put(prefix)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        from .broadcast import cached_get
+
+        pref = cached_get(prefix_ref)
+        g = g.sort_values([akey_col, tiebreak_col], kind="mergesort")
+        v = g[val_col].to_numpy(dtype=np.int64)
+        cum = np.empty(len(v), dtype=np.int64)
+        if len(v):
+            cum[0] = lo
+            if len(v) > 1:
+                np.maximum.accumulate(v[:-1], out=cum[1:])
+            base = pref[int(g["__bucket"].iloc[0])]
+            cum = np.maximum(cum, base)
+        out = g.drop(columns="__bucket").copy()
+        out[out_col] = pd.array(cum, dtype="Int64")
+        out.loc[out[out_col] == lo, out_col] = pd.NA
+        return out
+
+    return tagged.groupby("__bucket").map_groups(scan, batch_format="pandas")

@@ -8272,6 +8272,105 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+_LATE_US = 7 * 86_400 * 1_000_000  # allowed lateness: 7 days
+
+
+def q_late_events(sf_dir: str):
+    """Streaming-watermark late-data accounting: replay the events log in
+    a deterministic md5-permuted ARRIVAL order (the parquet is ts-sorted,
+    so the permutation models an out-of-order ingest stream both engines
+    can reproduce), track the watermark = running max event-time over
+    everything that arrived earlier, and count per type the events whose
+    time sits more than 7 days behind it.  The scan is
+    functions/windows.py:global_exclusive_prefix_max — per-bucket maxima
+    (tiny), a driver-side exclusive cummax over 256 bucket scalars, one
+    bucket shuffle — never a global sort, never driver-sized data."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.md5vec import md5_hex8_u64
+    from ..functions.windows import global_exclusive_prefix_max
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "akey": md5_hex8_u64(b["event_id"].to_numpy()),
+            }
+        )
+
+    scanned = global_exclusive_prefix_max(
+        ev.map_batches(prep, batch_format="pandas"),
+        "akey",
+        "event_id",
+        "us",
+        key_bits=32,
+        num_buckets=256,
+        out_col="wm",
+    )
+
+    def late_partial(b: pd.DataFrame) -> pd.DataFrame:
+        wm = b["wm"].fillna(0).astype("int64").to_numpy()
+        late = b["wm"].notna().to_numpy() & (b["us"].to_numpy() < wm - _LATE_US)
+        d = b[late]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_late": pd.Series([], dtype="int64"),
+                    "first_late": pd.Series([], dtype="int64"),
+                    "last_late": pd.Series([], dtype="int64"),
+                }
+            )
+        g = (
+            d.groupby("event_type", sort=False)
+            .agg(
+                n_late=("event_id", "size"),
+                first_late=("event_id", "min"),
+                last_late=("event_id", "max"),
+            )
+            .reset_index()
+        )
+        for c in ("n_late", "first_late", "last_late"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    out = (
+        scanned.map_batches(late_partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_late", alias_name="n_late"),
+            Min("first_late", alias_name="first_late"),
+            Max("last_late", alias_name="last_late"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_late", "first_late", "last_late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LATE_EVENTS = f"""
+WITH a AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 8) AS akey
+  FROM events),
+w AS (
+  SELECT event_id, event_type, us,
+         MAX(us) OVER (ORDER BY akey, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_late,
+       CAST(MIN(event_id) AS BIGINT) AS first_late,
+       CAST(MAX(event_id) AS BIGINT) AS last_late
+FROM w WHERE wm IS NOT NULL AND us < wm - {_LATE_US}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8457,6 +8556,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
     "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
+    "late_events": (q_late_events, SQL_LATE_EVENTS),
 }
 
 

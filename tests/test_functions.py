@@ -3835,3 +3835,41 @@ def test_keyed_kgram_counts_short_keys_emit_nothing(ray_session):
     # carries schema the count column must stay integer-typed
     if "n" in out.columns:
         assert out["n"].dtype.kind in "i"
+
+
+def test_global_exclusive_prefix_max_matches_bruteforce(ray_session):
+    import random
+
+    import numpy as np
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        global_exclusive_prefix_max,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        {"akey": rng.randrange(1 << 32), "id": i, "v": rng.randrange(-50, 1000)}
+        for i in range(500)
+    ]
+    # force tie-break coverage: duplicate arrival keys
+    rows[7]["akey"] = rows[3]["akey"]
+    ds = ray.data.from_items(rows).repartition(9)
+    out = (
+        global_exclusive_prefix_max(
+            ds, "akey", "id", "v", key_bits=32, num_buckets=16, out_col="pm"
+        )
+        .to_pandas()
+        .sort_values(["akey", "id"])
+        .reset_index(drop=True)
+    )
+
+    ordered = sorted(rows, key=lambda r: (r["akey"], r["id"]))
+    expect = []
+    run = None
+    for r in ordered:
+        expect.append(run)
+        run = r["v"] if run is None else max(run, r["v"])
+    assert out["pm"].isna().tolist() == [e is None for e in expect]
+    got = out["pm"].dropna().astype("int64").tolist()
+    assert got == [e for e in expect if e is not None]
