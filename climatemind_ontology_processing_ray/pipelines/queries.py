@@ -8371,6 +8371,61 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_mutual_knn(sf_dir: str):
+    """Reciprocal-nearest-neighbor pairs (mutual 1-NN) over the embedding
+    column: (a, b) kept iff b is a's single nearest neighbor AND a is
+    b's — the classic high-precision alignment/near-duplicate seed set
+    (functions/ann.py:knn_graph at k=1; the mutuality check is a
+    result-sized self-merge on the one-row-per-vector table, done
+    driver-side).  Integer-quantized dot scores, ties on neighbor id —
+    no float ever compared."""
+    from ..functions.ann import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    nn1 = knn_graph(ds, k=1, quant=_KNN_QUANT).to_pandas()
+    nn1 = nn1[["vec_id", "neighbor_id", "dot"]]
+    rev = nn1.rename(
+        columns={"vec_id": "neighbor_id", "neighbor_id": "vec_id"}
+    )
+    both = nn1.merge(rev, on=["vec_id", "neighbor_id", "dot"], how="inner")
+    both = both[both["vec_id"] < both["neighbor_id"]].rename(
+        columns={"vec_id": "vec_a", "neighbor_id": "vec_b"}
+    )
+    for c in ("vec_a", "vec_b", "dot"):
+        both[c] = both[c].astype("int64")
+    return (
+        both[["vec_a", "vec_b", "dot"]]
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_MUTUAL_KNN = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KNN_QUANT} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i])) AS dot
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+nn1 AS (
+  SELECT vec_id, neighbor_id, dot FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rn
+    FROM s)
+  WHERE rn = 1)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+       CAST(a.neighbor_id AS BIGINT) AS vec_b,
+       CAST(a.dot AS BIGINT) AS dot
+FROM nn1 a JOIN nn1 b
+  ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < a.neighbor_id
+ORDER BY vec_a, vec_b
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8557,6 +8612,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
     "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
     "late_events": (q_late_events, SQL_LATE_EVENTS),
+    "mutual_knn": (q_mutual_knn, SQL_MUTUAL_KNN),
 }
 
 
