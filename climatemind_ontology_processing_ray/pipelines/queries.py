@@ -8426,6 +8426,70 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_chi_square_assoc(sf_dir: str):
+    """Feature-association audit: the chi-square contingency between
+    documents.lang and documents.source, every cell's contribution kept
+    as an EXACT integer rational (chi_num/chi_den with chi_num =
+    (N*O - R*C)², chi_den = N*R*C — the per-cell (O-E)²/E cleared of
+    fractions) so the comparison never touches a float.  One map-side
+    combined (lang, source) count exchange; the margins R, C, N derive
+    from the category²-bounded cell table driver-side.  Products stay
+    < 2^63 up to ~2M docs per margin; beyond that the same partials
+    feed python-int arithmetic (guarded by an explicit overflow
+    assert)."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["lang", "source"], sort=False).size().reset_index(name="o")
+        out["o"] = out["o"].astype("int64")
+        return out
+
+    cells = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "source"], ["o"]
+    ).to_pandas()
+    cells["o"] = cells["o"].astype("int64")
+    n = int(cells["o"].sum())
+    r = cells.groupby("lang")["o"].transform("sum").astype("int64")
+    c = cells.groupby("source")["o"].transform("sum").astype("int64")
+    # python-int arithmetic (object arrays): exact at any margin size;
+    # the int64 fit is asserted before the final cast
+    o = cells["o"].to_numpy(dtype=object)
+    rv = r.to_numpy(dtype=object)
+    cv = c.to_numpy(dtype=object)
+    diff = [n * oi - ri * ci for oi, ri, ci in zip(o, rv, cv)]
+    num = [d * d for d in diff]
+    den = [n * ri * ci for ri, ci in zip(rv, cv)]
+    assert all(abs(v) < 2**63 for v in num + den), "chi-square exceeds int64"
+    cells["chi_num"] = pd.Series(num, index=cells.index).astype("int64")
+    cells["chi_den"] = pd.Series(den, index=cells.index).astype("int64")
+    return (
+        cells[["lang", "source", "o", "chi_num", "chi_den"]]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_CHI_SQUARE_ASSOC = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, SUM(o) AS r FROM c GROUP BY 1),
+s AS (SELECT source, SUM(o) AS s FROM c GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM c)
+SELECT c.lang, c.source, CAST(c.o AS BIGINT) AS o,
+       CAST((n.n * c.o - r.r * s.s) * (n.n * c.o - r.r * s.s) AS BIGINT)
+         AS chi_num,
+       CAST(n.n * r.r * s.s AS BIGINT) AS chi_den
+FROM c
+JOIN r ON r.lang = c.lang
+JOIN s ON s.source = c.source
+CROSS JOIN n
+ORDER BY c.lang, c.source
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8613,6 +8677,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "mutual_knn": (q_mutual_knn, SQL_MUTUAL_KNN),
+    "chi_square_assoc": (q_chi_square_assoc, SQL_CHI_SQUARE_ASSOC),
 }
 
 
