@@ -8490,6 +8490,92 @@ ORDER BY c.lang, c.source
 """
 
 
+def q_cdc_diff(sf_dir: str):
+    """CDC snapshot DELTA: classify every user whose compacted state at
+    watermark t2 (90% of the log's time span) differs from its state at
+    t1 (60%) as added / changed / removed — the incremental-sync
+    companion to q_cdc_snapshot
+    (functions/windows.py:cdc_two_snapshot_diff; ONE hash(user) exchange
+    serves both snapshots, the per-key diff is local).  Watermarks
+    derive from the global min/max event time in integer microseconds,
+    so both engines compute identical cuts; missing/tombstoned states
+    carry the -1 sentinel (dense int64, no nullable-int hashing)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.windows import cdc_two_snapshot_diff
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pandas")
+    bounds = prepped.aggregate(Min("us"), Max("us"))
+    lo, hi = int(bounds["min(us)"]), int(bounds["max(us)"])
+    t1 = lo + (hi - lo) * 3 // 5
+    t2 = lo + (hi - lo) * 9 // 10
+
+    out = cdc_two_snapshot_diff(
+        prepped, "user_id", "us", "event_id", "event_type", _CDC_TOMBSTONE, t1, t2
+    ).to_pandas()
+    out = out.rename(columns={"old_id": "old_event_id", "new_id": "new_event_id"})
+    for c in ("user_id", "old_event_id", "new_event_id"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["user_id", "change", "old_event_id", "new_event_id"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_CDC_DIFF = f"""
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+cuts AS (
+  SELECT lo + (hi - lo) * 3 // 5 AS t1, lo + (hi - lo) * 9 // 10 AS t2 FROM b),
+s1 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, cuts WHERE epoch_us(ts) <= cuts.t1)
+  WHERE rn = 1),
+s2 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, cuts WHERE epoch_us(ts) <= cuts.t2)
+  WHERE rn = 1),
+j AS (
+  SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+         COALESCE(CASE WHEN s1.event_type = '{_CDC_TOMBSTONE}' THEN NULL
+                       ELSE s1.event_id END, -1) AS old_event_id,
+         COALESCE(CASE WHEN s2.event_type = '{_CDC_TOMBSTONE}' THEN NULL
+                       ELSE s2.event_id END, -1) AS new_event_id
+  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CASE WHEN old_event_id = -1 THEN 'added'
+            WHEN new_event_id = -1 THEN 'removed'
+            ELSE 'changed' END AS change,
+       CAST(old_event_id AS BIGINT) AS old_event_id,
+       CAST(new_event_id AS BIGINT) AS new_event_id
+FROM j
+WHERE old_event_id <> new_event_id
+  AND NOT (old_event_id = -1 AND new_event_id = -1)
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8678,6 +8764,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "mutual_knn": (q_mutual_knn, SQL_MUTUAL_KNN),
     "chi_square_assoc": (q_chi_square_assoc, SQL_CHI_SQUARE_ASSOC),
+    "cdc_diff": (q_cdc_diff, SQL_CDC_DIFF),
 }
 
 

@@ -3873,3 +3873,46 @@ def test_global_exclusive_prefix_max_matches_bruteforce(ray_session):
     assert out["pm"].isna().tolist() == [e is None for e in expect]
     got = out["pm"].dropna().astype("int64").tolist()
     assert got == [e for e in expect if e is not None]
+
+
+def test_cdc_two_snapshot_diff_classifies(ray_session):
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        cdc_two_snapshot_diff,
+    )
+
+    rows = [
+        # user 1: present at t1, updated by t2 -> changed
+        {"user_id": 1, "us": 10, "event_id": 100, "event_type": "view"},
+        {"user_id": 1, "us": 60, "event_id": 101, "event_type": "click"},
+        # user 2: appears only after t1 -> added
+        {"user_id": 2, "us": 55, "event_id": 200, "event_type": "view"},
+        # user 3: live at t1, tombstoned by t2 -> removed
+        {"user_id": 3, "us": 20, "event_id": 300, "event_type": "view"},
+        {"user_id": 3, "us": 70, "event_id": 301, "event_type": "error"},
+        # user 4: unchanged -> omitted
+        {"user_id": 4, "us": 30, "event_id": 400, "event_type": "view"},
+        # user 5: tombstoned before t1 AND at t2 -> omitted (never live)
+        {"user_id": 5, "us": 5, "event_id": 500, "event_type": "error"},
+        # user 6: only after t2 -> omitted from both snapshots
+        {"user_id": 6, "us": 99, "event_id": 600, "event_type": "view"},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = (
+        cdc_two_snapshot_diff(
+            ds, "user_id", "us", "event_id", "event_type", "error", t1=50, t2=90
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.user_id): (r.change, int(r.old_id), int(r.new_id))
+        for r in out.itertuples()
+    }
+    assert got == {
+        1: ("changed", 100, 101),
+        2: ("added", -1, 200),
+        3: ("removed", 300, -1),
+    }
