@@ -249,6 +249,11 @@ def run_bench() -> dict:
         "copurchase_pairs",
         "source_overlap",
         "association_rules",
+        "event_trigrams",
+        "late_events",
+        "mutual_knn",
+        "chi_square_assoc",
+        "cdc_diff",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
