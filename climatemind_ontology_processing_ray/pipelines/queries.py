@@ -8576,6 +8576,179 @@ ORDER BY user_id
 """
 
 
+def q_twap_user(sf_dir: str):
+    """Time-weighted average value per user as an EXACT integer rational:
+    the step-function integral of value-cents between consecutive events
+    (cents × microsecond duration, summed) over the user's active span —
+    TWAP, the standard finance/metering aggregate, computed without a
+    float ever crossing a partition or engine boundary.  One lead_lag
+    key-hash exchange supplies each event's successor time; the weighted
+    partials map-side combine into a small grouped_sum.  Products stay
+    < 2^63 for cents < 10^5 over month-scale spans (asserted)."""
+    from ..functions.agg import grouped_sum
+    from ..functions.windows import lead_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "cents": np.round(_round2(b["value"]) * 100).astype("int64"),
+            }
+        )
+
+    led = lead_lag(
+        ev.map_batches(prep, batch_format="pandas"),
+        "user_id",
+        "us",
+        "us",
+        tiebreak_cols=["event_id"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b["next_us"].notna()]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "twap_num": pd.Series([], dtype="int64"),
+                    "twap_den": pd.Series([], dtype="int64"),
+                }
+            )
+        dur = d["next_us"].astype("int64").to_numpy() - d["us"].to_numpy()
+        w = d["cents"].to_numpy() * dur
+        out = (
+            pd.DataFrame(
+                {"user_id": d["user_id"].to_numpy(), "twap_num": w, "twap_den": dur}
+            )
+            .groupby("user_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        for c in ("user_id", "twap_num", "twap_den"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = grouped_sum(
+        led.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        ["twap_num", "twap_den"],
+    ).to_pandas()
+    for c in ("user_id", "twap_num", "twap_den"):
+        out[c] = out[c].astype("int64")
+    assert (out["twap_num"].abs() < 2**62).all(), "twap weighted sum near overflow"
+    return (
+        out[["user_id", "twap_num", "twap_den"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_TWAP_USER = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id, CAST(SUM(cents * (nxt - us)) AS BIGINT) AS twap_num,
+       CAST(SUM(nxt - us) AS BIGINT) AS twap_den
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Hyperlink-graph reciprocity: distinct directed edges vs edges whose
+    reverse also exists (the classic web-graph symmetry metric).  The
+    fixture crawl never emits back-links, so every 5th edge (by md5 of
+    "src>dst" — the deterministic-augmentation discipline of the near-dup
+    family) is reversed on BOTH sides before measuring.  Scale shape: the
+    exchange partitions by UNORDERED pair, so an edge and its reverse
+    always co-locate and the reciprocity check is a per-partition set
+    lookup — no self-join shuffle of the full edge list."""
+    from ..functions.join import hash_bucket
+    from ..functions.links import extract_links
+    from ..functions.md5vec import md5_hex8_u64
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    edges = extract_links(pages)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[["src", "dst"]].drop_duplicates()
+        d = d[d["src"] != d["dst"]]
+        if len(d):
+            key = (d["src"] + ">" + d["dst"]).to_numpy(dtype=object)
+            sel = md5_hex8_u64(key) % 5 == 0
+            rev = d[sel].rename(columns={"src": "dst", "dst": "src"})
+            d = pd.concat([d, rev[["src", "dst"]]], ignore_index=True)
+        lo = np.minimum(d["src"].to_numpy(dtype=object), d["dst"].to_numpy(dtype=object))
+        hi = np.maximum(d["src"].to_numpy(dtype=object), d["dst"].to_numpy(dtype=object))
+        d = d.assign(__part=hash_bucket(lo + "|" + hi, 64))
+        return d
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        fwd = g["src"] + ">" + g["dst"]
+        rev = set(g["dst"] + ">" + g["src"])
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([len(g)], dtype="int64"),
+                "n_reciprocal": pd.Series([int(fwd.isin(rev).sum())], dtype="int64"),
+            }
+        )
+
+    parts = (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_edges": [int(parts["n_edges"].sum())],
+            "n_reciprocal": [int(parts["n_reciprocal"].sum())],
+        }
+    ).astype("int64")
+
+
+def _sql_link_reciprocity() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+links AS (
+  SELECT url AS src,
+         UNNEST(regexp_extract_all(html, 'href=["'']([^"'']*)["'']', 1)) AS href
+  FROM pages),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS dst
+  FROM links),
+e0 AS (SELECT DISTINCT src, dst FROM resolved WHERE src <> dst),
+aug AS (
+  SELECT dst AS src, src AS dst FROM e0
+  WHERE ('0x' || substr(md5(src || '>' || dst), 1, 8))::UBIGINT % 5 = 0),
+e AS (SELECT DISTINCT src, dst
+      FROM (SELECT * FROM e0 UNION ALL SELECT * FROM aug))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(r.src) AS BIGINT) AS n_reciprocal
+FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8765,6 +8938,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mutual_knn": (q_mutual_knn, SQL_MUTUAL_KNN),
     "chi_square_assoc": (q_chi_square_assoc, SQL_CHI_SQUARE_ASSOC),
     "cdc_diff": (q_cdc_diff, SQL_CDC_DIFF),
+    "twap_user": (q_twap_user, SQL_TWAP_USER),
+    "link_reciprocity": (q_link_reciprocity, _sql_link_reciprocity),
 }
 
 
