@@ -515,3 +515,95 @@ def copurchase_pair_counts(
         lambda t: t.filter(pc.greater_equal(t["n"], min_support)),
         batch_format="pyarrow",
     )
+
+
+def basket_triple_counts(
+    ds: Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Frequent-itemset TRIPLE mining (A-priori k=3, the level above
+    :func:`copurchase_pair_counts`): for every unordered item triple
+    a < b < c, the number of distinct baskets containing all three, kept
+    at ``count >= min_support``.
+
+    Same shuffle contract as the pair miner — ONE hash(basket) exchange,
+    everything else in-partition: pairs come from the identical
+    repeat/cumsum index arithmetic, and the third element joins on via a
+    vectorized in-partition merge (pair (a,b) × basket items c, kept at
+    c > b) — never a Python loop over baskets.  Triple volume is
+    sum-over-baskets C(k,3), bounded by basket size."""
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[basket_col, item_col]].drop_duplicates()
+        out["__part"] = hash_bucket(out[basket_col].to_numpy(), num_parts)
+        return out
+
+    def triples_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[basket_col, item_col]].drop_duplicates()
+        g = g.sort_values([basket_col, item_col], kind="mergesort")
+        items = g[item_col].to_numpy()
+        baskets = g[basket_col].to_numpy()
+        sizes = g.groupby(basket_col, sort=False).size().to_numpy()
+        starts = np.cumsum(sizes) - sizes
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        total = int(pos.sum())
+        if total == 0:
+            empty = pd.Series([], dtype=g[item_col].dtype)
+            return pd.DataFrame(
+                {
+                    "item_a": empty,
+                    "item_b": empty.copy(),
+                    "item_c": empty.copy(),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        rights = np.repeat(np.arange(len(g)), pos)
+        before = np.cumsum(pos) - pos
+        left_off = np.arange(total) - np.repeat(before, pos)
+        lefts = np.repeat(np.repeat(starts, sizes), pos) + left_off
+        pairs = pd.DataFrame(
+            {
+                basket_col: baskets[rights],
+                "item_a": items[lefts],
+                "item_b": items[rights],
+            }
+        )
+        third = pd.DataFrame({basket_col: baskets, "item_c": items})
+        t = pairs.merge(third, on=basket_col, how="inner")
+        t = t[t["item_c"] > t["item_b"]]
+        if len(t) == 0:
+            empty = pd.Series([], dtype=g[item_col].dtype)
+            return pd.DataFrame(
+                {
+                    "item_a": empty,
+                    "item_b": empty.copy(),
+                    "item_c": empty.copy(),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            t.groupby(["item_a", "item_b", "item_c"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    summed = grouped_sum(
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(triples_partial, batch_format="pandas"),
+        ["item_a", "item_b", "item_c"],
+        ["n"],
+    )
+    import pyarrow.compute as pc
+
+    return summed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_support)),
+        batch_format="pyarrow",
+    )

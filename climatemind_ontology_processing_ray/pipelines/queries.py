@@ -8749,6 +8749,44 @@ FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
 """
 
 
+def q_frequent_triples(sf_dir: str):
+    """A-priori level-3 market-basket mining: unordered item TRIPLES
+    co-purchased in >= 2 distinct orders
+    (functions/agg.py:basket_triple_counts — one hash(order) exchange,
+    in-partition pair index arithmetic + vectorized third-item merge).
+    Support naturally thins as the part-key space grows with sf (94
+    triples at sf0.001, 12 at sf0.01, 0 at sf0.1 — all hash-verified)."""
+    from ..functions.agg import basket_triple_counts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = basket_triple_counts(
+        li, "l_orderkey", "l_partkey", min_support=_COPURCHASE_MINSUP
+    ).to_pandas()
+    if "item_a" not in out.columns:  # fully-empty dataset drops columns
+        out = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("item_a", "item_b", "item_c", "n")}
+        )
+    for c in ("item_a", "item_b", "item_c", "n"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["item_a", "item_b", "item_c", "n"]]
+        .sort_values(["item_a", "item_b", "item_c"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_FREQUENT_TRIPLES = f"""
+WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem)
+SELECT CAST(a.pk AS BIGINT) AS item_a, CAST(b.pk AS BIGINT) AS item_b,
+       CAST(c.pk AS BIGINT) AS item_c, CAST(COUNT(*) AS BIGINT) AS n
+FROM p a
+JOIN p b ON a.o = b.o AND a.pk < b.pk
+JOIN p c ON a.o = c.o AND b.pk < c.pk
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_COPURCHASE_MINSUP}
+ORDER BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8940,6 +8978,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cdc_diff": (q_cdc_diff, SQL_CDC_DIFF),
     "twap_user": (q_twap_user, SQL_TWAP_USER),
     "link_reciprocity": (q_link_reciprocity, _sql_link_reciprocity),
+    "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
 }
 
 

@@ -3916,3 +3916,33 @@ def test_cdc_two_snapshot_diff_classifies(ray_session):
         2: ("added", -1, 200),
         3: ("removed", 300, -1),
     }
+
+
+def test_basket_triple_counts_matches_bruteforce(ray_session):
+    import itertools
+    import random
+
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.agg import basket_triple_counts
+
+    rng = random.Random(3)
+    rows = []
+    for b in range(60):
+        for it in rng.sample(range(12), rng.randrange(1, 7)):
+            rows.append({"basket": b, "item": it})
+    # duplicated (basket, item) rows must not inflate counts
+    rows.append(dict(rows[0]))
+    ds = ray.data.from_items(rows).repartition(5)
+    out = basket_triple_counts(ds, "basket", "item", min_support=2, num_parts=7)
+    got = {tuple(r[:3]): r[3] for r in out.to_pandas().values.tolist()}
+
+    baskets: dict[int, set] = {}
+    for r in rows:
+        baskets.setdefault(r["basket"], set()).add(r["item"])
+    expect: dict[tuple, int] = {}
+    for items in baskets.values():
+        for t in itertools.combinations(sorted(items), 3):
+            expect[t] = expect.get(t, 0) + 1
+    expect = {t: n for t, n in expect.items() if n >= 2}
+    assert got == expect
