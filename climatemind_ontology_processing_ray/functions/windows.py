@@ -1179,3 +1179,72 @@ def cdc_two_snapshot_diff(
         .groupby("__part")
         .map_groups(diff, batch_format="pandas")
     )
+
+
+def cusum_alerts(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    k: int,
+    h: int,
+    id_col: str,
+    num_parts: int | None = None,
+) -> Dataset:
+    """One-sided CUSUM change-point detection per key: the classic
+    monitoring recurrence S_i = max(0, S_{i-1} + (x_i - k)) with alert
+    at S_i >= h — computed WITHOUT the sequential loop via the closed
+    form S_i = C_i - min(0, min_{j<=i} C_j) (C = running sum of x - k),
+    which is one cumsum + one cummin: fully vectorized per key, any
+    sequence length, exact integers throughout.
+
+    One hash(key) exchange co-locates each key's ordered stream; output
+    is one row per ALERTED key: (key, max_cusum, first_alert) where
+    first_alert is the smallest ``id_col`` whose statistic crossed h."""
+    from .join import hash_bucket
+    from .partitioning import adaptive_parts
+
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__part=hash_bucket(b[key_col].to_numpy(), num_parts))
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col, id_col], kind="mergesort")
+        x = g[val_col].to_numpy(dtype=np.int64) - k
+        cum = pd.Series(x, index=g.index).groupby(g[key_col], sort=False).cumsum()
+        cmin = cum.groupby(g[key_col], sort=False).cummin()
+        stat = cum.to_numpy() - np.minimum(0, cmin.to_numpy())
+        d = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "stat": stat,
+                "id": g[id_col].to_numpy(),
+            }
+        )
+        alerted = d[d["stat"] >= h]
+        if len(alerted) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=g[key_col].dtype),
+                    "max_cusum": pd.Series([], dtype="int64"),
+                    "first_alert": pd.Series([], dtype="int64"),
+                }
+            )
+        mx = d.groupby(key_col, sort=False)["stat"].max()
+        first = alerted.groupby(key_col, sort=False)["id"].min()
+        out = pd.DataFrame(
+            {
+                key_col: first.index,
+                "max_cusum": mx.loc[first.index].to_numpy().astype("int64"),
+                "first_alert": first.to_numpy().astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(stats, batch_format="pandas")
+    )

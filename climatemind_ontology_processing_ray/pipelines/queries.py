@@ -8787,6 +8787,75 @@ ORDER BY 1, 2, 3
 """
 
 
+_CUSUM_K = 6000  # reference level, cents (above the ~5000 mean: negative drift)
+_CUSUM_H = 30_000  # alert threshold, cents
+
+
+def q_cusum_alerts(sf_dir: str):
+    """Per-user one-sided CUSUM change-point monitoring over event value
+    (cents): alert users whose cumulative positive drift above the
+    reference k ever reaches h, with the max statistic and the first
+    crossing event — the classic sequential-detection op, computed
+    vectorized via the closed form cumsum − min(0, running-min)
+    (functions/windows.py:cusum_alerts; one hash(user) exchange, exact
+    integers end to end)."""
+    from ..functions.windows import cusum_alerts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "cents": np.round(_round2(b["value"]) * 100).astype("int64"),
+            }
+        )
+
+    out = cusum_alerts(
+        ev.map_batches(prep, batch_format="pandas"),
+        "user_id",
+        "us",
+        "cents",
+        k=_CUSUM_K,
+        h=_CUSUM_H,
+        id_col="event_id",
+    ).to_pandas()
+    for c in ("user_id", "max_cusum", "first_alert"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["user_id", "max_cusum", "first_alert"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_CUSUM_ALERTS = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) - {_CUSUM_K} AS x
+  FROM events),
+c AS (
+  SELECT user_id, event_id, ts,
+         SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM o),
+s AS (
+  SELECT user_id, event_id,
+         cum - LEAST(0, MIN(cum) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS stat
+  FROM c)
+SELECT user_id, CAST(MAX(stat) AS BIGINT) AS max_cusum,
+       CAST(MIN(event_id) FILTER (WHERE stat >= {_CUSUM_H}) AS BIGINT)
+         AS first_alert
+FROM s GROUP BY 1
+HAVING MAX(stat) >= {_CUSUM_H}
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -8979,6 +9048,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "twap_user": (q_twap_user, SQL_TWAP_USER),
     "link_reciprocity": (q_link_reciprocity, _sql_link_reciprocity),
     "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
+    "cusum_alerts": (q_cusum_alerts, SQL_CUSUM_ALERTS),
 }
 
 

@@ -3946,3 +3946,40 @@ def test_basket_triple_counts_matches_bruteforce(ray_session):
             expect[t] = expect.get(t, 0) + 1
     expect = {t: n for t, n in expect.items() if n >= 2}
     assert got == expect
+
+
+def test_cusum_alerts_matches_recurrence(ray_session):
+    import random
+
+    import ray
+
+    from climatemind_ontology_processing_ray.functions.windows import cusum_alerts
+
+    rng = random.Random(5)
+    rows = [
+        {"key": rng.randrange(8), "o": i, "id": i, "v": rng.randrange(0, 200)}
+        for i in range(600)
+    ]
+    K, H = 90, 400
+    ds = ray.data.from_items(rows).repartition(6)
+    out = cusum_alerts(ds, "key", "o", "v", k=K, h=H, id_col="id", num_parts=4)
+    got = {
+        int(r.key): (int(r.max_cusum), int(r.first_alert))
+        for r in out.to_pandas().itertuples()
+    }
+
+    # the literal sequential recurrence S_i = max(0, S_{i-1} + x_i - k)
+    expect = {}
+    bykey: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["o"], r["id"])):
+        bykey.setdefault(r["key"], []).append(r)
+    for key, seq in bykey.items():
+        s, mx, first = 0, 0, None
+        for r in seq:
+            s = max(0, s + r["v"] - K)
+            mx = max(mx, s)
+            if s >= H and first is None:
+                first = r["id"]
+        if mx >= H:
+            expect[key] = (mx, first)
+    assert got == expect
