@@ -254,6 +254,11 @@ def run_bench() -> dict:
         "mutual_knn",
         "chi_square_assoc",
         "cdc_diff",
+        "twap_user",
+        "link_reciprocity",
+        "frequent_triples",
+        "cusum_alerts",
+        "assortativity_moments",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured

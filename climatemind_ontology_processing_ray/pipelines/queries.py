@@ -8856,6 +8856,84 @@ ORDER BY user_id
 """
 
 
+def q_assortativity_moments(sf_dir: str):
+    """Degree-assortativity moments of the document-similarity graph:
+    the exact integer sufficient statistics (edge count, Σ dᵤdᵥ,
+    Σ(dᵤ+dᵥ), Σ(dᵤ²+dᵥ²)) from which the Pearson degree correlation is
+    one float division downstream — the engine keeps everything
+    integer-exact.  Degrees come from one grouped_sum over flattened
+    endpoints; each endpoint's degree attaches via a bucketed hash join
+    (scale path: no broadcast of a possibly-billion-node degree table);
+    the final reduce is a single-row sum."""
+    from ..functions.agg import grouped_sum
+    from ..functions.join import bucketed_hash_join
+
+    edges = _doc_sim_edges(sf_dir)
+
+    def flat(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([b["subject"].to_numpy(), b["object"].to_numpy()])
+        out = (
+            pd.DataFrame({"node": nodes})
+            .groupby("node", sort=False)
+            .size()
+            .reset_index(name="deg")
+        )
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    deg = grouped_sum(
+        edges.map_batches(flat, batch_format="pandas"), ["node"], ["deg"]
+    ).materialize()
+
+    eu = edges.map_batches(
+        lambda b: b.rename(columns={"subject": "node"}), batch_format="pandas"
+    )
+    with_du = bucketed_hash_join(eu, deg, key="node").map_batches(
+        lambda b: b.rename(columns={"node": "subject", "deg": "du"}),
+        batch_format="pandas",
+    )
+    with_both = bucketed_hash_join(
+        with_du.map_batches(
+            lambda b: b.rename(columns={"object": "node"}), batch_format="pandas"
+        ),
+        deg,
+        key="node",
+    )
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        du = b["du"].to_numpy(dtype=np.int64)
+        dv = b["deg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([len(b)], dtype="int64"),
+                "s_prod": pd.Series([int((du * dv).sum())], dtype="int64"),
+                "s_sum": pd.Series([int((du + dv).sum())], dtype="int64"),
+                "s_sq": pd.Series([int((du * du + dv * dv).sum())], dtype="int64"),
+            }
+        )
+
+    parts = with_both.map_batches(moments, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {c: [int(parts[c].sum())] for c in ("n_edges", "s_prod", "s_sum", "s_sq")}
+    ).astype("int64")
+
+
+SQL_ASSORTATIVITY = f"""
+WITH {_SIM_EDGES_SQL},
+d AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(du.deg * dv.deg) AS BIGINT) AS s_prod,
+       CAST(SUM(du.deg + dv.deg) AS BIGINT) AS s_sum,
+       CAST(SUM(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) AS s_sq
+FROM e0
+JOIN d du ON du.node = e0.u
+JOIN d dv ON dv.node = e0.v
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -9049,6 +9127,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "link_reciprocity": (q_link_reciprocity, _sql_link_reciprocity),
     "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
     "cusum_alerts": (q_cusum_alerts, SQL_CUSUM_ALERTS),
+    "assortativity_moments": (q_assortativity_moments, SQL_ASSORTATIVITY),
 }
 
 
