@@ -1056,7 +1056,106 @@ def suite_r6ops() -> None:
 
 
 
+
+
+def suite_r7ops() -> None:
+    """Round-5 late-session additions at scale: the exclusive prefix-max
+    watermark scan, k-gram sequence mining and CUSUM alerts over 10M
+    events x 1M keys; CDC two-snapshot diff @10M; A-priori triples over
+    5M basket rows."""
+    ray, rd = _session()
+    p = "/tmp/stress_scan_events.parquet"
+    if not os.path.exists(p):
+        rng = np.random.default_rng(23)
+        n = 10_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "eid": pa.array(np.arange(n), pa.int64()),
+                    "u": pa.array(
+                        rng.integers(0, 1_000_000, n).astype(np.int64), pa.int64()
+                    ),
+                    "tus": pa.array(
+                        np.int64(1_700_000_000_000_000)
+                        + rng.integers(0, 30 * 86_400_000_000, n).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "v": pa.array(
+                        rng.integers(0, 100_000, n).astype(np.int64), pa.int64()
+                    ),
+                }
+            ),
+            p,
+        )
+    ev = rd.read_parquet(p)
+
+    from climatemind_ontology_processing_ray.functions.windows import (
+        cdc_two_snapshot_diff,
+        cusum_alerts,
+        global_exclusive_prefix_max,
+        keyed_kgram_counts,
+    )
+
+    def add_akey(b: pd.DataFrame) -> pd.DataFrame:
+        # uniform 32-bit arrival key (knuth-hash permutation of eid) —
+        # stress exercises the scan shape, not the md5 oracle convention
+        return b.assign(
+            akey=(b["eid"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            & np.uint64(0xFFFFFFFF)
+        )
+
+    keyed = ev.map_batches(add_akey, batch_format="pandas")
+    _t(
+        "prefix_max watermark scan @10M",
+        lambda: f"{global_exclusive_prefix_max(keyed, 'akey', 'eid', 'tus').count()} rows",
+    )
+
+    grams = ev.map_batches(
+        lambda b: b.assign(sym=(b["v"] % 8).astype("int64")), batch_format="pandas"
+    )
+    _t(
+        "keyed_kgram k=3 @10M x 1M keys",
+        lambda: f"{keyed_kgram_counts(grams, 'u', 'tus', 'sym', k=3, tiebreak_cols=['eid']).count()} grams",
+    )
+
+    _t(
+        "cusum_alerts @10M x 1M keys",
+        lambda: f"{cusum_alerts(ev, 'u', 'tus', 'v', k=45_000, h=100_000, id_col='eid').count()} alerted",
+    )
+
+    typed = ev.map_batches(
+        lambda b: b.assign(
+            etype=np.where(b["v"] % 10 == 0, "error", "view")
+        ),
+        batch_format="pandas",
+    )
+    lo, hi = 1_700_000_000_000_000, 1_700_000_000_000_000 + 30 * 86_400_000_000
+    t1 = lo + (hi - lo) * 3 // 5
+    t2 = lo + (hi - lo) * 9 // 10
+    _t(
+        "cdc_two_snapshot_diff @10M x 1M keys",
+        lambda: f"{cdc_two_snapshot_diff(typed, 'u', 'tus', 'eid', 'etype', 'error', t1, t2).count()} deltas",
+    )
+
+    from climatemind_ontology_processing_ray.functions.agg import basket_triple_counts
+
+    baskets = rd.read_parquet(p, columns=["eid", "v"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "basket": (b["eid"] // 6).astype("int64"),
+                "item": (b["v"] % 2000).astype("int64"),
+            }
+        )[: len(b) // 2],
+        batch_format="pandas",
+    )
+    _t(
+        "basket_triple_counts @5M rows (1.7M baskets x <=6 items)",
+        lambda: f"{basket_triple_counts(baskets, 'basket', 'item', min_support=2).count()} triples",
+    )
+
+
 SUITES = {
+    "r7ops": suite_r7ops,
     "r6ops": suite_r6ops,
     "r5ops": suite_r5ops,
     "hashops": suite_hashops,
