@@ -1,0 +1,306 @@
+"""Exact-integer order statistics over distributed data.
+
+The primitive here is a *binned two-pass sorted scan*: rank/ECDF-style
+statistics need prefix sums over the global value order, but a global
+sort is an all-to-all exchange whose output order Ray does not expose
+to per-block functions.  Instead:
+
+- pass 1 histograms the value column into ``num_bins`` fixed-width bins
+  (map-side ``np.bincount`` partials, one tiny ``num_bins``-row reduce);
+  the driver takes exclusive cumulative sums over the bin table — the
+  per-bin *global offsets* (how much mass sits strictly below each bin);
+- pass 2 re-shuffles rows once by bin (``groupby(bin).map_groups``);
+  each bin sorts locally, combines its broadcast offset with a
+  vectorized local cumulative sum, and emits a constant-size partial;
+- the driver folds the ≤ ``num_bins`` partials into the final scalar.
+
+Equal values always share a bin (binning is a function of the value),
+so distinct-value grouping — where every ECDF/rank statistic is
+evaluated — never straddles a bin boundary.  Two pruned scans of the
+input, no global sort, driver state bounded by ``num_bins``.
+
+Scale note: fixed-width bins inherit the value distribution's skew
+(unlike the hash-key buckets of
+``windows.global_exclusive_prefix_max``); ``num_bins`` bounds the
+partition count, not the largest partition.  A production variant over
+pathologically skewed columns would derive edges from a driver-side
+sample of quantiles — the two-pass structure is unchanged.
+
+All statistics are reported as exact integers (numerator/denominator
+pairs or doubled rank sums) so oracle comparison never touches a float.
+Reference: the engine-side statistics have no counterpart in
+/root/reference (its analytics end at ontology-sized NetworkX graphs);
+these extend SURVEY §2.8's engine-addition family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .agg import grouped_sum
+
+_I64_MAX = 2**63 - 1
+
+
+def _bin_edges(ds: Dataset, val_col: str, num_bins: int) -> tuple[float, float, float]:
+    """Global (lo, hi, width) of ``val_col`` — one pruned Min/Max pass."""
+    from ray.data.aggregate import Max, Min
+
+    b = ds.aggregate(Min(val_col), Max(val_col))
+    if not b or b.get(f"min({val_col})") is None:
+        return 0.0, 0.0, 1.0
+    lo = float(b[f"min({val_col})"])
+    hi = float(b[f"max({val_col})"])
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    return lo, hi, width
+
+
+def _tagger(val_col: str, lo: float, width: float, num_bins: int):
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v = b[val_col].to_numpy(dtype=np.float64)
+        binned = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
+        b["__bin"] = binned
+        return b
+
+    return tag
+
+
+def _two_group_scan(
+    ds: Dataset,
+    val_col: str,
+    g1_col: str,
+    g2_col: str,
+    num_bins: int,
+    local_fn,
+) -> pd.DataFrame:
+    """Shared KS / Mann-Whitney skeleton: per distinct value of
+    ``val_col`` the local pass sees (sorted values, c1, c2 tie counts)
+    plus the exclusive global offsets (f1_off, f2_off) and group totals
+    (n1, n2); ``local_fn`` returns one partial row per bin."""
+    import ray
+
+    from .broadcast import cached_get
+
+    lo, hi, width = _bin_edges(ds, val_col, num_bins)
+    tagged = ds.map_batches(
+        _tagger(val_col, lo, width, num_bins), batch_format="pandas"
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "__bin": pd.Series([], dtype="int64"),
+                    "c1": pd.Series([], dtype="int64"),
+                    "c2": pd.Series([], dtype="int64"),
+                }
+            )
+        binned = b["__bin"].to_numpy()
+        c1 = np.bincount(binned, weights=b[g1_col].to_numpy(), minlength=num_bins)
+        c2 = np.bincount(binned, weights=b[g2_col].to_numpy(), minlength=num_bins)
+        nz = (c1 != 0) | (c2 != 0)
+        return pd.DataFrame(
+            {
+                "__bin": np.flatnonzero(nz).astype(np.int64),
+                "c1": c1[nz].astype(np.int64),
+                "c2": c2[nz].astype(np.int64),
+            }
+        )
+
+    hist = grouped_sum(
+        tagged.map_batches(hist_partial, batch_format="pandas"),
+        ["__bin"],
+        ["c1", "c2"],
+    ).to_pandas()
+    dense1 = np.zeros(num_bins, dtype=np.int64)
+    dense2 = np.zeros(num_bins, dtype=np.int64)
+    if len(hist):
+        ids = hist["__bin"].to_numpy(dtype=np.int64)
+        dense1[ids] = hist["c1"].to_numpy(dtype=np.int64)
+        dense2[ids] = hist["c2"].to_numpy(dtype=np.int64)
+    n1, n2 = int(dense1.sum()), int(dense2.sum())
+    off1 = np.concatenate(([0], np.cumsum(dense1)[:-1]))
+    off2 = np.concatenate(([0], np.cumsum(dense2)[:-1]))
+    off_ref = ray.put((off1, off2, n1, n2))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        o1, o2, tn1, tn2 = cached_get(off_ref)
+        g = g.sort_values(val_col, kind="mergesort")
+        v = g[val_col].to_numpy(dtype=np.float64)
+        # distinct-value tie groups (bin-local by construction)
+        new = np.empty(len(v), dtype=bool)
+        if len(v):
+            new[0] = True
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(v) else 0
+        c1 = np.bincount(seg, weights=g[g1_col].to_numpy(), minlength=nseg).astype(
+            np.int64
+        )
+        c2 = np.bincount(seg, weights=g[g2_col].to_numpy(), minlength=nseg).astype(
+            np.int64
+        )
+        bin_id = int(g["__bin"].iloc[0])
+        return local_fn(
+            bin_id, v[new], c1, c2, int(o1[bin_id]), int(o2[bin_id]), tn1, tn2
+        )
+
+    parts = (
+        tagged.groupby("__bin").map_groups(scan, batch_format="pandas").to_pandas()
+    )
+    parts.attrs["n1"] = n1
+    parts.attrs["n2"] = n2
+    return parts
+
+
+def ks_two_sample(
+    ds: Dataset,
+    val_col: str,
+    g1_col: str,
+    g2_col: str,
+    num_bins: int = 1024,
+) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance as a rational:
+    ``D = ks_num / (n1 * n2)`` with ``ks_num = max over distinct values
+    of |F1*n2 - F2*n1|`` (F = cumulative group counts).  Products are
+    bounded by n1*n2 and asserted < 2^63."""
+
+    def local(bin_id, vals, c1, c2, o1, o2, n1, n2):
+        if len(vals) == 0:
+            return pd.DataFrame({"ks_num": pd.Series([], dtype="int64")})
+        f1 = o1 + np.cumsum(c1)
+        f2 = o2 + np.cumsum(c2)
+        assert n1 * n2 <= _I64_MAX, "KS numerator exceeds int64"
+        d = np.abs(f1 * n2 - f2 * n1).max()
+        return pd.DataFrame({"ks_num": [int(d)]})
+
+    parts = _two_group_scan(ds, val_col, g1_col, g2_col, num_bins, local)
+    ks = int(parts["ks_num"].max()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "ks_num": pd.Series([ks], dtype="int64"),
+            "n1": pd.Series([parts.attrs["n1"]], dtype="int64"),
+            "n2": pd.Series([parts.attrs["n2"]], dtype="int64"),
+        }
+    )
+
+
+def mann_whitney(
+    ds: Dataset,
+    val_col: str,
+    g1_col: str,
+    g2_col: str,
+    num_bins: int = 1024,
+) -> pd.DataFrame:
+    """Exact Mann-Whitney rank statistics with midrank tie handling,
+    doubled to stay integral: ``r1_times2 = 2 * (sum of group-1
+    midranks)`` and ``u1_times2 = r1_times2 - n1*(n1+1)``.  Per distinct
+    value the midrank*2 is ``2*F_before + t + 1`` (F_before = pooled
+    count strictly below, t = pooled tie count)."""
+
+    def local(bin_id, vals, c1, c2, o1, o2, n1, n2):
+        if len(vals) == 0:
+            return pd.DataFrame({"r2_part": pd.Series([], dtype="int64")})
+        t = c1 + c2
+        f_before = (o1 + o2) + np.concatenate(([0], np.cumsum(t)[:-1]))
+        contrib = c1 * (2 * f_before + t + 1)
+        return pd.DataFrame({"r2_part": [int(contrib.sum())]})
+
+    parts = _two_group_scan(ds, val_col, g1_col, g2_col, num_bins, local)
+    n1, n2 = parts.attrs["n1"], parts.attrs["n2"]
+    r1_times2 = int(parts["r2_part"].sum()) if len(parts) else 0
+    assert 2 * (n1 + n2) * (n1 + n2) <= _I64_MAX, "rank sum exceeds int64"
+    return pd.DataFrame(
+        {
+            "r1_times2": pd.Series([r1_times2], dtype="int64"),
+            "u1_times2": pd.Series([r1_times2 - n1 * (n1 + 1)], dtype="int64"),
+            "n1": pd.Series([n1], dtype="int64"),
+            "n2": pd.Series([n2], dtype="int64"),
+        }
+    )
+
+
+def gini_counts(
+    counts: Dataset,
+    count_col: str,
+    num_bins: int = 1024,
+) -> pd.DataFrame:
+    """Exact-rational Gini coefficient of a per-key frequency table
+    (``counts`` = one row per key, already reduced):
+    ``gini = gini_num / gini_den`` with, over counts sorted ascending,
+    ``gini_num = 2*Σ i*c_i - (k+1)*Σ c_i`` and ``gini_den = k*Σ c_i``
+    (i = 1-based global rank).  Ties in c make Σ i*c_i invariant to
+    their ordering, so the within-bin sort needs no tiebreak.  Same
+    binned scan: pass 1 bins the counts and the driver's exclusive
+    cumsum of per-bin key-counts yields each bin's starting global
+    rank."""
+    import ray
+
+    from .broadcast import cached_get
+
+    lo, hi, width = _bin_edges(counts, count_col, num_bins)
+    tagged = counts.map_batches(
+        _tagger(count_col, lo, width, num_bins), batch_format="pandas"
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "__bin": pd.Series([], dtype="int64"),
+                    "k": pd.Series([], dtype="int64"),
+                    "tot": pd.Series([], dtype="int64"),
+                }
+            )
+        binned = b["__bin"].to_numpy()
+        k = np.bincount(binned, minlength=num_bins)
+        tot = np.bincount(binned, weights=b[count_col].to_numpy(), minlength=num_bins)
+        nz = k != 0
+        return pd.DataFrame(
+            {
+                "__bin": np.flatnonzero(nz).astype(np.int64),
+                "k": k[nz].astype(np.int64),
+                "tot": tot[nz].astype(np.int64),
+            }
+        )
+
+    hist = grouped_sum(
+        tagged.map_batches(hist_partial, batch_format="pandas"),
+        ["__bin"],
+        ["k", "tot"],
+    ).to_pandas()
+    dense_k = np.zeros(num_bins, dtype=np.int64)
+    if len(hist):
+        dense_k[hist["__bin"].to_numpy(dtype=np.int64)] = hist["k"].to_numpy(
+            dtype=np.int64
+        )
+    k_total = int(dense_k.sum())
+    total = int(hist["tot"].sum()) if len(hist) else 0
+    rank_off = np.concatenate(([0], np.cumsum(dense_k)[:-1]))
+    off_ref = ray.put(rank_off)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = cached_get(off_ref)
+        c = np.sort(g[count_col].to_numpy(dtype=np.int64), kind="mergesort")
+        i = int(off[int(g["__bin"].iloc[0])]) + 1 + np.arange(len(c), dtype=np.int64)
+        s = int((i * c).sum())
+        return pd.DataFrame({"s_part": pd.Series([s], dtype="int64")})
+
+    parts = (
+        tagged.groupby("__bin").map_groups(scan, batch_format="pandas").to_pandas()
+    )
+    s_total = int(parts["s_part"].sum()) if len(parts) else 0
+    assert abs(2 * s_total) <= _I64_MAX and k_total * total <= _I64_MAX, (
+        "gini terms exceed int64"
+    )
+    return pd.DataFrame(
+        {
+            "gini_num": pd.Series([2 * s_total - (k_total + 1) * total], dtype="int64"),
+            "gini_den": pd.Series([k_total * total], dtype="int64"),
+            "k": pd.Series([k_total], dtype="int64"),
+            "total": pd.Series([total], dtype="int64"),
+        }
+    )

@@ -8934,6 +8934,135 @@ JOIN d dv ON dv.node = e0.v
 """
 
 
+def q_ks_two_sample(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    extended-price distributions of returned ('R') vs accepted ('A')
+    lineitems, as the rational ks_num / (n1*n2) — the
+    distribution-drift gate a curation pipeline runs between two
+    corpus slices before mixing them.  Engine:
+    functions/stats.py:ks_two_sample — a binned two-pass sorted scan
+    (histogram offsets + per-bin local ECDF), never a global sort,
+    driver state bounded by num_bins."""
+    from ..functions.stats import ks_two_sample
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["l_returnflag"].isin(("A", "R"))
+        d = b[keep]
+        return pd.DataFrame(
+            {
+                "v": d["l_extendedprice"].astype("float64"),
+                "g1": (d["l_returnflag"] == "A").astype("int64"),
+                "g2": (d["l_returnflag"] == "R").astype("int64"),
+            }
+        )
+
+    return ks_two_sample(
+        ds.map_batches(prep, batch_format="pandas"), "v", "g1", "g2"
+    )
+
+
+SQL_KS_TWO_SAMPLE = """
+WITH pts AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g2
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+c AS (SELECT v, SUM(g1) AS c1, SUM(g2) AS c2 FROM pts GROUP BY v),
+e AS (
+  SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2
+  FROM c),
+n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c)
+SELECT CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS ks_num,
+       CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
+FROM e, n GROUP BY n.n1, n.n2
+"""
+
+
+def q_mannwhitney_u(sf_dir: str):
+    """Exact Mann-Whitney rank statistics (midrank ties, doubled to
+    stay integral) comparing l_quantity between open ('O') and
+    finalized ('F') lineitems — 50 distinct values over ~600k rows at
+    sf0.1 makes this a dense-tie stress of the midrank algebra.  Same
+    binned scan primitive as ks_two_sample; per distinct value the
+    doubled midrank is 2*F_before + t + 1."""
+    from ..functions.stats import mann_whitney
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_linestatus"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "v": b["l_quantity"].astype("float64"),
+                "g1": (b["l_linestatus"] == "O").astype("int64"),
+                "g2": (b["l_linestatus"] == "F").astype("int64"),
+            }
+        )
+
+    return mann_whitney(
+        ds.map_batches(prep, batch_format="pandas"), "v", "g1", "g2"
+    )
+
+
+SQL_MANNWHITNEY_U = """
+WITH pts AS (
+  SELECT l_quantity AS v,
+         CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS g1
+  FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+r AS (
+  SELECT g1,
+         2 * RANK() OVER (ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+  FROM pts),
+n AS (
+  SELECT SUM(g1) AS n1, SUM(1 - g1) AS n2 FROM pts)
+SELECT CAST(SUM(CASE WHEN g1 = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r1_times2,
+       CAST(SUM(CASE WHEN g1 = 1 THEN r2 ELSE 0 END)
+            - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_times2,
+       CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
+FROM r, n GROUP BY n.n1, n.n2
+"""
+
+
+def q_gini_key_skew(sf_dir: str):
+    """Exact-rational Gini coefficient of the per-customer order-count
+    distribution — the partition-skew audit you run before choosing a
+    shuffle key (gini near 0 = uniform keys, near 1 = a few hot keys
+    own the data).  One grouped-count exchange builds the per-key
+    frequency table; functions/stats.py:gini_counts ranks it with the
+    binned scan (Σ i*c_i is tie-invariant, so equal counts need no
+    global tiebreak)."""
+    from ..functions.agg import grouped_sum
+    from ..functions.stats import gini_counts
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("o_custkey", sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["o_custkey"], ["n"]
+    )
+    return gini_counts(counts, "n")
+
+
+SQL_GINI_KEY_SKEW = """
+WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, o_custkey) AS i FROM c),
+s AS (
+  SELECT SUM(n) AS tot, COUNT(*) AS k, SUM(i * n) AS sin FROM r)
+SELECT CAST(2 * sin - (k + 1) * tot AS BIGINT) AS gini_num,
+       CAST(k * tot AS BIGINT) AS gini_den,
+       CAST(k AS BIGINT) AS k, CAST(tot AS BIGINT) AS total
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -9128,6 +9257,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
     "cusum_alerts": (q_cusum_alerts, SQL_CUSUM_ALERTS),
     "assortativity_moments": (q_assortativity_moments, SQL_ASSORTATIVITY),
+    "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
+    "mannwhitney_u": (q_mannwhitney_u, SQL_MANNWHITNEY_U),
+    "gini_key_skew": (q_gini_key_skew, SQL_GINI_KEY_SKEW),
 }
 
 

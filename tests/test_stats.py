@@ -1,0 +1,113 @@
+"""Exact order-statistics (functions/stats.py): brute-force numpy
+equivalence + bin-count (partitioning) invariance.  The binned scan
+must produce identical integers at any num_bins, including the
+degenerate single-bin (fully local) and many-bins (one value per bin)
+extremes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mk(rows: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(rows).repartition(7)
+
+
+def _brute_ks(v, g1, g2):
+    vs = np.unique(v)
+    n1, n2 = int(g1.sum()), int(g2.sum())
+    best = 0
+    for x in vs:
+        f1 = int(g1[v <= x].sum())
+        f2 = int(g2[v <= x].sum())
+        best = max(best, abs(f1 * n2 - f2 * n1))
+    return best, n1, n2
+
+
+def _brute_r1x2(v, g1):
+    # doubled midranks over the pooled sample
+    order = np.argsort(v, kind="mergesort")
+    v_s, g_s = v[order], g1[order]
+    r2 = np.empty(len(v), dtype=np.int64)
+    i = 0
+    while i < len(v_s):
+        j = i
+        while j < len(v_s) and v_s[j] == v_s[i]:
+            j += 1
+        r2[i:j] = (i + 1) + j  # 2 * (i+1 + j) / 2
+        i = j
+    return int(r2[g_s == 1].sum())
+
+
+def _brute_gini(counts):
+    c = np.sort(np.asarray(counts, dtype=np.int64))
+    k, tot = len(c), int(c.sum())
+    s = int((np.arange(1, k + 1, dtype=np.int64) * c).sum())
+    return 2 * s - (k + 1) * tot, k * tot
+
+
+@pytest.mark.parametrize("num_bins", [1, 16, 4096])
+def test_ks_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import ks_two_sample
+
+    rng = np.random.RandomState(7)
+    v = np.round(rng.gamma(2.0, 10.0, size=900), 1)  # heavy ties
+    g1 = (rng.rand(900) < 0.4).astype(np.int64)
+    g2 = 1 - g1
+    out = ks_two_sample(
+        _mk(pd.DataFrame({"v": v, "g1": g1, "g2": g2})), "v", "g1", "g2", num_bins
+    )
+    ks, n1, n2 = _brute_ks(v, g1, g2)
+    assert out.loc[0, "ks_num"] == ks
+    assert (out.loc[0, "n1"], out.loc[0, "n2"]) == (n1, n2)
+
+
+@pytest.mark.parametrize("num_bins", [1, 16, 4096])
+def test_mannwhitney_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import mann_whitney
+
+    rng = np.random.RandomState(11)
+    v = rng.randint(0, 25, size=800).astype(np.float64)  # dense ties
+    g1 = (rng.rand(800) < 0.5).astype(np.int64)
+    g2 = 1 - g1
+    out = mann_whitney(
+        _mk(pd.DataFrame({"v": v, "g1": g1, "g2": g2})), "v", "g1", "g2", num_bins
+    )
+    r1x2 = _brute_r1x2(v, g1)
+    n1 = int(g1.sum())
+    assert out.loc[0, "r1_times2"] == r1x2
+    assert out.loc[0, "u1_times2"] == r1x2 - n1 * (n1 + 1)
+
+
+@pytest.mark.parametrize("num_bins", [1, 64])
+def test_gini_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import gini_counts
+
+    rng = np.random.RandomState(3)
+    counts = rng.zipf(1.7, size=500).clip(max=10_000).astype(np.int64)
+    out = gini_counts(
+        _mk(pd.DataFrame({"key": np.arange(500), "n": counts})), "n", num_bins
+    )
+    num, den = _brute_gini(counts)
+    assert out.loc[0, "gini_num"] == num
+    assert out.loc[0, "gini_den"] == den
+    assert out.loc[0, "k"] == 500
+    assert out.loc[0, "total"] == int(counts.sum())
+
+
+def test_gini_uniform_and_degenerate(ray_session):
+    from climatemind_ontology_processing_ray.functions.stats import gini_counts
+
+    # all-equal counts -> gini_num = 2*tot*(k+1)/2 - (k+1)*tot = 0... verify
+    eq = gini_counts(
+        _mk(pd.DataFrame({"key": np.arange(40), "n": np.full(40, 5)})), "n", 8
+    )
+    assert eq.loc[0, "gini_num"] == 0  # perfectly uniform keys
+    # single key owns everything among k=2
+    one = gini_counts(
+        _mk(pd.DataFrame({"key": [0, 1], "n": [0, 100]})), "n", 8
+    )
+    # sorted c = [0, 100]: num = 2*200 - 3*100 = 100, den = 200
+    assert (one.loc[0, "gini_num"], one.loc[0, "gini_den"]) == (100, 200)
