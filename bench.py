@@ -259,6 +259,9 @@ def run_bench() -> dict:
         "frequent_triples",
         "cusum_alerts",
         "assortativity_moments",
+        "ks_two_sample",
+        "mannwhitney_u",
+        "gini_key_skew",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
