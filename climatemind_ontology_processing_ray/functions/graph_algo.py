@@ -1421,3 +1421,106 @@ def scc(
     for part in assigned[1:]:
         out = out.union(part)
     return out
+
+
+def khop_per_source(
+    edges: Dataset,
+    sources: Dataset,
+    max_depth: int,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    node_col: str = "node",
+    driver_threshold: int = 250_000,
+) -> Dataset:
+    """Per-seed bounded-hop closeness statistics over the UNDIRECTED
+    simple graph: for every source, the number of OTHER nodes within
+    ``max_depth`` hops and the sum of their hop distances — the exact
+    integer sufficient statistics behind closeness / harmonic / Lin
+    centrality, evaluated the way centrality is done at scale: for a
+    SEED SAMPLE, not all n nodes (per-round state is
+    |seeds| x reach-sized, bounded by construction, never n^2).
+
+    Same two execution shapes as :func:`bfs_levels` (driver BFS below
+    ``driver_threshold`` distinct edges, else per-round bucketed joins)
+    except the label table is keyed by (start, node) so distances keep
+    their seed identity.  Distances are integer minima — the result is
+    unique at any partitioning or round interleave.
+
+    Returns one row per seed: (start, n_reach, dist_sum); isolated
+    seeds report (0, 0)."""
+    from .agg import grouped_min, grouped_sum
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join
+
+    ue = _undirected_distinct(edges, src_col, dst_col).materialize()
+
+    if ue.count() <= 2 * driver_threshold:  # ue holds both directions
+        from collections import deque
+
+        edf = ue.to_pandas()
+        adj: dict[str, list[str]] = {}
+        for u, v in zip(edf["node"], edf["nbr"]):
+            adj.setdefault(u, []).append(v)
+        rows = []
+        for s in sources.to_pandas()[node_col]:
+            s = str(s)
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                d = dist[u]
+                if d >= max_depth:
+                    continue
+                for nb in adj.get(u, ()):
+                    if nb not in dist:
+                        dist[nb] = d + 1
+                        q.append(nb)
+            rows.append((s, len(dist) - 1, sum(dist.values())))
+        out = pd.DataFrame(rows, columns=["start", "n_reach", "dist_sum"])
+        out["n_reach"] = out["n_reach"].astype("int64")
+        out["dist_sum"] = out["dist_sum"].astype("int64")
+        return ray.data.from_pandas(out)
+
+    def as_label(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[node_col].astype(str)
+        return pd.DataFrame({"start": s, "node": s, "dist": np.int64(0)})
+
+    labels = pin_blocks(sources.map_batches(as_label, batch_format="pandas"), 16)
+    frontier = labels
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        hops = bucketed_hash_join(
+            frontier.select_columns(["start", "node"]), ue, "node"
+        ).map_batches(
+            lambda b, d=depth: pd.DataFrame(
+                {"start": b.start, "node": b.nbr, "dist": np.int64(d)}
+            ),
+            batch_format="pandas",
+        )
+        new_labels = pin_blocks(
+            grouped_min(labels.union(hops), ["start", "node"], ["dist"]), 16
+        )
+        frontier = new_labels.filter(lambda r, d=depth: r["dist"] == d)
+        labels = new_labels
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "start": b["start"],
+                "n_reach": (b["dist"] > 0).astype("int64"),
+                "dist_sum": b["dist"].astype("int64"),
+            }
+        )
+        return (
+            d.groupby("start", sort=False)[["n_reach", "dist_sum"]]
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_sum(
+        labels.map_batches(stats_partial, batch_format="pandas"),
+        ["start"],
+        ["n_reach", "dist_sum"],
+    )

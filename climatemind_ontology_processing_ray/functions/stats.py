@@ -304,3 +304,92 @@ def gini_counts(
             "total": pd.Series([total], dtype="int64"),
         }
     )
+
+
+def weighted_median(
+    ds: Dataset,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    num_bins: int = 1024,
+) -> pd.DataFrame:
+    """Exact lower weighted median per group: the smallest value v with
+    2 * W(<= v) >= W_total (integer weights, so the crossing test is
+    exact).  Two passes: a per-(group, bin) weight histogram locates
+    each group's crossing bin driver-side (groups x num_bins state —
+    assumes a small group cardinality, the usual shape for per-segment
+    medians), then ONLY the candidate-bin rows re-shuffle for the local
+    exact scan — the second exchange is bin-sized, not data-sized.
+    Returns the median value bit-copied from the input column, so a
+    float hash-compare against the SQL oracle is safe (the
+    rolling-median convention)."""
+    import ray
+
+    from .broadcast import cached_get
+
+    lo, hi, width = _bin_edges(ds, val_col, num_bins)
+    tagged = ds.map_batches(
+        _tagger(val_col, lo, width, num_bins), batch_format="pandas"
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=object),
+                    "__bin": pd.Series([], dtype="int64"),
+                    "w": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            b.groupby([group_col, "__bin"], sort=False)[weight_col]
+            .sum()
+            .reset_index(name="w")
+        )
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    hist = grouped_sum(
+        tagged.map_batches(hist_partial, batch_format="pandas"),
+        [group_col, "__bin"],
+        ["w"],
+    ).to_pandas()
+    # per group: exclusive cum over bin order -> crossing bin + offset
+    cand: dict[object, tuple[int, int, int]] = {}  # g -> (bin, w_before, tot)
+    for g, gh in hist.groupby(group_col, sort=False):
+        gh = gh.sort_values("__bin")
+        w = gh["w"].to_numpy(dtype=np.int64)
+        tot = int(w.sum())
+        cum = np.cumsum(w)
+        j = int(np.searchsorted(2 * cum, tot))
+        cand[g] = (
+            int(gh["__bin"].to_numpy()[j]),
+            int(cum[j - 1]) if j else 0,
+            tot,
+        )
+    cand_ref = ray.put(cand)
+
+    def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(cand_ref)
+        bin_of = {g: t[0] for g, t in c.items()}  # plain dict -> hashtable map
+        bins = b[group_col].map(bin_of).fillna(-1).to_numpy()
+        return b[b["__bin"].to_numpy() == bins]
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(cand_ref)
+        key = g[group_col].iloc[0]
+        _, w_before, tot = c[key]
+        g = g.sort_values(val_col, kind="mergesort")
+        cum = w_before + np.cumsum(g[weight_col].to_numpy(dtype=np.int64))
+        idx = int(np.searchsorted(2 * cum, tot))
+        return pd.DataFrame(
+            {group_col: [key], "wmedian": [float(g[val_col].to_numpy()[idx])]}
+        )
+
+    out = (
+        tagged.map_batches(keep_candidates, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(local, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -9063,6 +9063,245 @@ FROM s
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact lower weighted median of extended price per return flag,
+    weighted by quantity — the robust per-segment price point a
+    curation/mixture pipeline balances against.  Engine:
+    functions/stats.py:weighted_median — per-(group, bin) weight
+    histogram locates each group's crossing bin driver-side, then ONLY
+    candidate-bin rows re-shuffle for the exact local scan.  The
+    median is an input double bit-copied through, so the float
+    hash-compare is safe (rolling_median convention)."""
+    from ..functions.stats import weighted_median
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": b["l_returnflag"],
+                "v": b["l_extendedprice"].astype("float64"),
+                "wt": b["l_quantity"].astype("int64"),
+            }
+        )
+
+    out = weighted_median(
+        ds.map_batches(prep, batch_format="pandas"), "g", "v", "wt"
+    )
+    return out.rename(columns={"g": "l_returnflag"})
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem),
+c AS (
+  SELECT g, v,
+         SUM(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+         SUM(wt) OVER (PARTITION BY g) AS tot
+  FROM w)
+SELECT g AS l_returnflag, MIN(v) AS wmedian
+FROM c WHERE 2 * cum >= tot GROUP BY g ORDER BY 1
+"""
+
+
+_KHOP_DEPTH = 3
+
+
+def q_khop_closeness(sf_dir: str):
+    """Per-seed bounded-hop closeness over the document-similarity
+    graph: for every doc_id % 50 == 0 seed, how many other docs sit
+    within 3 hops and the exact sum of their hop distances — the
+    integer sufficient statistics of closeness/harmonic centrality,
+    computed the way centrality is done at scale (for a seed sample,
+    per-round state |seeds| x reach, never n^2).
+    functions/graph_algo.py:khop_per_source: driver BFS below the edge
+    threshold, else per-round bucketed joins + grouped MIN keyed by
+    (start, node)."""
+    from ..functions.graph_algo import khop_per_source
+
+    sources = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .filter(lambda r: r["doc_id"] % 50 == 0)
+        .map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}), batch_format="pandas"
+        )
+    )
+    out = khop_per_source(_doc_sim_edges(sf_dir), sources, _KHOP_DEPTH).to_pandas()
+    out["start"] = out["start"].astype("int64")
+    out["n_reach"] = out["n_reach"].astype("int64")
+    out["dist_sum"] = out["dist_sum"].astype("int64")
+    return out.sort_values("start").reset_index(drop=True)
+
+
+SQL_KHOP_CLOSENESS = f"""
+WITH RECURSIVE {_SIM_EDGES_SQL},
+ud AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+src AS (SELECT doc_id AS start FROM documents WHERE doc_id % 50 = 0),
+walk(start, node, d) AS (
+  SELECT start, start, 0 FROM src
+  UNION
+  SELECT walk.start, ud.nbr, walk.d + 1
+  FROM walk JOIN ud ON ud.node = walk.node
+  WHERE walk.d < {_KHOP_DEPTH}
+),
+m AS (SELECT start, node, MIN(d) AS d FROM walk GROUP BY 1, 2)
+SELECT CAST(start AS BIGINT) AS start,
+       CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reach,
+       CAST(SUM(d) AS BIGINT) AS dist_sum
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+_XCORR_MAX_LAG = 7
+_DAY_US = 86_400_000_000
+
+
+def q_xcorr_daily(sf_dir: str):
+    """Lagged cross-correlation audit between the click and view daily
+    series: for every lag 0..7 days, the exact integer moments
+    (n_pairs, Σx, Σy, Σxy, Σx², Σy²) of (clicks[t], views[t+lag]) over
+    the dense day grid — Pearson r at any lag derives from these
+    rationals without a float leaving the engine.  One map-side
+    combined per-day exchange reduces the corpus to a days-sized
+    series; the lag products are a vectorized driver fold over that
+    naturally driver-sized table."""
+    from ..functions.agg import grouped_sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64") // _DAY_US
+        )
+        d = pd.DataFrame(
+            {
+                "day": day,
+                "x": (b["event_type"] == "click").astype("int64"),
+                "y": (b["event_type"] == "view").astype("int64"),
+            }
+        )
+        return d.groupby("day", sort=False)[["x", "y"]].sum().reset_index()
+
+    daily = grouped_sum(
+        ev.map_batches(partial, batch_format="pandas"), ["day"], ["x", "y"]
+    ).to_pandas()
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    n_days = hi - lo + 1
+    x = np.zeros(n_days, dtype=np.int64)
+    y = np.zeros(n_days, dtype=np.int64)
+    idx = daily["day"].to_numpy(dtype=np.int64) - lo
+    x[idx] = daily["x"].to_numpy(dtype=np.int64)
+    y[idx] = daily["y"].to_numpy(dtype=np.int64)
+    rows = []
+    for lag in range(_XCORR_MAX_LAG + 1):
+        a = x[: n_days - lag]
+        b2 = y[lag:]
+        rows.append(
+            (
+                lag,
+                len(a),
+                int(a.sum()),
+                int(b2.sum()),
+                int((a * b2).sum()),
+                int((a * a).sum()),
+                int((b2 * b2).sum()),
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["lag_d", "n_pairs", "s_x", "s_y", "s_xy", "s_xx", "s_yy"]
+    )
+    return out.astype({c: "int64" for c in out.columns})
+
+
+SQL_XCORR_DAILY = f"""
+WITH d AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+grid AS (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM b),
+s AS (
+  SELECT grid.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+  FROM grid LEFT JOIN d USING (day)),
+lags AS (SELECT UNNEST(GENERATE_SERIES(0, {_XCORR_MAX_LAG})) AS lag_d)
+SELECT l.lag_d AS lag_d,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a.x) AS BIGINT) AS s_x,
+       CAST(SUM(c.y) AS BIGINT) AS s_y,
+       CAST(SUM(a.x * c.y) AS BIGINT) AS s_xy,
+       CAST(SUM(a.x * a.x) AS BIGINT) AS s_xx,
+       CAST(SUM(c.y * c.y) AS BIGINT) AS s_yy
+FROM lags l
+JOIN s a ON TRUE
+JOIN s c ON c.day = a.day + l.lag_d
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_simpson_diversity(sf_dir: str):
+    """Simpson diversity of the language mix per source, as the exact
+    rational 1 - simpson_num/simpson_den with simpson_num = Σ c(c-1)
+    over per-lang counts and simpson_den = n(n-1) — the
+    log-free diversity index (unlike Shannon entropy it never leaves
+    integers), the audit a mixture-balancing pipeline runs per corpus
+    slice.  One map-side combined (source, lang) count exchange; the
+    per-source fold is another bounded grouped_sum over count-derived
+    partials."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["source", "lang"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["source", "lang"], ["n"]
+    )
+
+    def fold_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame(
+            {"source": b["source"], "num": n * (n - 1), "tot": n, "k": 1}
+        )
+        return d.groupby("source", sort=False)[["num", "tot", "k"]].sum().reset_index()
+
+    folded = grouped_sum(
+        counts.map_batches(fold_partial, batch_format="pandas"),
+        ["source"],
+        ["num", "tot", "k"],
+    ).to_pandas()
+    tot = folded["tot"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "source": folded["source"],
+            "n_langs": folded["k"].astype("int64"),
+            "n_docs": folded["tot"].astype("int64"),
+            "simpson_num": folded["num"].astype("int64"),
+            "simpson_den": (tot * (tot - 1)).astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT source, COUNT(*) AS k, SUM(n) AS tot, SUM(n * (n - 1)) AS num
+  FROM c GROUP BY 1)
+SELECT source, CAST(k AS BIGINT) AS n_langs, CAST(tot AS BIGINT) AS n_docs,
+       CAST(num AS BIGINT) AS simpson_num,
+       CAST(tot * (tot - 1) AS BIGINT) AS simpson_den
+FROM s ORDER BY source
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -9260,6 +9499,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
     "mannwhitney_u": (q_mannwhitney_u, SQL_MANNWHITNEY_U),
     "gini_key_skew": (q_gini_key_skew, SQL_GINI_KEY_SKEW),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "khop_closeness": (q_khop_closeness, SQL_KHOP_CLOSENESS),
+    "xcorr_daily": (q_xcorr_daily, SQL_XCORR_DAILY),
+    "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
 }
 
 

@@ -111,3 +111,71 @@ def test_gini_uniform_and_degenerate(ray_session):
     )
     # sorted c = [0, 100]: num = 2*200 - 3*100 = 100, den = 200
     assert (one.loc[0, "gini_num"], one.loc[0, "gini_den"]) == (100, 200)
+
+
+@pytest.mark.parametrize("num_bins", [1, 16, 2048])
+def test_weighted_median_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import weighted_median
+
+    rng = np.random.RandomState(19)
+    g = rng.choice(["a", "b", "c"], size=600)
+    v = np.round(rng.rand(600) * 40, 1)  # ties
+    wt = rng.randint(1, 9, size=600).astype(np.int64)
+    out = weighted_median(
+        _mk(pd.DataFrame({"g": g, "v": v, "wt": wt})), "g", "v", "wt", num_bins
+    )
+    for grp in "abc":
+        m = g == grp
+        order = np.argsort(v[m], kind="mergesort")
+        vs, ws = v[m][order], wt[m][order]
+        cum = np.cumsum(ws)
+        want = vs[int(np.searchsorted(2 * cum, cum[-1]))]
+        got = float(out.loc[out["g"] == grp, "wmedian"].iloc[0])
+        assert got == want, (grp, got, want)
+
+
+def test_khop_per_source_driver_vs_distributed(ray_session):
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        khop_per_source,
+    )
+
+    rng = np.random.RandomState(5)
+    u = rng.randint(0, 60, size=150)
+    v = rng.randint(0, 60, size=150)
+    keep = u != v
+    edges = pd.DataFrame({"subject": u[keep], "object": v[keep]})
+    seeds = pd.DataFrame({"node": np.arange(0, 60, 7)})
+    e_ds, s_ds = rd.from_pandas(edges).repartition(5), rd.from_pandas(seeds)
+
+    def run(threshold):
+        out = khop_per_source(e_ds, s_ds, 3, driver_threshold=threshold).to_pandas()
+        out["start"] = out["start"].astype(int)
+        return out.sort_values("start").reset_index(drop=True)
+
+    drv, dist = run(10**9), run(0)
+    pd.testing.assert_frame_equal(
+        drv.astype({"n_reach": "int64", "dist_sum": "int64"}),
+        dist.astype({"n_reach": "int64", "dist_sum": "int64"}),
+    )
+
+    # brute-force BFS check of the driver path
+    adj: dict[int, set] = {}
+    for a, b in zip(edges["subject"], edges["object"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    for s in seeds["node"]:
+        dist_map = {int(s): 0}
+        frontier = [int(s)]
+        for d in (1, 2, 3):
+            nxt = []
+            for u2 in frontier:
+                for nb in adj.get(u2, ()):
+                    if nb not in dist_map:
+                        dist_map[nb] = d
+                        nxt.append(nb)
+            frontier = nxt
+        row = drv[drv["start"] == int(s)].iloc[0]
+        assert row["n_reach"] == len(dist_map) - 1
+        assert row["dist_sum"] == sum(dist_map.values())
