@@ -262,6 +262,10 @@ def run_bench() -> dict:
         "ks_two_sample",
         "mannwhitney_u",
         "gini_key_skew",
+        "weighted_median",
+        "khop_closeness",
+        "xcorr_daily",
+        "simpson_diversity",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
