@@ -44,6 +44,20 @@ from .agg import grouped_sum
 _I64_MAX = 2**63 - 1
 
 
+
+def _auto_bins(ds: Dataset, num_bins: int | None) -> int:
+    """Resolve the bin count: explicit wins; else scale with the input
+    (adaptive_parts' plan-metadata row estimate — never an execution),
+    clamped so driver state stays tiny and per-bin chunks stay vector-
+    friendly.  Small inputs get few bins (per-group scheduling overhead
+    dominates tiny tables); huge inputs cap at 4096."""
+    if num_bins is not None:
+        return num_bins
+    from .partitioning import adaptive_parts
+
+    return adaptive_parts(ds, rows_per_part=2048, floor=8, cap=4096, default=256)
+
+
 def _bin_edges(ds: Dataset, val_col: str, num_bins: int) -> tuple[float, float, float]:
     """Global (lo, hi, width) of ``val_col`` — one pruned Min/Max pass."""
     from ray.data.aggregate import Max, Min
@@ -83,7 +97,13 @@ def _two_group_scan(
     import ray
 
     from .broadcast import cached_get
+    from .dedup import pin_blocks
 
+    # pin once: the min/max pass, the histogram pass and the scan pass
+    # all consume this input — without the lineage cut each consumer
+    # re-executes the whole upstream plan (measured 3-5x wall on
+    # computed inputs; the re-run tag map is trivial by comparison)
+    ds = pin_blocks(ds, 64)
     lo, hi, width = _bin_edges(ds, val_col, num_bins)
     tagged = ds.map_batches(
         _tagger(val_col, lo, width, num_bins), batch_format="pandas"
@@ -161,12 +181,14 @@ def ks_two_sample(
     val_col: str,
     g1_col: str,
     g2_col: str,
-    num_bins: int = 1024,
+    num_bins: int | None = None,
 ) -> pd.DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distance as a rational:
     ``D = ks_num / (n1 * n2)`` with ``ks_num = max over distinct values
     of |F1*n2 - F2*n1|`` (F = cumulative group counts).  Products are
     bounded by n1*n2 and asserted < 2^63."""
+
+    num_bins = _auto_bins(ds, num_bins)
 
     def local(bin_id, vals, c1, c2, o1, o2, n1, n2):
         if len(vals) == 0:
@@ -193,13 +215,15 @@ def mann_whitney(
     val_col: str,
     g1_col: str,
     g2_col: str,
-    num_bins: int = 1024,
+    num_bins: int | None = None,
 ) -> pd.DataFrame:
     """Exact Mann-Whitney rank statistics with midrank tie handling,
     doubled to stay integral: ``r1_times2 = 2 * (sum of group-1
     midranks)`` and ``u1_times2 = r1_times2 - n1*(n1+1)``.  Per distinct
     value the midrank*2 is ``2*F_before + t + 1`` (F_before = pooled
     count strictly below, t = pooled tie count)."""
+
+    num_bins = _auto_bins(ds, num_bins)
 
     def local(bin_id, vals, c1, c2, o1, o2, n1, n2):
         if len(vals) == 0:
@@ -226,7 +250,7 @@ def mann_whitney(
 def gini_counts(
     counts: Dataset,
     count_col: str,
-    num_bins: int = 1024,
+    num_bins: int | None = None,
 ) -> pd.DataFrame:
     """Exact-rational Gini coefficient of a per-key frequency table
     (``counts`` = one row per key, already reduced):
@@ -241,6 +265,10 @@ def gini_counts(
 
     from .broadcast import cached_get
 
+    from .dedup import pin_blocks
+
+    num_bins = _auto_bins(counts, num_bins)
+    counts = pin_blocks(counts, 64)  # three consumers, one lineage cut
     lo, hi, width = _bin_edges(counts, count_col, num_bins)
     tagged = counts.map_batches(
         _tagger(count_col, lo, width, num_bins), batch_format="pandas"
@@ -311,7 +339,7 @@ def weighted_median(
     group_col: str,
     val_col: str,
     weight_col: str,
-    num_bins: int = 1024,
+    num_bins: int | None = None,
 ) -> pd.DataFrame:
     """Exact lower weighted median per group: the smallest value v with
     2 * W(<= v) >= W_total (integer weights, so the crossing test is
@@ -327,6 +355,10 @@ def weighted_median(
 
     from .broadcast import cached_get
 
+    from .dedup import pin_blocks
+
+    num_bins = _auto_bins(ds, num_bins)
+    ds = pin_blocks(ds, 64)  # three consumers, one lineage cut
     lo, hi, width = _bin_edges(ds, val_col, num_bins)
     tagged = ds.map_batches(
         _tagger(val_col, lo, width, num_bins), batch_format="pandas"
@@ -393,3 +425,176 @@ def weighted_median(
         .to_pandas()
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def rank_permutation(
+    ds: Dataset,
+    val_col: str,
+    tie_col: str,
+    out_col: str,
+    num_bins: int | None = None,
+) -> Dataset:
+    """Attach the 1-based GLOBAL rank of every row under the total order
+    (``val_col``, ``tie_col``) — a permutation, since the tiebreak makes
+    the order strict.  Binned two-pass: the value histogram's exclusive
+    cumsum gives each bin's starting rank; each bin then sorts locally
+    and adds its offset.  The output stays distributed (one extra int64
+    column), so downstream rank statistics never materialize the table
+    driver-side."""
+    import ray
+
+    from .broadcast import cached_get
+
+    from .dedup import pin_blocks
+
+    num_bins = _auto_bins(ds, num_bins)
+    ds = pin_blocks(ds, 64)  # three consumers, one lineage cut
+    lo, hi, width = _bin_edges(ds, val_col, num_bins)
+    tagged = ds.map_batches(
+        _tagger(val_col, lo, width, num_bins), batch_format="pandas"
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "__bin": pd.Series([], dtype="int64"),
+                    "k": pd.Series([], dtype="int64"),
+                }
+            )
+        k = np.bincount(b["__bin"].to_numpy(), minlength=num_bins)
+        nz = k != 0
+        return pd.DataFrame(
+            {
+                "__bin": np.flatnonzero(nz).astype(np.int64),
+                "k": k[nz].astype(np.int64),
+            }
+        )
+
+    hist = grouped_sum(
+        tagged.map_batches(hist_partial, batch_format="pandas"), ["__bin"], ["k"]
+    ).to_pandas()
+    dense = np.zeros(num_bins, dtype=np.int64)
+    if len(hist):
+        dense[hist["__bin"].to_numpy(dtype=np.int64)] = hist["k"].to_numpy(
+            dtype=np.int64
+        )
+    off = np.concatenate(([0], np.cumsum(dense)[:-1]))
+    off_ref = ray.put(off)
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        o = cached_get(off_ref)
+        base = int(o[int(g["__bin"].iloc[0])])
+        g = g.sort_values([val_col, tie_col], kind="mergesort")
+        out = g.drop(columns="__bin").copy()
+        out[out_col] = base + 1 + np.arange(len(g), dtype=np.int64)
+        return out
+
+    return tagged.groupby("__bin").map_groups(local_rank, batch_format="pandas")
+
+
+def kendall_inversions(
+    ds: Dataset,
+    ra_col: str,
+    rb_col: str,
+    n: int,
+    num_bins: int | None = None,
+) -> int:
+    """Exact inversion count between two rank PERMUTATIONS (strict
+    1..n ranks, no ties): the number of pairs ordered oppositely by the
+    two rankings — Kendall's tau is ``1 - 4*inv / (n*(n-1))``.
+
+    Decomposition over uniform rank-a / rank-b bins (uniform because
+    the inputs are permutations), three disjoint pair categories:
+
+    - same rank-a bin: local pairwise count inside one
+      ``groupby(bin_a)`` pass (k^2/2 vectorized comparisons per bin,
+      k = n/num_bins — the num_bins knob trades local work for driver
+      matrix size);
+    - different rank-a bins, different rank-b bins: driver-side from
+      the num_bins x num_bins co-occurrence matrix M (suffix-prefix
+      cumsum fold, no data movement);
+    - different rank-a bins, same rank-b bin: local pairwise count of
+      bin-a-label inversions inside one ``groupby(bin_b)`` pass.
+
+    Two bounded exchanges + one matrix reduce; exact at any
+    partitioning.  int64-safe while n^2 < 2^63 (asserted)."""
+    assert n * n <= _I64_MAX, "inversion count exceeds int64"
+    if num_bins is None:
+        # k = n/B per-bin chunk ~2048 keeps the local pairwise pass at
+        # ~4M vectorized comparisons; B <= 512 bounds the driver matrix
+        num_bins = max(8, min(512, n // 2048 or 8))
+
+    from .dedup import pin_blocks
+
+    ds = pin_blocks(ds, 64)  # three consumers, one lineage cut
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__ba"] = (b[ra_col].to_numpy(dtype=np.int64) - 1) * num_bins // max(n, 1)
+        b["__bb"] = (b[rb_col].to_numpy(dtype=np.int64) - 1) * num_bins // max(n, 1)
+        return b
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    # co-occurrence matrix M[bin_a][bin_b] (sparse partials, tiny reduce)
+    def m_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "__cell": pd.Series([], dtype="int64"),
+                    "m": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = b["__ba"].to_numpy() * num_bins + b["__bb"].to_numpy()
+        m = np.bincount(flat, minlength=num_bins * num_bins)
+        nz = m != 0
+        return pd.DataFrame(
+            {
+                "__cell": np.flatnonzero(nz).astype(np.int64),
+                "m": m[nz].astype(np.int64),
+            }
+        )
+
+    mdf = grouped_sum(
+        tagged.map_batches(m_partial, batch_format="pandas"), ["__cell"], ["m"]
+    ).to_pandas()
+    M = np.zeros(num_bins * num_bins, dtype=np.int64)
+    if len(mdf):
+        M[mdf["__cell"].to_numpy(dtype=np.int64)] = mdf["m"].to_numpy(dtype=np.int64)
+    M = M.reshape(num_bins, num_bins)
+
+    # category B: different bin_a AND different bin_b.
+    # prefix_a[q] = sum of rows p < q; for each q: sum over s of
+    # (mass of prefix rows in rank-b bins > s) * M[q][s]
+    inv_b = 0
+    prefix = np.zeros(num_bins, dtype=np.int64)
+    for q in range(num_bins):
+        suffix_gt = np.concatenate((np.cumsum(prefix[::-1])[::-1][1:], [0]))
+        inv_b += int((suffix_gt * M[q]).sum())
+        prefix += M[q]
+
+    def pair_inv(sort_col: str, cmp_col: str):
+        def local(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(sort_col, kind="mergesort")
+            x = g[cmp_col].to_numpy(dtype=np.int64)
+            # pairs (i earlier, j later) with x_i > x_j: earlier rows are
+            # the ROW axis, so keep the strict upper triangle (j > i)
+            inv = int(np.triu(x[:, None] > x[None, :], 1).sum())
+            return pd.DataFrame({"inv": pd.Series([inv], dtype="int64")})
+
+        return local
+
+    inv_a = int(
+        tagged.groupby("__ba")
+        .map_groups(pair_inv(ra_col, rb_col), batch_format="pandas")
+        .to_pandas()["inv"]
+        .sum()
+    )
+    inv_c = int(
+        tagged.groupby("__bb")
+        .map_groups(pair_inv(rb_col, "__ba"), batch_format="pandas")
+        .to_pandas()["inv"]
+        .sum()
+    )
+    return inv_a + inv_b + inv_c

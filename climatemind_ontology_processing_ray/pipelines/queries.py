@@ -9302,6 +9302,161 @@ FROM s ORDER BY source
 """
 
 
+def _spend_rank_table(sf_dir: str):
+    """Shared input for the rank-correlation queries: per-customer order
+    spend (exact cents) in the first vs second half of the time range,
+    customers active in BOTH halves, with the two strict global ranks
+    (ties broken by custkey -> permutations) attached by
+    functions/stats.py:rank_permutation.  Returns (ranked Dataset, n)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.agg import grouped_sum
+    from ..functions.stats import rank_permutation
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def us_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "us": b["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            }
+        )
+
+    bounds = ds.map_batches(us_prep, batch_format="pandas").aggregate(
+        Min("us"), Max("us")
+    )
+    lo, hi = int(bounds["min(us)"]), int(bounds["max(us)"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype("int64")
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        first = us * 2 <= lo + hi
+        d = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "ca": np.where(first, cents, 0),
+                "cb": np.where(first, 0, cents),
+                "na": first.astype("int64"),
+                "nb": (~first).astype("int64"),
+            }
+        )
+        return (
+            d.groupby("o_custkey", sort=False)[["ca", "cb", "na", "nb"]]
+            .sum()
+            .reset_index()
+        )
+
+    def both_halves(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b["na"].to_numpy() > 0) & (b["nb"].to_numpy() > 0)]
+
+    joined = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        ["ca", "cb", "na", "nb"],
+    ).map_batches(both_halves, batch_format="pandas")
+    ranked = rank_permutation(
+        rank_permutation(joined, "ca", "o_custkey", "ra"), "cb", "o_custkey", "rb"
+    )
+    return ranked
+
+
+_SPEND_RANK_SQL = """
+b AS (
+  SELECT MIN(epoch_us(o_orderdate)) AS lo, MAX(epoch_us(o_orderdate)) AS hi
+  FROM orders),
+h AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(o_orderdate) * 2 <= b.lo + b.hi
+              THEN 1 ELSE 0 END AS first
+  FROM orders, b),
+j AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN first = 1 THEN cents ELSE 0 END) AS ca,
+         SUM(CASE WHEN first = 0 THEN cents ELSE 0 END) AS cb,
+         SUM(first) AS na, SUM(1 - first) AS nb
+  FROM h GROUP BY 1),
+r AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (ORDER BY ca, o_custkey) AS ra,
+         ROW_NUMBER() OVER (ORDER BY cb, o_custkey) AS rb
+  FROM j WHERE na > 0 AND nb > 0)
+"""
+
+
+def q_spearman_rank(sf_dir: str):
+    """Spearman rank-correlation sufficient statistics between each
+    customer's spend rank in the first vs second half of the order
+    history: the exact Σ(ra-rb)² and n (rho = 1 - 6*sum_d2/(n(n²-1))
+    derives without floats) — the rank-stability audit behind churn /
+    drift monitoring.  Ranks are strict permutations (custkey
+    tiebreak), attached distributed by the binned-scan
+    rank_permutation; the fold is one map-side combined sum."""
+    from ray.data.aggregate import Sum
+
+    ranked = _spend_rank_table(sf_dir)
+
+    def d2(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ra"].to_numpy(dtype=np.int64) - b["rb"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "sum_d2": pd.Series([int((d * d).sum())], dtype="int64"),
+                "n": pd.Series([len(b)], dtype="int64"),
+            }
+        )
+
+    agg = ranked.map_batches(d2, batch_format="pandas").aggregate(
+        Sum("sum_d2", alias_name="sum_d2"), Sum("n", alias_name="n")
+    )
+    return pd.DataFrame(
+        {
+            "sum_d2": pd.Series([int(agg["sum_d2"])], dtype="int64"),
+            "n": pd.Series([int(agg["n"])], dtype="int64"),
+        }
+    )
+
+
+SQL_SPEARMAN_RANK = f"""
+WITH {_SPEND_RANK_SQL}
+SELECT CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r
+"""
+
+
+def q_kendall_tau(sf_dir: str):
+    """Exact Kendall inversion count between the two spend rankings
+    (tau = 1 - 4*inversions/(n(n-1))): counted distributed by
+    functions/stats.py:kendall_inversions — three disjoint pair
+    categories (same rank-a bin locally, same rank-b bin locally,
+    cross-bin pairs from the driver-side bin co-occurrence matrix),
+    two bounded exchanges, never an all-pairs join.  The oracle IS the
+    all-pairs join — tractable at oracle scale, which is exactly why
+    the engine path exists."""
+    from ..functions.stats import kendall_inversions
+
+    ranked = _spend_rank_table(sf_dir).materialize()
+    n = ranked.count()
+    inv = kendall_inversions(ranked, "ra", "rb", n)
+    return pd.DataFrame(
+        {
+            "inversions": pd.Series([inv], dtype="int64"),
+            "n": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+SQL_KENDALL_TAU = f"""
+WITH {_SPEND_RANK_SQL}
+SELECT CAST((SELECT COUNT(*) FROM r x JOIN r y
+             ON x.ra < y.ra AND x.rb > y.rb) AS BIGINT) AS inversions,
+       CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -9503,6 +9658,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "khop_closeness": (q_khop_closeness, SQL_KHOP_CLOSENESS),
     "xcorr_daily": (q_xcorr_daily, SQL_XCORR_DAILY),
     "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
+    "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
 }
 
 

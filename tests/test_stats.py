@@ -179,3 +179,50 @@ def test_khop_per_source_driver_vs_distributed(ray_session):
         row = drv[drv["start"] == int(s)].iloc[0]
         assert row["n_reach"] == len(dist_map) - 1
         assert row["dist_sum"] == sum(dist_map.values())
+
+
+@pytest.mark.parametrize("num_bins", [1, 32, 512])
+def test_rank_permutation(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import rank_permutation
+
+    rng = np.random.RandomState(23)
+    v = rng.randint(0, 50, size=400).astype(np.float64)  # ties -> tiebreak col
+    key = np.arange(400)
+    rng.shuffle(key)
+    df = pd.DataFrame({"v": v, "key": key})
+    out = (
+        rank_permutation(_mk(df), "v", "key", "r", num_bins)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["v", "key"], kind="mergesort")
+    want = want.assign(r=np.arange(1, len(want) + 1)).sort_values("key").reset_index(drop=True)
+    assert (out["r"].to_numpy() == want["r"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("num_bins", [1, 8, 64])
+def test_kendall_inversions_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import kendall_inversions
+
+    rng = np.random.RandomState(31)
+    n = 300
+    ra = np.arange(1, n + 1)
+    rb = rng.permutation(n) + 1
+    df = pd.DataFrame({"ra": ra, "rb": rb})
+    got = kendall_inversions(_mk(df), "ra", "rb", n, num_bins)
+    order = np.argsort(ra)
+    b = rb[order]
+    brute = int(np.triu(b[:, None] > b[None, :], 1).sum())
+    assert got == brute
+
+
+def test_kendall_inversions_extremes(ray_session):
+    from climatemind_ontology_processing_ray.functions.stats import kendall_inversions
+
+    n = 100
+    ra = np.arange(1, n + 1)
+    same = pd.DataFrame({"ra": ra, "rb": ra})
+    rev = pd.DataFrame({"ra": ra, "rb": ra[::-1]})
+    assert kendall_inversions(_mk(same), "ra", "rb", n, 16) == 0
+    assert kendall_inversions(_mk(rev), "ra", "rb", n, 16) == n * (n - 1) // 2
