@@ -266,6 +266,8 @@ def run_bench() -> dict:
         "khop_closeness",
         "xcorr_daily",
         "simpson_diversity",
+        "spearman_rank",
+        "kendall_tau",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
