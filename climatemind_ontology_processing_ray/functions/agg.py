@@ -91,6 +91,19 @@ def grouped_min(
     return _grouped_reduce(ds, keys, min_cols, "min", num_parts)
 
 
+def grouped_max(
+    ds: Dataset,
+    keys: list[str],
+    max_cols: list[str],
+    num_parts: int | None = None,
+) -> Dataset:
+    """MAX(max_cols) GROUP BY keys — the :func:`grouped_min` exchange
+    with the dual fold (max is associative/commutative too)."""
+    if num_parts is None:
+        num_parts = adaptive_parts(ds)
+    return _grouped_reduce(ds, keys, max_cols, "max", num_parts)
+
+
 def grouped_sum_rollup(
     ds: Dataset,
     keys: list[str],

@@ -118,8 +118,15 @@ def pagerank_fixed(
     damping_den: int = 100,
     src_col: str = "subject",
     dst_col: str = "object",
+    seed_nodes: list | None = None,
 ) -> pd.DataFrame:
     """Fixed-iteration PageRank in integer fixed-point arithmetic.
+
+    ``seed_nodes`` switches to PERSONALIZED PageRank: the restart mass
+    and the dangling redistribution go uniformly to the seed set instead
+    of all nodes (rank0 = scale//k on seeds, 0 elsewhere; base and
+    dangling//k applied to seeds only) — still all-integer, still
+    bit-exact at any partitioning.
 
     Update rule (ALL integer ops, floor division, so the result is
     bit-exact regardless of partitioning / summation order and exactly
@@ -149,8 +156,20 @@ def pagerank_fixed(
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"node": [], "rank_scaled": []})
-    base = (scale // n) * (damping_den - damping_num) // damping_den
-    rank = {v: scale // n for v in nodes}
+    if seed_nodes is None:
+        base = {v: (scale // n) * (damping_den - damping_num) // damping_den
+                for v in nodes}
+        rank = {v: scale // n for v in nodes}
+        restart = set(nodes)
+        k = n
+    else:
+        restart = {str(s) for s in seed_nodes} & set(nodes)
+        k = len(restart)
+        if k == 0:
+            raise ValueError("no seed_nodes present in the graph")
+        per_seed = (scale // k) * (damping_den - damping_num) // damping_den
+        base = {v: per_seed if v in restart else 0 for v in nodes}
+        rank = {v: scale // k if v in restart else 0 for v in nodes}
 
     for _ in range(iters):
         ref = ray.put({v: (rank[v], out_deg.get(v, 0)) for v in nodes})
@@ -174,8 +193,10 @@ def pagerank_fixed(
         sum_in = dict(zip(inc["node"], inc["contrib"].astype("int64")))
         dangling = sum(r for v, r in rank.items() if not out_deg.get(v, 0))
         rank = {
-            v: base
-            + damping_num * (sum_in.get(v, 0) + dangling // n) // damping_den
+            v: base[v]
+            + damping_num
+            * (sum_in.get(v, 0) + (dangling // k if v in restart else 0))
+            // damping_den
             for v in nodes
         }
 
@@ -1524,3 +1545,176 @@ def khop_per_source(
         ["start"],
         ["n_reach", "dist_sum"],
     )
+
+
+def earliest_arrival_per_source(
+    edges: Dataset,
+    sources: Dataset,
+    max_hops: int,
+    src_col: str = "node",
+    dst_col: str = "nbr",
+    ts_col: str = "ts",
+    node_col: str = "node",
+    t0_col: str = "t0",
+    driver_threshold: int = 250_000,
+) -> Dataset:
+    """Time-respecting reachability over a DIRECTED temporal graph:
+    per seed, the earliest-arrival relaxation over paths whose edge
+    timestamps are nondecreasing and start at/after the seed's t0 —
+    the crawl-frontier question "what could this fetch have led to".
+    An edge (u, v, ts) is traversable from a state with arrival a iff
+    ts >= a; the new arrival at v is ts.
+
+    Min-arrival relaxation is exact here because an earlier arrival
+    enables a superset of future edges: any valid path's prefix arrival
+    dominates the stored minimum, so keeping ONE state per (seed, node)
+    per round preserves both reachability and the true earliest arrival
+    within <= max_hops edges (the bounded-Bellman-Ford argument of
+    :func:`sssp_hops`, with the ts-gate replacing the weight sum).
+
+    Returns per seed: (start, n_reach, latest_us) — nodes reached
+    (excluding the seed) and the max over reached nodes' earliest
+    arrivals (= the seed's t0 when nothing is reachable).  Same
+    driver/distributed gate as the other traversals; distributed state
+    is |seeds| x reach-sized, keyed (start, node)."""
+    from .agg import grouped_min, grouped_sum
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join
+
+    ded = pin_blocks(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b[src_col].astype(str),
+                    "nbr": b[dst_col].astype(str),
+                    "ts": b[ts_col].astype("int64"),
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        64,
+    )
+
+    sdf_prep = sources.map_batches(
+        lambda b: pd.DataFrame(
+            {"start": b[node_col].astype(str), "t0": b[t0_col].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+    if ded.count() <= driver_threshold:
+        edf = ded.to_pandas()
+        state = sdf_prep.to_pandas().rename(columns={"t0": "t"})
+        state["node"] = state["start"]
+        labels = state.copy()
+        frontier = state
+        for _ in range(max_hops):
+            if not len(frontier):
+                break
+            hop = frontier.merge(edf, on="node")
+            hop = hop[hop["ts"].to_numpy() >= hop["t"].to_numpy()]
+            if not len(hop):
+                break
+            cand = (
+                hop.groupby(["start", "nbr"], sort=False)["ts"]
+                .min()
+                .reset_index()
+                .rename(columns={"nbr": "node", "ts": "t"})
+            )
+            merged = cand.merge(
+                labels, on=["start", "node"], how="left", suffixes=("", "_old")
+            )
+            improved = merged["t_old"].isna() | (
+                merged["t"] < merged["t_old"]
+            )
+            frontier = merged.loc[improved, ["start", "node", "t"]]
+            labels = (
+                pd.concat([labels, frontier], ignore_index=True)
+                .groupby(["start", "node"], sort=False)["t"]
+                .min()
+                .reset_index()
+            )
+        out = labels.assign(
+            n_reach=(labels["node"] != labels["start"]).astype("int64"),
+        )
+        agg = (
+            out.groupby("start", sort=False)
+            .agg(n_reach=("n_reach", "sum"), latest_us=("t", "max"))
+            .reset_index()
+        )
+        agg["n_reach"] = agg["n_reach"].astype("int64")
+        agg["latest_us"] = agg["latest_us"].astype("int64")
+        return ray.data.from_pandas(agg.sort_values("start").reset_index(drop=True))
+
+    def as_label(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "start": b["start"],
+                "node": b["start"],
+                "t": b["t0"].astype("int64"),
+            }
+        )
+
+    labels = pin_blocks(sdf_prep.map_batches(as_label, batch_format="pandas"), 16)
+    frontier = labels
+
+    for _ in range(max_hops):
+        if frontier.count() == 0:
+            break
+        hops = bucketed_hash_join(frontier, ded, "node").map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "start": b["start"],
+                    "node": b["nbr"],
+                    "t": b["ts"].astype("int64"),
+                }
+            )[(b["ts"].to_numpy() >= b["t"].to_numpy())],
+            batch_format="pandas",
+        )
+        cand = grouped_min(hops, ["start", "node"], ["t"]).map_batches(
+            lambda b: b.assign(__sn=b["start"] + "\x1f" + b["node"]),
+            batch_format="pandas",
+        )
+        keyed_labels = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {"__sn": b["start"] + "\x1f" + b["node"], "t": b["t"]}
+            ),
+            batch_format="pandas",
+        )
+        merged = bucketed_hash_join(cand, keyed_labels, "__sn", join_type="left outer")
+        frontier = pin_blocks(
+            merged.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "start": b["start"],
+                        "node": b["node"],
+                        "t": b["t_l"].astype("int64"),
+                    }
+                )[b["t_r"].isna().to_numpy() | (b["t_l"] < b["t_r"]).to_numpy()],
+                batch_format="pandas",
+            ),
+            16,
+        )
+        labels = pin_blocks(
+            grouped_min(labels.union(frontier), ["start", "node"], ["t"]), 16
+        )
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "start": b["start"],
+                "n_reach": (b["node"] != b["start"]).astype("int64"),
+                "latest_us": b["t"].astype("int64"),
+            }
+        )
+        g = d.groupby("start", sort=False).agg(
+            n_reach=("n_reach", "sum"), latest_us=("latest_us", "max")
+        )
+        return g.reset_index()
+
+    from .agg import grouped_max
+
+    part = labels.map_batches(stats_partial, batch_format="pandas")
+    n_sum = grouped_sum(part.select_columns(["start", "n_reach"]), ["start"], ["n_reach"])
+    t_max = grouped_max(part.select_columns(["start", "latest_us"]), ["start"], ["latest_us"])
+    return bucketed_hash_join(n_sum, t_max, "start")

@@ -9457,6 +9457,241 @@ SELECT CAST((SELECT COUNT(*) FROM r x JOIN r y
 """
 
 
+_PPR_ITERS = 3
+_LINKS_SQL = """links AS (
+  SELECT url AS src,
+         UNNEST(regexp_extract_all(html, 'href=["'']([^"'']*)["'']', 1)) AS href
+  FROM pages),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+              ELSE regexp_extract(src, '^(https?://[^/]+)', 1) || '/' || href
+         END AS dst
+  FROM links)"""
+
+
+def q_ppr_links(sf_dir: str):
+    """Personalized PageRank over the crawl link graph, seeded at the
+    site roots: the all-integer fixed-point iteration of kg_pagerank
+    with restart mass and dangling redistribution confined to the seed
+    set (functions/graph_algo.py:pagerank_fixed(seed_nodes=...)) — the
+    seed-relative importance ranking behind focused crawling and
+    recommendation, bit-exact at any partitioning."""
+    from ..functions.graph_algo import pagerank_fixed
+    from ..functions.links import extract_links
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    pages = rd.from_arrow(table.select(["url", "html"])).repartition(8)
+    links = extract_links(pages)
+    # seed set: one root per host — host-count-sized by construction
+    hosts = (
+        rd.from_arrow(table.select(["url"]))
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["url"].str.extract(r"^(https?://[^/]+)", expand=False) + "/"}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()["node"]
+        .drop_duplicates()
+        .tolist()
+    )
+    out = pagerank_fixed(
+        links,
+        iters=_PPR_ITERS,
+        scale=_PR_SCALE,
+        src_col="src",
+        dst_col="dst",
+        seed_nodes=sorted(hosts),
+    )
+    out["rank_scaled"] = out["rank_scaled"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_ppr_links() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    scale = _PR_SCALE
+    iter_ctes = []
+    for k in range(1, _PPR_ITERS + 1):
+        prev = f"r{k - 1}"
+        iter_ctes.append(
+            f"""r{k} AS (
+  SELECT nd.node,
+         CASE WHEN sd.node IS NOT NULL
+              THEN (({scale} // kc.k) * 15) // 100 ELSE 0 END
+         + ((85 * (COALESCE(inc.s, 0)
+                   + CASE WHEN sd.node IS NOT NULL
+                          THEN dang.d // kc.k ELSE 0 END)) // 100) AS rank
+  FROM nodes nd
+  LEFT JOIN seeds sd ON sd.node = nd.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // o.d) AS s
+    FROM e
+    JOIN {prev} r ON r.node = e.src
+    JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = nd.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0) AS d
+    FROM {prev} r LEFT JOIN outd o ON o.src = r.node
+    WHERE o.src IS NULL
+  ) dang
+  CROSS JOIN kc
+)"""
+        )
+    return f"""
+WITH pages AS (SELECT url, html FROM read_parquet('{path}')),
+{_LINKS_SQL},
+e AS (SELECT DISTINCT src, dst FROM resolved),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (
+  SELECT DISTINCT regexp_extract(url, '^(https?://[^/]+)', 1) || '/' AS node
+  FROM pages),
+outd AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+kc AS (SELECT COUNT(*) AS k FROM seeds),
+r0 AS (
+  SELECT nd.node,
+         CASE WHEN sd.node IS NOT NULL
+              THEN {scale} // (SELECT k FROM kc) ELSE 0 END AS rank
+  FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node),
+{",".join(iter_ctes)}
+SELECT node, CAST(rank AS BIGINT) AS rank_scaled
+FROM r{_PPR_ITERS} ORDER BY node
+"""
+
+
+_TEMPORAL_HOPS = 3
+
+
+def q_temporal_reach(sf_dir: str):
+    """Time-respecting reachability over the crawl's temporal link
+    graph: from each host's MEDIAN-time page (so the timestamp gate
+    genuinely prunes ~half the corpus), which pages/URLs could a
+    monotone-in-crawl-time path of <= 3 link hops have led to, and the
+    latest earliest-arrival among them.  Edges = extracted hrefs
+    stamped with the source page's warc_ts, augmented with reverse
+    edges at the same timestamp (deterministic discoverability model,
+    the link_reciprocity convention).
+    functions/graph_algo.py:earliest_arrival_per_source — bounded
+    min-arrival relaxation, exact at any partitioning."""
+    import pyarrow.compute as pc
+
+    from ..functions.graph_algo import earliest_arrival_per_source
+    from ..functions.links import _HOST_RE, _HREF_RE, _resolve
+    from ..ontology.fixture import build_fixture_snapshot
+    from ..sources.pages import generate_pages
+
+    table, _ = generate_pages(
+        build_fixture_snapshot(), _fixture_pages_count(sf_dir), seed=13
+    )
+    table = table.append_column(
+        "ts_us", pc.cast(table.column("warc_ts"), "int64")
+    )
+    pages = rd.from_arrow(table.select(["url", "html", "ts_us"])).repartition(8)
+
+    def edge_batch(b: pd.DataFrame) -> pd.DataFrame:
+        html = b["html"]
+        if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+            html = html.map(lambda v: v.decode("utf-8", "replace") if v is not None else "")
+        hits = html.fillna("").str.findall(_HREF_RE)
+        counts = hits.str.len().to_numpy()
+        src = np.repeat(b["url"].to_numpy(), counts)
+        ts = np.repeat(b["ts_us"].to_numpy(dtype=np.int64), counts)
+        href = (
+            np.concatenate([np.asarray(h, dtype=object) for h in hits])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        d = pd.DataFrame({"src": src, "href": href, "ts": ts})
+        d["dst"] = _resolve(d["src"], d["href"])
+        fwd = d[["src", "dst", "ts"]]
+        rev = fwd.rename(columns={"src": "dst", "dst": "src"})
+        return pd.concat([fwd, rev[["src", "dst", "ts"]]], ignore_index=True)
+
+    edges = pages.map_batches(edge_batch, batch_format="pandas")
+
+    def median_seed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "url"], kind="mergesort")
+        i = (len(g) + 1) // 2 - 1
+        return pd.DataFrame(
+            {"node": [g["url"].iloc[i]], "t0": [int(g["ts_us"].iloc[i])]}
+        )
+
+    seeds = (
+        pages.select_columns(["url", "ts_us"])
+        .map_batches(
+            lambda b: b.assign(
+                __host=b["url"].str.extract(_HOST_RE, expand=False)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__host")
+        .map_groups(
+            lambda g: median_seed(g.drop(columns="__host")),
+            batch_format="pandas",
+        )
+    )
+
+    out = earliest_arrival_per_source(
+        edges, seeds, _TEMPORAL_HOPS, src_col="src", dst_col="dst"
+    ).to_pandas()
+    out = out.rename(columns={"start": "seed"})
+    out["n_reach"] = out["n_reach"].astype("int64")
+    out["latest_us"] = out["latest_us"].astype("int64")
+    return (
+        out[["seed", "n_reach", "latest_us"]]
+        .sort_values("seed")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_temporal_reach() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_html_path(n)
+    ts_path = _kg_oracle_pages_ts_path(n)
+    return f"""
+WITH RECURSIVE pages AS (SELECT url, html FROM read_parquet('{path}')),
+pts AS (
+  SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts
+  FROM read_parquet('{ts_path}')),
+{_LINKS_SQL},
+fwd AS (
+  SELECT DISTINCT l.src, l.dst, p.ts
+  FROM resolved l JOIN pts p ON p.url = l.src),
+e AS (
+  SELECT src, dst, ts FROM fwd
+  UNION SELECT dst, src, ts FROM fwd),
+seeds AS (
+  SELECT url AS seed, ts AS t0 FROM (
+    SELECT url, ts,
+           ROW_NUMBER() OVER (
+             PARTITION BY regexp_extract(url, '^(https?://[^/]+)', 1)
+             ORDER BY ts, url) AS rn,
+           COUNT(*) OVER (
+             PARTITION BY regexp_extract(url, '^(https?://[^/]+)', 1)) AS c
+    FROM pts)
+  WHERE rn = (c + 1) // 2),
+walk(seed, node, t, hops) AS (
+  SELECT seed, seed, t0, 0 FROM seeds
+  UNION
+  SELECT walk.seed, e.dst, e.ts, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node AND e.ts >= walk.t
+  WHERE walk.hops < {_TEMPORAL_HOPS}),
+m AS (SELECT seed, node, MIN(t) AS t FROM walk GROUP BY 1, 2)
+SELECT seed,
+       CAST(SUM(CASE WHEN node <> seed THEN 1 ELSE 0 END) AS BIGINT) AS n_reach,
+       CAST(MAX(t) AS BIGINT) AS latest_us
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -9660,6 +9895,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "ppr_links": (q_ppr_links, _sql_ppr_links),
+    "temporal_reach": (q_temporal_reach, _sql_temporal_reach),
 }
 
 

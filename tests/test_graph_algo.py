@@ -534,3 +534,112 @@ class TestSCC:
         assert exp_map["a1"] == "a0" and exp_map["b3"] == "b2"
         assert exp_map["b0"] == "b0" and exp_map["c1"] == "c1"
         assert exp_map["d1"] == "d0" and exp_map["e0"] == "e0"
+
+
+def test_pagerank_personalized_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        pagerank_fixed,
+    )
+
+    rng = np.random.RandomState(41)
+    u = rng.randint(0, 30, size=80)
+    v = rng.randint(0, 30, size=80)
+    keep = u != v
+    edges = pd.DataFrame(
+        {"subject": u[keep].astype(str), "object": v[keep].astype(str)}
+    )
+    seeds = ["1", "5", "9"]
+    out = pagerank_fixed(
+        rd.from_pandas(edges).repartition(4),
+        iters=3,
+        scale=10**9,
+        seed_nodes=seeds,
+    )
+    got = dict(zip(out["node"], out["rank_scaled"]))
+
+    # brute replication of the integer update rule
+    ded = edges.drop_duplicates()
+    nodes = sorted(set(ded["subject"]) | set(ded["object"]))
+    outd = ded.groupby("subject").size().to_dict()
+    restart = set(seeds) & set(nodes)
+    k = len(restart)
+    scale = 10**9
+    rank = {n: scale // k if n in restart else 0 for n in nodes}
+    base = {
+        n: (scale // k) * 15 // 100 if n in restart else 0 for n in nodes
+    }
+    for _ in range(3):
+        inc = {}
+        for s, d in zip(ded["subject"], ded["object"]):
+            if outd.get(s, 0):
+                inc[d] = inc.get(d, 0) + rank[s] // outd[s]
+        dang = sum(r for n, r in rank.items() if not outd.get(n, 0))
+        rank = {
+            n: base[n]
+            + 85 * (inc.get(n, 0) + (dang // k if n in restart else 0)) // 100
+            for n in nodes
+        }
+    assert got == rank
+
+
+def test_earliest_arrival_driver_vs_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        earliest_arrival_per_source,
+    )
+
+    rng = np.random.RandomState(43)
+    m = 200
+    e = pd.DataFrame(
+        {
+            "node": rng.randint(0, 40, size=m).astype(str),
+            "nbr": rng.randint(0, 40, size=m).astype(str),
+            "ts": rng.randint(0, 1000, size=m).astype(np.int64),
+        }
+    )
+    e = e[e["node"] != e["nbr"]]
+    seeds = pd.DataFrame(
+        {"node": [str(i) for i in range(0, 40, 9)], "t0": np.int64(100)}
+    )
+    e_ds = rd.from_pandas(e).repartition(5)
+    s_ds = rd.from_pandas(seeds)
+
+    def run(threshold):
+        out = (
+            earliest_arrival_per_source(
+                e_ds, s_ds, 3, driver_threshold=threshold
+            )
+            .to_pandas()
+            .sort_values("start")
+            .reset_index(drop=True)
+        )
+        return out.astype({"n_reach": "int64", "latest_us": "int64"})
+
+    drv, dist = run(10**9), run(0)
+    pd.testing.assert_frame_equal(drv, dist)
+
+    # brute: enumerate monotone paths <= 3 hops per seed
+    edges = list(zip(e["node"], e["nbr"], e["ts"]))
+    for _, srow in seeds.iterrows():
+        s, t0 = srow["node"], int(srow["t0"])
+        best = {(s): t0}
+        states = {(s, t0)}
+        for _ in range(3):
+            nxt = set()
+            for (u, t) in states:
+                for (a, b, ts) in edges:
+                    if a == u and ts >= t:
+                        nxt.add((b, ts))
+                        if b not in best or ts < best[b]:
+                            best[b] = ts
+            states = nxt
+        row = drv[drv["start"] == s].iloc[0]
+        assert row["n_reach"] == len(best) - 1
+        assert row["latest_us"] == max(best.values())
