@@ -268,6 +268,8 @@ def run_bench() -> dict:
         "simpson_diversity",
         "spearman_rank",
         "kendall_tau",
+        "ppr_links",
+        "temporal_reach",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
