@@ -1154,7 +1154,129 @@ def suite_r7ops() -> None:
     )
 
 
+def suite_r8ops() -> None:
+    """Round-5 stats-family additions at scale: the binned two-pass
+    sorted scan (KS / Mann-Whitney / weighted median) over 10M rows,
+    Gini over 1M key counts, global rank assignment @10M, and the
+    3-category exact Kendall inversion count over a 1M-element
+    permutation pair."""
+    ray, rd = _session()
+    p = "/tmp/stress_scan_events.parquet"  # shared with r7ops
+    if not os.path.exists(p):
+        rng = np.random.default_rng(23)
+        n = 10_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "eid": pa.array(np.arange(n), pa.int64()),
+                    "u": pa.array(
+                        rng.integers(0, 1_000_000, n).astype(np.int64), pa.int64()
+                    ),
+                    "tus": pa.array(
+                        np.int64(1_700_000_000_000_000)
+                        + rng.integers(0, 30 * 86_400_000_000, n).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "v": pa.array(
+                        rng.integers(0, 100_000, n).astype(np.int64), pa.int64()
+                    ),
+                }
+            ),
+            p,
+        )
+    ev = rd.read_parquet(p)
+
+    from climatemind_ontology_processing_ray.functions.agg import grouped_sum
+    from climatemind_ontology_processing_ray.functions.stats import (
+        gini_counts,
+        kendall_inversions,
+        ks_two_sample,
+        mann_whitney,
+        rank_permutation,
+        weighted_median,
+    )
+
+    two = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "v": b["v"].astype("float64"),
+                "g1": (b["u"] % 2 == 0).astype("int64"),
+                "g2": (b["u"] % 2 == 1).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    _t(
+        "ks_two_sample @10M",
+        lambda: f"ks_num={ks_two_sample(two, 'v', 'g1', 'g2').loc[0, 'ks_num']}",
+    )
+    _t(
+        "mann_whitney @10M (100k-value ties)",
+        lambda: f"r1x2={mann_whitney(two, 'v', 'g1', 'g2').loc[0, 'r1_times2']}",
+    )
+
+    wm = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "g": np.where(b["u"] % 3 == 0, "a", np.where(b["u"] % 3 == 1, "b", "c")),
+                "v": b["v"].astype("float64"),
+                "wt": (b["v"] % 7 + 1).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    _t(
+        "weighted_median @10M x 3 groups",
+        lambda: f"{len(weighted_median(wm, 'g', 'v', 'wt'))} medians",
+    )
+
+    counts = grouped_sum(
+        ev.map_batches(
+            lambda b: b.groupby("u", sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": "int64"}),
+            batch_format="pandas",
+        ),
+        ["u"],
+        ["n"],
+    )
+    _t(
+        "gini_counts @1M keys",
+        lambda: f"gini_num={gini_counts(counts, 'n').loc[0, 'gini_num']}",
+    )
+
+    _t(
+        "rank_permutation @10M",
+        lambda: f"{rank_permutation(ev, 'v', 'eid', 'r').count()} ranked",
+    )
+
+    # 1M-element permutation pair: rb = knuth-permuted ra
+    perm = rd.read_parquet(p, columns=["eid"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "ra": b["eid"].astype("int64") + 1,
+                "rb": (
+                    (b["eid"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(1_000_000)
+                ).astype(np.int64)
+                * 10
+                + (b["eid"].to_numpy() % 10) + 1,
+            }
+        )[b["eid"].to_numpy() < 1_000_000],
+        batch_format="pandas",
+    )
+    # rb above is not a strict permutation of 1..n; rank it into one first
+    perm_ranked = rank_permutation(perm, "rb", "ra", "rb2")
+    _t(
+        "kendall_inversions @1M permutation",
+        lambda: f"inv={kendall_inversions(perm_ranked, 'ra', 'rb2', 1_000_000)}",
+    )
+
+
+
 SUITES = {
+    "r8ops": suite_r8ops,
     "r7ops": suite_r7ops,
     "r6ops": suite_r6ops,
     "r5ops": suite_r5ops,
