@@ -9692,6 +9692,57 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+_EIG_ITERS = 4
+_EIG_SCALE = 10_000
+_EIG_DIMS = 64
+
+
+def q_top_eigvec(sf_dir: str):
+    """Top principal direction of the embedding Gram matrix X^T X by
+    distributed fixed-point power iteration
+    (functions/linalg.py:power_iteration_fixed): per iteration ONE
+    streaming pass emits per-batch integer partials of w = X^T (X v);
+    driver state is the 64-component vector only, never the matrix.
+    All-integer updates with the non-negative-shift rescale, so the
+    unrolled SQL oracle reproduces every component bit-exactly."""
+    from ..functions.linalg import power_iteration_fixed
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return power_iteration_fixed(
+        ds, "embedding", _EIG_DIMS, iters=_EIG_ITERS,
+        quant=_KNN_QUANT, scale=_EIG_SCALE,
+    )
+
+
+def _sql_top_eigvec() -> str:
+    q, s, d = _KNN_QUANT, _EIG_SCALE, _EIG_DIMS
+    iter_ctes = []
+    for k in range(1, _EIG_ITERS + 1):
+        prev = f"v{k - 1}"
+        iter_ctes.append(
+            f"""s{k} AS (
+  SELECT xe.vec_id, SUM(xe.x * v.v) AS sv
+  FROM xe JOIN {prev} v ON v.dim = xe.dim GROUP BY 1),
+w{k} AS (
+  SELECT xe.dim, SUM(xe.x * s{k}.sv) AS w
+  FROM xe JOIN s{k} ON s{k}.vec_id = xe.vec_id GROUP BY 1),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS (
+  SELECT dim, ((w + m) * {s}) // m - {s} AS v FROM w{k}, m{k})"""
+        )
+    return f"""
+WITH xe AS (
+  SELECT vec_id, d.i AS dim,
+         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * {q} + 0.5) AS HUGEINT) AS x
+  FROM embeddings, UNNEST(RANGE(1, {d} + 1)) AS d(i)),
+v0 AS (
+  SELECT UNNEST(RANGE(1, {d} + 1)) AS dim, CAST({s} AS HUGEINT) AS v),
+{",".join(iter_ctes)}
+SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS component
+FROM v{_EIG_ITERS} ORDER BY dim
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_filter": (q_revenue_filter, SQL_REVENUE),
@@ -9897,6 +9948,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "ppr_links": (q_ppr_links, _sql_ppr_links),
     "temporal_reach": (q_temporal_reach, _sql_temporal_reach),
+    "top_eigvec": (q_top_eigvec, _sql_top_eigvec),
 }
 
 

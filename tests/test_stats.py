@@ -226,3 +226,45 @@ def test_kendall_inversions_extremes(ray_session):
     rev = pd.DataFrame({"ra": ra, "rb": ra[::-1]})
     assert kendall_inversions(_mk(same), "ra", "rb", n, 16) == 0
     assert kendall_inversions(_mk(rev), "ra", "rb", n, 16) == n * (n - 1) // 2
+
+
+def test_power_iteration_matches_brute_and_numpy(ray_session):
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.linalg import (
+        power_iteration_fixed,
+    )
+
+    rng = np.random.RandomState(47)
+    # planted dominant direction + noise
+    u = rng.randn(16)
+    u /= np.linalg.norm(u)
+    x = np.outer(rng.randn(300) * 3, u) + rng.randn(300, 16) * 0.3
+    df = pd.DataFrame({"embedding": list(x.astype(np.float64))})
+
+    out = power_iteration_fixed(
+        rd.from_pandas(df).repartition(6), "embedding", 16,
+        iters=4, quant=1024, scale=10_000,
+    )
+
+    # exact brute replication of the integer rule
+    xi = np.floor(x * 1024 + 0.5).astype(object)
+    v = np.full(16, 10_000, dtype=object)
+    for _ in range(4):
+        s = xi @ v
+        w = xi.T @ s
+        m = max(abs(int(a)) for a in w)
+        v = np.array([((int(a) + m) * 10_000) // m - 10_000 for a in w], dtype=object)
+    assert [int(c) for c in out["component"]] == [int(a) for a in v]
+
+    # and it found the planted direction
+    got = out["component"].to_numpy(dtype=np.float64)
+    cos = abs(got @ u) / (np.linalg.norm(got) * np.linalg.norm(u))
+    assert cos > 0.99
+
+    # partitioning invariance
+    out2 = power_iteration_fixed(
+        rd.from_pandas(df).repartition(2), "embedding", 16,
+        iters=4, quant=1024, scale=10_000,
+    )
+    assert (out2["component"].to_numpy() == out["component"].to_numpy()).all()
