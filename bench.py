@@ -270,6 +270,7 @@ def run_bench() -> dict:
         "kendall_tau",
         "ppr_links",
         "temporal_reach",
+        "top_eigvec",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
