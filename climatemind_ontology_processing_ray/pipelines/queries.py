@@ -9692,6 +9692,81 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+_SKIPGRAM_WINDOW = 2
+_SKIPGRAM_MIN = 5
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Windowed skip-gram co-occurrence counts (the word2vec / PMI
+    preprocessing table): ordered token pairs within <= 2 positions in
+    the renumbered non-empty token stream (the phrase_search
+    tokenization contract), min-count 5.  Zero shuffles until the final
+    map-side combined (w1, w2) count exchange; the per-batch kernel is
+    one exploded shift-compare — no per-row loops."""
+    from ..functions.agg import grouped_sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.split(" ")
+        counts = toks.str.len().to_numpy()
+        doc = np.repeat(np.arange(len(b)), counts)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        keep = flat != ""
+        doc, flat = doc[keep], flat[keep]
+        frames = []
+        for off in range(1, _SKIPGRAM_WINDOW + 1):
+            if len(doc) > off:
+                m = doc[:-off] == doc[off:]
+                frames.append(
+                    pd.DataFrame({"w1": flat[:-off][m], "w2": flat[off:][m]})
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype=object),
+                    "w2": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        d = pd.concat(frames, ignore_index=True)
+        out = d.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counted = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["w1", "w2"], ["n"]
+    ).map_batches(
+        lambda b: b[b["n"].to_numpy() >= _SKIPGRAM_MIN], batch_format="pandas"
+    )
+    out = counted.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+SQL_SKIPGRAM_COUNTS = f"""
+WITH toks0 AS (
+  SELECT doc_id, generate_subscripts(STRING_SPLIT(LOWER(text), ' '), 1) AS pos0,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents),
+toks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM toks0 WHERE tok <> ''),
+p AS (
+  SELECT t1.tok AS w1, t2.tok AS w2
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id
+   AND t2.pos - t1.pos BETWEEN 1 AND {_SKIPGRAM_WINDOW})
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= {_SKIPGRAM_MIN} ORDER BY 1, 2
+"""
+
+
 _EIG_ITERS = 4
 _EIG_SCALE = 10_000
 _EIG_DIMS = 64
@@ -9949,6 +10024,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ppr_links": (q_ppr_links, _sql_ppr_links),
     "temporal_reach": (q_temporal_reach, _sql_temporal_reach),
     "top_eigvec": (q_top_eigvec, _sql_top_eigvec),
+    "skipgram_counts": (q_skipgram_counts, SQL_SKIPGRAM_COUNTS),
 }
 
 
