@@ -271,6 +271,7 @@ def run_bench() -> dict:
         "ppr_links",
         "temporal_reach",
         "top_eigvec",
+        "skipgram_counts",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
