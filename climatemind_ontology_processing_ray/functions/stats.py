@@ -334,27 +334,27 @@ def gini_counts(
     )
 
 
-def weighted_median(
+def weighted_quantiles(
     ds: Dataset,
     group_col: str,
     val_col: str,
     weight_col: str,
+    quantiles: list[tuple[int, int]],
     num_bins: int | None = None,
 ) -> pd.DataFrame:
-    """Exact lower weighted median per group: the smallest value v with
-    2 * W(<= v) >= W_total (integer weights, so the crossing test is
-    exact).  Two passes: a per-(group, bin) weight histogram locates
-    each group's crossing bin driver-side (groups x num_bins state —
-    assumes a small group cardinality, the usual shape for per-segment
-    medians), then ONLY the candidate-bin rows re-shuffle for the local
-    exact scan — the second exchange is bin-sized, not data-sized.
-    Returns the median value bit-copied from the input column, so a
-    float hash-compare against the SQL oracle is safe (the
-    rolling-median convention)."""
+    """Exact lower weighted quantiles per group: for each rational
+    q = qn/qd, the smallest value v with qd * W(<= v) >= qn * W_total
+    (integer weights and integer cross-multiplied tests — no float in
+    any comparison).  Two passes: a per-(group, bin) weight histogram
+    locates every (group, q) crossing bin driver-side (groups x
+    num_bins state — assumes small group cardinality, the usual shape
+    for per-segment quantiles), then ONLY candidate-bin rows re-shuffle
+    for the local exact scans — the second exchange is bins-sized, not
+    data-sized.  Values are input doubles bit-copied through (the
+    rolling-median convention), one output row per (group, qn, qd)."""
     import ray
 
     from .broadcast import cached_get
-
     from .dedup import pin_blocks
 
     num_bins = _auto_bins(ds, num_bins)
@@ -386,44 +386,78 @@ def weighted_median(
         [group_col, "__bin"],
         ["w"],
     ).to_pandas()
-    # per group: exclusive cum over bin order -> crossing bin + offset
-    cand: dict[object, tuple[int, int, int]] = {}  # g -> (bin, w_before, tot)
+    # per (group, q): crossing bin + exclusive weight offset + total
+    cand: dict[object, dict[tuple[int, int], tuple[int, int, int]]] = {}
     for g, gh in hist.groupby(group_col, sort=False):
         gh = gh.sort_values("__bin")
+        bins = gh["__bin"].to_numpy(dtype=np.int64)
         w = gh["w"].to_numpy(dtype=np.int64)
         tot = int(w.sum())
         cum = np.cumsum(w)
-        j = int(np.searchsorted(2 * cum, tot))
-        cand[g] = (
-            int(gh["__bin"].to_numpy()[j]),
-            int(cum[j - 1]) if j else 0,
-            tot,
-        )
+        per_q = {}
+        for qn, qd in quantiles:
+            j = int(np.searchsorted(qd * cum, qn * tot))
+            per_q[(qn, qd)] = (
+                int(bins[j]),
+                int(cum[j - 1]) if j else 0,
+                tot,
+            )
+        cand[g] = per_q
     cand_ref = ray.put(cand)
 
     def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
         c = cached_get(cand_ref)
-        bin_of = {g: t[0] for g, t in c.items()}  # plain dict -> hashtable map
-        bins = b[group_col].map(bin_of).fillna(-1).to_numpy()
-        return b[b["__bin"].to_numpy() == bins]
+        gv = b[group_col].to_numpy()
+        bv = b["__bin"].to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        # vectorized per GROUP (small cardinality by contract), not per row
+        for g, per_q in c.items():
+            bins = np.fromiter({t[0] for t in per_q.values()}, dtype=np.int64)
+            keep |= (gv == g) & np.isin(bv, bins)
+        return b[keep]
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
         c = cached_get(cand_ref)
         key = g[group_col].iloc[0]
-        _, w_before, tot = c[key]
+        this_bin = int(g["__bin"].iloc[0])
         g = g.sort_values(val_col, kind="mergesort")
-        cum = w_before + np.cumsum(g[weight_col].to_numpy(dtype=np.int64))
-        idx = int(np.searchsorted(2 * cum, tot))
+        cumw = np.cumsum(g[weight_col].to_numpy(dtype=np.int64))
+        vals = g[val_col].to_numpy()
+        rows = []
+        for (qn, qd), (bn, w_before, tot) in c[key].items():
+            if bn != this_bin:
+                continue
+            idx = int(np.searchsorted(qd * (w_before + cumw), qn * tot))
+            rows.append((key, qn, qd, float(vals[idx])))
         return pd.DataFrame(
-            {group_col: [key], "wmedian": [float(g[val_col].to_numpy()[idx])]}
+            rows, columns=[group_col, "qn", "qd", "wq"]
         )
 
     out = (
         tagged.map_batches(keep_candidates, batch_format="pandas")
-        .groupby(group_col)
+        .groupby([group_col, "__bin"])
         .map_groups(local, batch_format="pandas")
         .to_pandas()
     )
+    out["qn"] = out["qn"].astype("int64")
+    out["qd"] = out["qd"].astype("int64")
+    return out.sort_values([group_col, "qn", "qd"]).reset_index(drop=True)
+
+
+def weighted_median(
+    ds: Dataset,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    num_bins: int | None = None,
+) -> pd.DataFrame:
+    """Exact lower weighted median per group — the q = 1/2 case of
+    :func:`weighted_quantiles` (kept as the named operator; see there
+    for the two-pass structure and exactness argument)."""
+    out = weighted_quantiles(
+        ds, group_col, val_col, weight_col, [(1, 2)], num_bins
+    )
+    out = out.rename(columns={"wq": "wmedian"})[[group_col, "wmedian"]]
     return out.sort_values(group_col).reset_index(drop=True)
 
 

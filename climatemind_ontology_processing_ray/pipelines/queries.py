@@ -9692,6 +9692,118 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+_WQ_QUANTILES = [(1, 4), (1, 2), (3, 4)]
+
+
+def q_weighted_quantiles(sf_dir: str):
+    """Exact lower weighted quartiles of extended price per return
+    flag, weighted by quantity — the generalization of
+    weighted_median to arbitrary rational q (qd*W(<=v) >= qn*W_tot,
+    all-integer crossing tests; functions/stats.py:weighted_quantiles).
+    Only candidate-bin rows take the second exchange, one output row
+    per (group, quantile)."""
+    from ..functions.stats import weighted_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": b["l_returnflag"],
+                "v": b["l_extendedprice"].astype("float64"),
+                "wt": b["l_quantity"].astype("int64"),
+            }
+        )
+
+    out = weighted_quantiles(
+        ds.map_batches(prep, batch_format="pandas"), "g", "v", "wt", _WQ_QUANTILES
+    )
+    return out.rename(columns={"g": "l_returnflag"})
+
+
+SQL_WEIGHTED_QUANTILES = """
+WITH w AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem),
+c AS (
+  SELECT g, v,
+         SUM(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+         SUM(wt) OVER (PARTITION BY g) AS tot
+  FROM w),
+qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS t(qn, qd))
+SELECT c.g AS l_returnflag, CAST(qs.qn AS BIGINT) AS qn,
+       CAST(qs.qd AS BIGINT) AS qd, MIN(c.v) AS wq
+FROM c JOIN qs ON qs.qd * c.cum >= qs.qn * c.tot
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_decile_lift(sf_dir: str):
+    """Decile lift/gains table for the n_chars-as-quality-score
+    classifier of the src0 slice (the auc_quality setup): rank all
+    docs by score descending (distributed rank_permutation on the
+    negated score, doc_id tiebreak), bucket into 10 equal-rank
+    deciles, and report per decile the doc and positive counts plus
+    the cumulative positives — the model-eval table next to ROC-AUC,
+    exact integers end to end."""
+    from ..functions.stats import rank_permutation
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "neg": -b["n_chars"].astype("int64"),
+                "y": (b["source"] == "src0").astype("int64"),
+            }
+        )
+
+    ranked = rank_permutation(
+        ds.map_batches(prep, batch_format="pandas"), "neg", "doc_id", "rk"
+    ).materialize()
+    n = ranked.count()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        decile = (b["rk"].to_numpy(dtype=np.int64) - 1) * 10 // n + 1
+        d = pd.DataFrame(
+            {"decile": decile, "n_docs": 1, "n_pos": b["y"].astype("int64")}
+        )
+        return (
+            d.groupby("decile", sort=False)[["n_docs", "n_pos"]].sum().reset_index()
+        )
+
+    agg = (
+        ranked.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("decile", sort=True)[["n_docs", "n_pos"]]
+        .sum()
+        .reset_index()
+    )
+    agg["cum_pos"] = agg["n_pos"].cumsum()
+    for c in ("decile", "n_docs", "n_pos", "cum_pos"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+SQL_DECILE_LIFT = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+r AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+         ROW_NUMBER() OVER (ORDER BY -n_chars, doc_id) AS rk
+  FROM documents),
+d AS (SELECT ((rk - 1) * 10) // n.n + 1 AS decile, y FROM r, n),
+a AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+FROM a ORDER BY decile
+"""
+
+
 _SKIPGRAM_WINDOW = 2
 _SKIPGRAM_MIN = 5
 
@@ -10025,6 +10137,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "temporal_reach": (q_temporal_reach, _sql_temporal_reach),
     "top_eigvec": (q_top_eigvec, _sql_top_eigvec),
     "skipgram_counts": (q_skipgram_counts, SQL_SKIPGRAM_COUNTS),
+    "weighted_quantiles": (q_weighted_quantiles, SQL_WEIGHTED_QUANTILES),
+    "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
 }
 
 

@@ -268,3 +268,30 @@ def test_power_iteration_matches_brute_and_numpy(ray_session):
         iters=4, quant=1024, scale=10_000,
     )
     assert (out2["component"].to_numpy() == out["component"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("num_bins", [1, 16, 2048])
+def test_weighted_quantiles_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import (
+        weighted_quantiles,
+    )
+
+    rng = np.random.RandomState(53)
+    g = rng.choice(["a", "b"], size=500)
+    v = np.round(rng.rand(500) * 20, 1)
+    wt = rng.randint(1, 6, size=500).astype(np.int64)
+    qs = [(1, 10), (1, 4), (1, 2), (3, 4), (9, 10)]
+    out = weighted_quantiles(
+        _mk(pd.DataFrame({"g": g, "v": v, "wt": wt})), "g", "v", "wt", qs, num_bins
+    )
+    for grp in "ab":
+        m = g == grp
+        order = np.argsort(v[m], kind="mergesort")
+        vs, ws = v[m][order], wt[m][order]
+        cum = np.cumsum(ws)
+        for qn, qd in qs:
+            want = vs[int(np.searchsorted(qd * cum, qn * cum[-1]))]
+            got = out[
+                (out["g"] == grp) & (out["qn"] == qn) & (out["qd"] == qd)
+            ]["wq"].iloc[0]
+            assert float(got) == want, (grp, qn, qd)
