@@ -272,6 +272,8 @@ def run_bench() -> dict:
         "temporal_reach",
         "top_eigvec",
         "skipgram_counts",
+        "weighted_quantiles",
+        "decile_lift",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
