@@ -1718,3 +1718,177 @@ def earliest_arrival_per_source(
     n_sum = grouped_sum(part.select_columns(["start", "n_reach"]), ["start"], ["n_reach"])
     t_max = grouped_max(part.select_columns(["start", "latest_us"]), ["start"], ["latest_us"])
     return bucketed_hash_join(n_sum, t_max, "start")
+
+
+def four_clique_counts(
+    edges: Dataset,
+    src_col: str = "subject",
+    dst_col: str = "object",
+) -> Dataset:
+    """Per-node 4-clique (K4) membership counts over the UNDIRECTED
+    simple graph — the next motif up from triangles, same
+    degree-orientation discipline so no clique is found twice and the
+    oriented out-degrees stay O(sqrt m)-bounded:
+
+    1. orient every edge low→high by (degree, node) total order (two
+       bucketed degree-attach joins);
+    2. oriented wedges (a→b, a→c) per source partition (out-degree
+       bounded by orientation);
+    3. triangles = wedges semi-joined against oriented edges on (b, c);
+    4. each K4 is exactly one (triangle of its three lowest nodes,
+       top node d) with a→d, b→d, c→d all oriented edges — one join on
+       a plus two composite-key semi joins;
+    5. flat-map the 4 corners, one grouped count.
+
+    Returns (node, n_k4) for nodes in at least one K4.  All exchanges
+    bucketed; candidate volume after step 4's first join is bounded by
+    Σ (triangles per a) × outdeg(a) — the standard k-clique listing
+    bound."""
+    from .agg import grouped_sum
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join
+
+    und = _undirected_distinct(edges, src_col, dst_col)
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("node", sort=False).size().reset_index(name="deg")
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    deg = grouped_sum(
+        und.map_batches(deg_partial, batch_format="pandas"), ["node"], ["deg"]
+    )
+
+    with_du = bucketed_hash_join(und, deg, "node")
+
+    def key_u(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": b["node"], "du": b["deg"].astype("int64"), "node": b["nbr"]}
+        )
+
+    both_deg = bucketed_hash_join(
+        with_du.map_batches(key_u, batch_format="pandas"), deg, "node"
+    )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        du = b["du"].to_numpy(dtype=np.int64)
+        dv = b["deg"].to_numpy(dtype=np.int64)
+        u = b["u"].to_numpy()
+        v = b["node"].to_numpy()
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({"a": u[fwd], "b": v[fwd], "da": du[fwd], "db": dv[fwd]})
+
+    oe = pin_blocks(both_deg.map_batches(orient, batch_format="pandas"), 64)
+
+    def tag_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = _part_of(b["a"].to_numpy())
+        return b
+
+    def wedges_part(g: pd.DataFrame):
+        # many source nodes per partition (hash(a) groups — one Ray group
+        # per PARTITION, not per node); within: sort by (a, db, b) and
+        # emit i<j out-neighbor pairs per a-segment with repeat+arange,
+        # the _doc_sim_edges construction — no per-node scheduling
+        order = np.lexsort(
+            (g["b"].to_numpy(), g["db"].to_numpy(), g["a"].to_numpy())
+        )
+        a = g["a"].to_numpy()[order]
+        nb = g["b"].to_numpy()[order]
+        n = len(a)
+        if n < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype=object)}
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = a[1:] != a[:-1]
+        seg_id = np.cumsum(new) - 1
+        seg_end = np.empty(n, dtype=np.int64)
+        ends = np.flatnonzero(np.concatenate((new[1:], [True]))) + 1
+        seg_end = ends[seg_id]
+        cnt = seg_end - np.arange(n) - 1
+        i_idx = np.repeat(np.arange(n), cnt)
+        j_idx = (
+            np.concatenate(
+                [np.arange(i + 1, e) for i, e in zip(np.arange(n), seg_end) if e > i + 1]
+            )
+            if cnt.sum()
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame({"a": a[i_idx], "b": nb[i_idx], "c": nb[j_idx]})
+
+    wed = (
+        oe.map_batches(tag_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: wedges_part(g.drop(columns="__part")), batch_format="pandas"
+        )
+    )
+
+    oe_keys = oe.map_batches(
+        lambda b: pd.DataFrame({"__bc": b["a"].astype(str) + "\x1f" + b["b"].astype(str)}),
+        batch_format="pandas",
+    )
+    wed_keyed = wed.map_batches(
+        lambda b: b.assign(__bc=b["b"].astype(str) + "\x1f" + b["c"].astype(str)),
+        batch_format="pandas",
+    )
+    tri = pin_blocks(
+        bucketed_hash_join(wed_keyed, oe_keys, "__bc").map_batches(
+            lambda b: b[["a", "b", "c"]], batch_format="pandas"
+        ),
+        64,
+    )
+
+    # candidates: triangle x out-neighbor of a
+    cand = bucketed_hash_join(
+        tri,
+        oe.map_batches(
+            lambda b: pd.DataFrame({"a": b["a"], "d": b["b"]}), batch_format="pandas"
+        ),
+        "a",
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "a": b["a"],
+                "b": b["b"],
+                "c": b["c"],
+                "d": b["d"],
+                "__bd": b["b"].astype(str) + "\x1f" + b["d"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    step2 = bucketed_hash_join(cand, oe_keys.map_batches(
+        lambda b: b.rename(columns={"__bc": "__bd"}), batch_format="pandas"
+    ), "__bd").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "a": b["a"],
+                "b": b["b"],
+                "c": b["c"],
+                "d": b["d"],
+                "__cd": b["c"].astype(str) + "\x1f" + b["d"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    k4 = bucketed_hash_join(step2, oe_keys.map_batches(
+        lambda b: b.rename(columns={"__bc": "__cd"}), batch_format="pandas"
+    ), "__cd")
+
+    def corners(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [b["a"].to_numpy(), b["b"].to_numpy(), b["c"].to_numpy(), b["d"].to_numpy()]
+        )
+        d = pd.DataFrame({"node": nodes})
+        out = d.groupby("node", sort=False).size().reset_index(name="n_k4")
+        out["n_k4"] = out["n_k4"].astype("int64")
+        return out
+
+    return grouped_sum(
+        k4.map_batches(corners, batch_format="pandas"), ["node"], ["n_k4"]
+    )

@@ -9692,6 +9692,56 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+def q_four_cliques(sf_dir: str):
+    """Per-node 4-clique membership counts over the document-similarity
+    graph — the motif one level above doc_similarity_triangles, via
+    degree-oriented clique listing (each K4 found exactly once as its
+    three lowest-order nodes' triangle plus the top node; out-degrees
+    O(sqrt m)-bounded by the orientation).
+    functions/graph_algo.py:four_clique_counts."""
+    from ..functions.graph_algo import four_clique_counts
+
+    out = four_clique_counts(_doc_sim_edges(sf_dir)).to_pandas()
+    out["node"] = out["node"].astype(str)
+    out["n_k4"] = out["n_k4"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_FOUR_CLIQUES = f"""
+WITH {_SIM_EDGES_SQL},
+ud AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT node, COUNT(*) AS d FROM ud GROUP BY 1),
+oe AS (
+  -- degree-oriented edges: the same O(sqrt m) out-degree bound the
+  -- engine relies on; the naive id-ordered 6-way join floods temp
+  -- space on dense similarity blocks (C(k,3) wedges per low id)
+  SELECT ud.node AS a, ud.nbr AS b, db.d AS db
+  FROM ud
+  JOIN deg da ON da.node = ud.node
+  JOIN deg db ON db.node = ud.nbr
+  WHERE (da.d < db.d) OR (da.d = db.d AND ud.node < ud.nbr)),
+tri AS (
+  SELECT w1.a, w1.b, w2.b AS c
+  FROM oe w1
+  JOIN oe w2 ON w2.a = w1.a
+   AND ((w1.db < w2.db) OR (w1.db = w2.db AND w1.b < w2.b))
+  JOIN oe t ON t.a = w1.b AND t.b = w2.b),
+k4 AS (
+  SELECT tri.a AS w, tri.b AS x, tri.c AS y, oa.b AS z
+  FROM tri
+  JOIN oe oa ON oa.a = tri.a
+  JOIN oe ob ON ob.a = tri.b AND ob.b = oa.b
+  JOIN oe oc ON oc.a = tri.c AND oc.b = oa.b),
+corners AS (
+  SELECT w AS node FROM k4
+  UNION ALL SELECT x FROM k4
+  UNION ALL SELECT y FROM k4
+  UNION ALL SELECT z FROM k4)
+SELECT CAST(node AS VARCHAR) AS node, CAST(COUNT(*) AS BIGINT) AS n_k4
+FROM corners GROUP BY 1 ORDER BY 1
+"""
+
+
 _WQ_QUANTILES = [(1, 4), (1, 2), (3, 4)]
 
 
@@ -10139,6 +10189,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "skipgram_counts": (q_skipgram_counts, SQL_SKIPGRAM_COUNTS),
     "weighted_quantiles": (q_weighted_quantiles, SQL_WEIGHTED_QUANTILES),
     "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
+    "four_cliques": (q_four_cliques, SQL_FOUR_CLIQUES),
 }
 
 

@@ -643,3 +643,42 @@ def test_earliest_arrival_driver_vs_distributed(ray_session):
         row = drv[drv["start"] == s].iloc[0]
         assert row["n_reach"] == len(best) - 1
         assert row["latest_us"] == max(best.values())
+
+
+def test_four_clique_counts_matches_brute(ray_session):
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        four_clique_counts,
+    )
+
+    rng = np.random.RandomState(59)
+    n, p = 25, 0.35  # dense enough for plenty of K4s
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n) if rng.rand() < p]
+    edges = pd.DataFrame(
+        {
+            "subject": [str(a) for a, _ in pairs],
+            "object": [str(b) for _, b in pairs],
+        }
+    )
+    out = (
+        four_clique_counts(rd.from_pandas(edges).repartition(4))
+        .to_pandas()
+        .set_index("node")["n_k4"]
+        .to_dict()
+    )
+
+    adj = {str(i): set() for i in range(n)}
+    for a, b in pairs:
+        adj[str(a)].add(str(b))
+        adj[str(b)].add(str(a))
+    brute: dict[str, int] = {}
+    for quad in combinations([str(i) for i in range(n)], 4):
+        if all(y in adj[x] for x, y in combinations(quad, 2)):
+            for v in quad:
+                brute[v] = brute.get(v, 0) + 1
+    assert {k: int(v) for k, v in out.items()} == brute
