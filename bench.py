@@ -274,6 +274,7 @@ def run_bench() -> dict:
         "skipgram_counts",
         "weighted_quantiles",
         "decile_lift",
+        "four_cliques",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
