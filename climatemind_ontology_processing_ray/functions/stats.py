@@ -632,3 +632,140 @@ def kendall_inversions(
         .sum()
     )
     return inv_a + inv_b + inv_c
+
+
+def trimmed_sum(
+    ds: Dataset,
+    group_col: str,
+    val_col: str,
+    trim_num: int,
+    trim_den: int,
+    num_bins: int | None = None,
+) -> pd.DataFrame:
+    """Exact trimmed sum/count per group over an INTEGER value column:
+    drop the k = floor(n * trim_num/trim_den) smallest and largest
+    values (by value order; ties resolve by position within the sorted
+    bin, which is well-defined because only COUNTS matter — equal
+    values are interchangeable) and report the exact sum and count of
+    the middle n-2k.  The trimmed mean is sum/count at the caller.
+
+    Two passes like :func:`weighted_quantiles`, but the second exchange
+    is even smaller: interior bins contribute their FULL per-bin sums
+    (already known driver-side from the (group, bin) histogram), so
+    only the two boundary bins per group re-shuffle for the exact
+    partial-bin scan."""
+    import ray
+
+    from .broadcast import cached_get
+    from .dedup import pin_blocks
+
+    num_bins = _auto_bins(ds, num_bins)
+    ds = pin_blocks(ds, 64)
+    lo, hi, width = _bin_edges(ds, val_col, num_bins)
+    tagged = ds.map_batches(
+        _tagger(val_col, lo, width, num_bins), batch_format="pandas"
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=object),
+                    "__bin": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                }
+            )
+        d = b.groupby([group_col, "__bin"], sort=False)[val_col].agg(
+            ["size", "sum"]
+        )
+        out = d.reset_index().rename(columns={"size": "cnt", "sum": "s"})
+        out["cnt"] = out["cnt"].astype("int64")
+        out["s"] = out["s"].astype("int64")
+        return out
+
+    hist = grouped_sum(
+        tagged.map_batches(hist_partial, batch_format="pandas"),
+        [group_col, "__bin"],
+        ["cnt", "s"],
+    ).to_pandas()
+
+    # driver: per group locate the low/high boundary bins; interior
+    # contribution = full bin sums between them
+    plan: dict[object, dict] = {}
+    for g, gh in hist.groupby(group_col, sort=False):
+        gh = gh.sort_values("__bin")
+        bins = gh["__bin"].to_numpy(dtype=np.int64)
+        cnt = gh["cnt"].to_numpy(dtype=np.int64)
+        sums = gh["s"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        k = n * trim_num // trim_den
+        keep_n = n - 2 * k
+        if keep_n <= 0:
+            plan[g] = {"lo_bin": -1, "hi_bin": -1, "skip_lo": 0, "take_hi": 0,
+                       "interior": 0, "count": 0}
+            continue
+        cum = np.cumsum(cnt)
+        # low boundary: bin containing the (k+1)-th value
+        jl = int(np.searchsorted(cum, k + 1))
+        # high boundary: bin containing the (n-k)-th value
+        jh = int(np.searchsorted(cum, n - k))
+        skip_lo = k - (int(cum[jl - 1]) if jl else 0)  # values to drop inside lo bin
+        take_hi = (n - k) - (int(cum[jh - 1]) if jh else 0)  # values to keep inside hi bin
+        if jl == jh:
+            interior = 0
+        else:
+            interior = int(sums[jl + 1 : jh].sum())
+        plan[g] = {
+            "lo_bin": int(bins[jl]),
+            "hi_bin": int(bins[jh]),
+            "skip_lo": int(skip_lo),
+            "take_hi": int(take_hi),
+            "interior": interior,
+            "count": int(keep_n),
+        }
+    plan_ref = ray.put(plan)
+
+    def keep_boundary(b: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(plan_ref)
+        gv = b[group_col].to_numpy()
+        bv = b["__bin"].to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        for g, p in c.items():
+            keep |= (gv == g) & ((bv == p["lo_bin"]) | (bv == p["hi_bin"]))
+        return b[keep]
+
+    def boundary_local(g: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(plan_ref)
+        key = g[group_col].iloc[0]
+        p = c[key]
+        this_bin = int(g["__bin"].iloc[0])
+        v = np.sort(g[val_col].to_numpy(dtype=np.int64), kind="mergesort")
+        part = 0
+        if this_bin == p["lo_bin"] and this_bin == p["hi_bin"]:
+            part = int(v[p["skip_lo"] : p["take_hi"]].sum())
+        elif this_bin == p["lo_bin"]:
+            part = int(v[p["skip_lo"] :].sum())
+        elif this_bin == p["hi_bin"]:
+            part = int(v[: p["take_hi"]].sum())
+        return pd.DataFrame(
+            {group_col: [key], "part": pd.Series([part], dtype="int64")}
+        )
+
+    parts = (
+        tagged.map_batches(keep_boundary, batch_format="pandas")
+        .groupby([group_col, "__bin"])
+        .map_groups(boundary_local, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:  # every group fully trimmed -> no boundary rows
+        parts = pd.DataFrame({group_col: [], "part": []})
+    agg = parts.groupby(group_col, sort=True)["part"].sum()
+    rows = []
+    for g, p in plan.items():
+        boundary = int(agg.get(g, 0))
+        rows.append((g, p["interior"] + boundary, p["count"]))
+    out = pd.DataFrame(rows, columns=[group_col, "trimmed_sum", "n_kept"])
+    out["trimmed_sum"] = out["trimmed_sum"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -9692,6 +9692,59 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+_TRIM_NUM, _TRIM_DEN = 1, 10
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Exact 10%-trimmed price statistics per line status: drop the
+    k = floor(n/10) cheapest and priciest cents values per group and
+    report the exact interior sum and count (the robust mean numerator
+    /denominator — division at the edge).
+    functions/stats.py:trimmed_sum — interior bins contribute their
+    driver-known histogram sums; ONLY the two boundary bins per group
+    re-shuffle for the partial-bin scan, so the second exchange is
+    O(groups) bins no matter the data volume."""
+    from ..functions.stats import trimmed_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_extendedprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": b["l_linestatus"],
+                "c": np.floor(
+                    b["l_extendedprice"].to_numpy() * 100 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    out = trimmed_sum(
+        ds.map_batches(prep, batch_format="pandas"), "g", "c", _TRIM_NUM, _TRIM_DEN
+    )
+    return out.rename(columns={"g": "l_linestatus"})
+
+
+SQL_TRIMMED_MEAN = f"""
+WITH w AS (
+  SELECT l_linestatus AS g,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem),
+r AS (
+  SELECT g, c,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS rk,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM w)
+SELECT g AS l_linestatus,
+       CAST(SUM(CASE WHEN rk > n * {_TRIM_NUM} // {_TRIM_DEN}
+                      AND rk <= n - n * {_TRIM_NUM} // {_TRIM_DEN}
+                     THEN c ELSE 0 END) AS BIGINT) AS trimmed_sum,
+       CAST(SUM(CASE WHEN rk > n * {_TRIM_NUM} // {_TRIM_DEN}
+                      AND rk <= n - n * {_TRIM_NUM} // {_TRIM_DEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY g ORDER BY g
+"""
+
+
 def q_four_cliques(sf_dir: str):
     """Per-node 4-clique membership counts over the document-similarity
     graph — the motif one level above doc_similarity_triangles, via
@@ -10190,6 +10243,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "weighted_quantiles": (q_weighted_quantiles, SQL_WEIGHTED_QUANTILES),
     "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
     "four_cliques": (q_four_cliques, SQL_FOUR_CLIQUES),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
 }
 
 

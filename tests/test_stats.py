@@ -295,3 +295,33 @@ def test_weighted_quantiles_matches_brute(ray_session, num_bins):
                 (out["g"] == grp) & (out["qn"] == qn) & (out["qd"] == qd)
             ]["wq"].iloc[0]
             assert float(got) == want, (grp, qn, qd)
+
+
+@pytest.mark.parametrize("num_bins", [1, 16, 1024])
+def test_trimmed_sum_matches_brute(ray_session, num_bins):
+    from climatemind_ontology_processing_ray.functions.stats import trimmed_sum
+
+    rng = np.random.RandomState(61)
+    g = rng.choice(["a", "b", "c"], size=700)
+    c = rng.randint(-50, 5000, size=700).astype(np.int64)  # negatives too
+    out = trimmed_sum(
+        _mk(pd.DataFrame({"g": g, "c": c})), "g", "c", 1, 10, num_bins
+    )
+    for grp in "abc":
+        vals = np.sort(c[g == grp])
+        n = len(vals)
+        k = n // 10
+        want_sum = int(vals[k : n - k].sum())
+        want_n = n - 2 * k
+        row = out[out["g"] == grp].iloc[0]
+        assert (int(row["trimmed_sum"]), int(row["n_kept"])) == (want_sum, want_n)
+
+
+def test_trimmed_sum_degenerate_all_trimmed(ray_session):
+    from climatemind_ontology_processing_ray.functions.stats import trimmed_sum
+
+    # trim 1/2 from each side -> nothing kept
+    out = trimmed_sum(
+        _mk(pd.DataFrame({"g": ["a"] * 6, "c": list(range(6))})), "g", "c", 1, 2, 8
+    )
+    assert (int(out.loc[0, "trimmed_sum"]), int(out.loc[0, "n_kept"])) == (0, 0)
