@@ -1275,7 +1275,79 @@ def suite_r8ops() -> None:
 
 
 
+def suite_r9graph() -> None:
+    """Round-5 graph additions at scale: K4 motif counting over a
+    block-community graph (planted K4 density), and the per-seed
+    traversals (khop closeness, temporal earliest-arrival) FORCED onto
+    their distributed paths (driver_threshold=0) over a 1M-edge
+    graph."""
+    ray, rd = _session()
+    rng = np.random.default_rng(31)
+
+    # block-community graph: 100k nodes in blocks of 30, p=0.5 intra
+    n_nodes, blk, p_edge = 99_990, 30, 0.5
+    nb = n_nodes // blk
+    us, vs = [], []
+    base = np.arange(blk)
+    ii, jj = np.triu_indices(blk, 1)
+    for b in range(nb):
+        mask = rng.random(len(ii)) < p_edge
+        us.append((b * blk + ii[mask]).astype(np.int64))
+        vs.append((b * blk + jj[mask]).astype(np.int64))
+    edges = pd.DataFrame(
+        {
+            "subject": np.concatenate(us).astype(str),
+            "object": np.concatenate(vs).astype(str),
+        }
+    )
+    e_ds = rd.from_pandas(edges).repartition(64)
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        earliest_arrival_per_source,
+        four_clique_counts,
+        khop_per_source,
+    )
+
+    _t(
+        f"four_clique_counts @{len(edges)} edges (block communities)",
+        lambda: f"{four_clique_counts(e_ds).count()} nodes in K4s",
+    )
+
+    # sparse random graph for the traversals: 200k nodes, 1M edges
+    m = 1_000_000
+    g2 = pd.DataFrame(
+        {
+            "subject": rng.integers(0, 200_000, m).astype(np.int64).astype(str),
+            "object": rng.integers(0, 200_000, m).astype(np.int64).astype(str),
+        }
+    )
+    g2 = g2[g2["subject"] != g2["object"]]
+    g2_ds = rd.from_pandas(g2).repartition(64)
+    seeds = rd.from_pandas(
+        pd.DataFrame({"node": [str(i) for i in range(0, 200_000, 2000)]})
+    )
+    _t(
+        "khop_per_source k=2 @1M edges x 100 seeds (distributed path)",
+        lambda: f"{khop_per_source(g2_ds, seeds, 2, driver_threshold=0).count()} seeds",
+    )
+
+    tg = g2.assign(ts=rng.integers(0, 10**9, len(g2)).astype(np.int64)).rename(
+        columns={"subject": "node", "object": "nbr"}
+    )
+    tseeds = rd.from_pandas(
+        pd.DataFrame(
+            {"node": [str(i) for i in range(0, 200_000, 2000)], "t0": np.int64(0)}
+        )
+    )
+    _t(
+        "earliest_arrival k=2 @1M temporal edges x 100 seeds (distributed path)",
+        lambda: f"{earliest_arrival_per_source(rd.from_pandas(tg).repartition(64), tseeds, 2, driver_threshold=0).count()} seeds",
+    )
+
+
+
 SUITES = {
+    "r9graph": suite_r9graph,
     "r8ops": suite_r8ops,
     "r7ops": suite_r7ops,
     "r6ops": suite_r6ops,
