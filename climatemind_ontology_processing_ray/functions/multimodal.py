@@ -267,3 +267,50 @@ class VideoFrameDecoder:
                 "frame_w": pa.array(out_w, pa.int32()),
             }
         )
+
+
+class AverageHasher:
+    """binary image column -> 64-bit perceptual average-hash (aHash),
+    the integer-exact member of the perceptual-hash family (pHash's DCT
+    needs floats; aHash is pure integer compares, so a SQL oracle can
+    replay it bit-for-bit): decode, grayscale, pool to an 8x8 grid of
+    cell SUMS, set bit (r*8+c) iff cell_sum * 64 > total_sum (strict —
+    ties clear the bit).  Emitted as two int64 halves (ahash_hi/lo) so
+    bit 63 never touches the int64 sign.
+
+    Actor-pool stage (decoder bound once per actor in ``__init__``);
+    near-duplicate image dedup then runs hamming-distance bucketing on
+    the hash — the simhash machinery's shape.
+    """
+
+    def __init__(
+        self,
+        image_col: str = "image",
+        decoder: Callable[[bytes], np.ndarray] | None = None,
+    ):
+        from .codecs import decode_image
+
+        self.image_col = image_col
+        self.decoder = decoder or decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.image_col).to_pylist()
+        his, los = [], []
+        for p in payloads:
+            arr = self.decoder(p or b"")
+            gray = arr[..., 0].astype(np.int64) if arr.ndim == 3 else arr.astype(np.int64)
+            h, w = gray.shape
+            ch, cw = h // 8, w // 8
+            gray = gray[: ch * 8, : cw * 8]
+            cells = gray.reshape(8, ch, 8, cw).sum(axis=(1, 3))
+            # equal cell areas: cell_mean > global_mean <=> sum*64 > total
+            total = int(cells.sum())
+            bits = (cells * 64 > total).astype(np.uint64).reshape(-1)
+            ks = np.arange(64, dtype=np.uint64)
+            val = int((bits << ks).sum())
+            his.append((val >> 32) & 0xFFFFFFFF)
+            los.append(val & 0xFFFFFFFF)
+        out = batch.drop_columns([self.image_col])
+        out = out.append_column("ahash_hi", pa.array(his, pa.int64()))
+        out = out.append_column("ahash_lo", pa.array(los, pa.int64()))
+        return out

@@ -9692,6 +9692,77 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+def q_image_ahash(sf_dir: str):
+    """Perceptual average-hash over REAL image bytes: deterministic
+    16x16 grayscale frames render to actual PPM binaries (the pixel
+    formula is shared with the oracle), the actor-pool AverageHasher
+    decodes them with the pure-python codec and emits the 64-bit aHash
+    as two int64 halves — the integer-exact perceptual hash (strict
+    cell_sum*64 > total compare), the near-duplicate-image dedup key
+    at corpus scale.  functions/multimodal.py:AverageHasher +
+    functions/codecs.py:decode_ppm."""
+    from ..functions.codecs import encode_ppm
+    from ..functions.multimodal import AverageHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        y, x = np.mgrid[0:16, 0:16]
+        payloads = []
+        for d in ids:
+            p = (int(d) * 7919 + y * 257 + x * 31) % 256
+            rgb = np.repeat(p[:, :, None], 3, axis=2).astype(np.uint8)
+            payloads.append(encode_ppm(rgb))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "image": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            AverageHasher,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    for c in ("doc_id", "ahash_hi", "ahash_lo"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_IMAGE_AHASH = """
+WITH g AS (
+  SELECT doc_id, x.x AS x, y.y AS y,
+         (doc_id * 7919 + y.y * 257 + x.x * 31) % 256 AS p
+  FROM documents,
+       UNNEST(GENERATE_SERIES(0, 15)) AS x(x),
+       UNNEST(GENERATE_SERIES(0, 15)) AS y(y)),
+cells AS (
+  SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(p) AS s
+  FROM g GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, SUM(s) AS t FROM cells GROUP BY 1),
+bits AS (
+  SELECT cells.doc_id, r * 8 + c AS k,
+         CASE WHEN cells.s * 64 > tot.t THEN 1 ELSE 0 END AS b
+  FROM cells JOIN tot ON tot.doc_id = cells.doc_id)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN k >= 32
+                     THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                     ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(SUM(CASE WHEN k < 32
+                     THEN b * (CAST(1 AS BIGINT) << k)
+                     ELSE 0 END) AS BIGINT) AS ahash_lo
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _TRIM_NUM, _TRIM_DEN = 1, 10
 
 
@@ -10244,6 +10315,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
     "four_cliques": (q_four_cliques, SQL_FOUR_CLIQUES),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
 }
 
 

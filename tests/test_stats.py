@@ -325,3 +325,31 @@ def test_trimmed_sum_degenerate_all_trimmed(ray_session):
         _mk(pd.DataFrame({"g": ["a"] * 6, "c": list(range(6))})), "g", "c", 1, 2, 8
     )
     assert (int(out.loc[0, "trimmed_sum"]), int(out.loc[0, "n_kept"])) == (0, 0)
+
+
+def test_average_hasher_roundtrip_and_bits(ray_session):
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.functions.codecs import encode_ppm
+    from climatemind_ontology_processing_ray.functions.multimodal import (
+        AverageHasher,
+    )
+
+    # a half-dark / half-bright image: bright cells set exactly the
+    # bits of the right half (columns 4..7 of the 8x8 grid)
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 200
+    batch = pa.table({"doc_id": [1], "image": [encode_ppm(img)]})
+    out = AverageHasher()(batch).to_pydict()
+    val = (out["ahash_hi"][0] << 32) | out["ahash_lo"][0]
+    want = 0
+    for r in range(8):
+        for c in range(4, 8):
+            want |= 1 << (r * 8 + c)
+    assert val == want
+
+    # all-equal image: strict compare -> every bit clear
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    batch = pa.table({"doc_id": [2], "image": [encode_ppm(flat)]})
+    out = AverageHasher()(batch).to_pydict()
+    assert (out["ahash_hi"][0], out["ahash_lo"][0]) == (0, 0)
