@@ -276,6 +276,7 @@ def run_bench() -> dict:
         "decile_lift",
         "four_cliques",
         "trimmed_mean",
+        "image_ahash",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
