@@ -850,10 +850,16 @@ def simhash_buckets(
     *,
     max_hamming: int = 3,
     strip_budget: int | None = None,
+    sig_col: str | None = None,
 ) -> Dataset:
     """Near-dup pairs by SimHash: 4x 16-bit chunk buckets (hamming<=3
     guarantees a shared chunk), verified by popcount.
-    Output: id_a, id_b, hamming."""
+    Output: id_a, id_b, hamming.
+
+    ``sig_col`` generalizes the op to ANY precomputed 64-bit signature
+    column (perceptual image hashes, rolling fingerprints, ...) — the
+    bucketing/pairing machinery is hash-agnostic; ``text_col`` is
+    ignored then."""
     # resolve the budget DRIVER-side so it ships inside the task closure
     # (a worker re-imports the module and would not see a test's patch)
     strip_budget = _SIMHASH_STRIP_BUDGET if strip_budget is None else strip_budget
@@ -868,7 +874,12 @@ def simhash_buckets(
         old per-row string md5."""
         from .shingle import _FOLD_SEED, mix_finish, mix_step
 
-        sig = simhash64_batch(batch.column(text_col))
+        if sig_col is not None:
+            sig = batch.column(sig_col).to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+        else:
+            sig = simhash64_batch(batch.column(text_col))
         ndoc = batch.num_rows
         chunk_idx = np.arange(4, dtype=np.uint64)[None, :]
         chunks = (sig[:, None] >> (np.uint64(16) * chunk_idx)) & np.uint64(0xFFFF)

@@ -9763,6 +9763,104 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_image_neardup(sf_dir: str):
+    """Near-duplicate IMAGE pairs by perceptual hash: frames seeded by
+    doc_id % 250 (so the corpus contains planted exact duplicates)
+    render to real PPM bytes, the actor-pool AverageHasher produces the
+    64-bit aHash, and the hash-agnostic simhash bucketing machinery
+    (functions/dedup.py:simhash_buckets(sig_col=...)) finds all pairs
+    within hamming 3 — 4x 16-bit pigeonhole buckets, popcount verify,
+    never an all-pairs scan.  The oracle IS the all-pairs scan over the
+    arithmetic pixel formula (bit_count(xor))."""
+    import pyarrow.compute as pc
+
+    from ..functions.codecs import encode_ppm
+    from ..functions.dedup import simhash_buckets
+    from ..functions.multimodal import AverageHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        y, x = np.mgrid[0:16, 0:16]
+        payloads = []
+        for d in ids:
+            p = ((int(d) % 250) * 7919 + y * 257 + x * 31) % 256
+            rgb = np.repeat(p[:, :, None], 3, axis=2).astype(np.uint8)
+            payloads.append(encode_ppm(rgb))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "image": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def fuse(b: pa.Table) -> pa.Table:
+        hi = b.column("ahash_hi").to_numpy().astype(np.uint64)
+        lo = b.column("ahash_lo").to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "sig": pa.array((hi << np.uint64(32)) | lo, pa.uint64()),
+            }
+        )
+
+    hashed = (
+        ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            AverageHasher,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .map_batches(fuse, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = simhash_buckets(
+        hashed, "doc_id", sig_col="sig", max_hamming=3
+    ).to_pandas()
+    a = out[["id_a", "id_b"]].min(axis=1)
+    b2 = out[["id_a", "id_b"]].max(axis=1)
+    out = pd.DataFrame(
+        {
+            "doc_a": a.astype("int64"),
+            "doc_b": b2.astype("int64"),
+            "hamming": out["hamming"].astype("int64"),
+        }
+    ).drop_duplicates(["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_IMAGE_NEARDUP = """
+WITH g AS (
+  SELECT doc_id, x.x AS x, y.y AS y,
+         ((doc_id % 250) * 7919 + y.y * 257 + x.x * 31) % 256 AS p
+  FROM documents,
+       UNNEST(GENERATE_SERIES(0, 15)) AS x(x),
+       UNNEST(GENERATE_SERIES(0, 15)) AS y(y)),
+cells AS (
+  SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(p) AS s
+  FROM g GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, SUM(s) AS t FROM cells GROUP BY 1),
+h AS (
+  SELECT cells.doc_id,
+         SUM(CASE WHEN r * 8 + c >= 32 AND cells.s * 64 > tot.t
+                  THEN CAST(1 AS BIGINT) << (r * 8 + c - 32) ELSE 0 END) AS hi,
+         SUM(CASE WHEN r * 8 + c < 32 AND cells.s * 64 > tot.t
+                  THEN CAST(1 AS BIGINT) << (r * 8 + c) ELSE 0 END) AS lo
+  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+  GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(COALESCE(a.hi, 0), COALESCE(b.hi, 0)))
+         + bit_count(xor(COALESCE(a.lo, 0), COALESCE(b.lo, 0))) AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
+"""
+
+
 _TRIM_NUM, _TRIM_DEN = 1, 10
 
 
@@ -10316,6 +10414,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "four_cliques": (q_four_cliques, SQL_FOUR_CLIQUES),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+    "image_neardup": (q_image_neardup, SQL_IMAGE_NEARDUP),
 }
 
 
