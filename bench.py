@@ -277,6 +277,7 @@ def run_bench() -> dict:
         "four_cliques",
         "trimmed_mean",
         "image_ahash",
+        "image_neardup",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
