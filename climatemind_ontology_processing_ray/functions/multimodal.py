@@ -314,3 +314,45 @@ class AverageHasher:
         out = out.append_column("ahash_hi", pa.array(his, pa.int64()))
         out = out.append_column("ahash_lo", pa.array(los, pa.int64()))
         return out
+
+
+class AudioFingerprinter:
+    """binary WAV column -> 64-bit energy-delta fingerprint, the
+    integer-exact audio analog of :class:`AverageHasher` (chromaprint's
+    spectral bits need an FFT; the energy-delta variant is pure integer
+    sums and compares, so a SQL oracle replays it bit-for-bit): decode
+    PCM, sum |sample| per 256-sample window over the first channel, set
+    bit w iff energy[w+1] > energy[w] (w = 0..63; short clips pad with
+    zero-energy windows).  Emitted as two int64 halves.
+
+    Actor-pool stage; near-duplicate audio then runs the same
+    signature-agnostic hamming bucketing as images
+    (``dedup.simhash_buckets(sig_col=...)``)."""
+
+    WINDOW = 256
+    N_BITS = 64
+
+    def __init__(self, audio_col: str = "audio"):
+        from .codecs import decode_wav
+
+        self.audio_col = audio_col
+        self.decoder = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.audio_col).to_pylist()
+        his, los = [], []
+        need = self.WINDOW * (self.N_BITS + 1)
+        for p in payloads:
+            samples, _rate = self.decoder(p or b"")
+            s = np.abs(samples[:, 0].astype(np.int64))
+            if len(s) < need:
+                s = np.concatenate([s, np.zeros(need - len(s), np.int64)])
+            e = s[:need].reshape(self.N_BITS + 1, self.WINDOW).sum(axis=1)
+            bits = (e[1:] > e[:-1]).astype(np.uint64)
+            val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            his.append((val >> 32) & 0xFFFFFFFF)
+            los.append(val & 0xFFFFFFFF)
+        out = batch.drop_columns([self.audio_col])
+        out = out.append_column("fp_hi", pa.array(his, pa.int64()))
+        out = out.append_column("fp_lo", pa.array(los, pa.int64()))
+        return out

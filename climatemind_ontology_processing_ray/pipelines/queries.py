@@ -9861,6 +9861,77 @@ FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """
 
 
+def q_audio_fingerprint(sf_dir: str):
+    """64-bit energy-delta audio fingerprints over REAL RIFF/WAVE
+    bytes: deterministic PCM clips (sample formula shared with the
+    oracle, seeded by doc_id % 200 so duplicate clips exist) encode to
+    real WAV binaries, the actor-pool AudioFingerprinter decodes them
+    with the pure-python RIFF parser and emits the per-window
+    energy-comparison bits — the integer-exact audio dedup key
+    (functions/multimodal.py:AudioFingerprinter +
+    functions/codecs.py:decode_wav)."""
+    from ..functions.codecs import encode_wav
+    from ..functions.multimodal import AudioFingerprinter
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n_samp = 256 * 65
+
+    def render(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        t = np.arange(n_samp, dtype=np.int64)
+        payloads = []
+        for d in ids:
+            seed = int(d) % 200 + 1
+            s = ((seed * ((t * t) % 251) + t * 13) % 4001 - 2000).astype(np.int16)
+            payloads.append(encode_wav(s, 16_000))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "audio": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            AudioFingerprinter,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    for c in ("doc_id", "fp_hi", "fp_lo"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_AUDIO_FINGERPRINT = """
+WITH seeds AS (SELECT DISTINCT doc_id % 200 + 1 AS seed FROM documents),
+s AS (
+  SELECT seed, t.t AS t,
+         ABS((seed * ((t.t * t.t) % 251) + t.t * 13) % 4001 - 2000) AS a
+  FROM seeds, UNNEST(GENERATE_SERIES(0, 256 * 65 - 1)) AS t(t)),
+e AS (SELECT seed, t // 256 AS w, SUM(a) AS energy FROM s GROUP BY 1, 2),
+bits AS (
+  SELECT e1.seed, e1.w AS k,
+         CASE WHEN e2.energy > e1.energy THEN 1 ELSE 0 END AS b
+  FROM e e1 JOIN e e2 ON e2.seed = e1.seed AND e2.w = e1.w + 1
+  WHERE e1.w < 64),
+h AS (
+  SELECT seed,
+         SUM(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                  ELSE 0 END) AS hi,
+         SUM(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+                  ELSE 0 END) AS lo
+  FROM bits GROUP BY seed)
+SELECT d.doc_id, CAST(h.hi AS BIGINT) AS fp_hi, CAST(h.lo AS BIGINT) AS fp_lo
+FROM documents d JOIN h ON h.seed = d.doc_id % 200 + 1
+ORDER BY d.doc_id
+"""
+
+
 _TRIM_NUM, _TRIM_DEN = 1, 10
 
 
@@ -10415,6 +10486,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
     "image_neardup": (q_image_neardup, SQL_IMAGE_NEARDUP),
+    "audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
 }
 
 
