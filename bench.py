@@ -278,6 +278,7 @@ def run_bench() -> dict:
         "trimmed_mean",
         "image_ahash",
         "image_neardup",
+        "audio_fingerprint",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
