@@ -155,3 +155,70 @@ def read_key_range(out_dir: str, lo, hi) -> Dataset:
 def lookup_key(out_dir: str, key) -> Dataset:
     """Point lookup: reads the single covering partition."""
     return read_key_range(out_dir, key, key)
+
+
+def compact_partitions(
+    out_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact each range partition's small Parquet files into
+    ~``target_rows_per_file``-row files — the operational answer to the
+    small-files problem a long-running ingest accumulates (every
+    incremental batch appends files; a 100-TB store with million-file
+    partitions pays metadata + open() costs on every read).
+
+    Per range: read the partition (parallel), coalesce to
+    ceil(rows / target) blocks, write to a staging dir and atomically
+    swap — a crash mid-compact leaves either the old or the new
+    complete layout, never a mix.  Row counts are re-verified against
+    the manifest before the swap (a mismatch aborts that range).
+    Returns {range_id: {"files_before": n, "files_after": m}}."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    report: dict[str, dict] = {}
+    for rid, meta in sorted(manifest["partitions"].items()):
+        part_dir = os.path.join(out_dir, f"__range={rid}")
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        rows = int(meta["rows"])
+        n_out = max(1, -(-rows // target_rows_per_file))
+        if len(files) <= n_out:
+            report[rid] = {
+                "files_before": len(files),
+                "files_after": len(files),
+            }
+            continue
+        staging = part_dir + ".compact.tmp"
+        shutil.rmtree(staging, ignore_errors=True)
+        ds = rd.read_parquet(part_dir).repartition(n_out)
+        ds.write_parquet(staging)
+        got = sum(
+            pq.read_metadata(os.path.join(staging, f)).num_rows
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        if got != rows:
+            shutil.rmtree(staging, ignore_errors=True)
+            report[rid] = {
+                "files_before": len(files),
+                "files_after": len(files),
+                "aborted": f"row mismatch {got} != {rows}",
+            }
+            continue
+        old = part_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(part_dir, old)
+        os.replace(staging, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        report[rid] = {
+            "files_before": len(files),
+            "files_after": sum(
+                1 for f in os.listdir(part_dir) if f.endswith(".parquet")
+            ),
+        }
+    return report

@@ -66,3 +66,53 @@ class TestRangePartitionedSink:
         out, manifest = _store(tmp_path, df, "k", parts=2)
         with open(os.path.join(out, MANIFEST)) as f:
             assert json.load(f) == manifest
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from climatemind_ontology_processing_ray.sinks.partitioned import (
+            compact_partitions,
+            read_key_range,
+            write_range_partitioned,
+        )
+
+        df = pd.DataFrame(
+            {"k": [f"key{i:04d}" for i in range(400)], "v": range(400)}
+        )
+        out = str(tmp_path / "store")
+        # many small blocks -> many small files per range
+        write_range_partitioned(
+            rd.from_pandas(df).repartition(16), out, "k", num_partitions=4
+        )
+        before = read_key_range(out, "key0000", "key9999").to_pandas()
+        n_files_before = sum(
+            1
+            for d in os.listdir(out)
+            if d.startswith("__range=")
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        )
+        report = compact_partitions(out, target_rows_per_file=10_000)
+        n_files_after = sum(
+            1
+            for d in os.listdir(out)
+            if d.startswith("__range=")
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        )
+        assert n_files_after < n_files_before
+        assert all(m["files_after"] <= m["files_before"] for m in report.values())
+        # identical content after the swap, through the pruned reader
+        after = read_key_range(out, "key0000", "key9999").to_pandas()
+        pd.testing.assert_frame_equal(
+            before.sort_values("k").reset_index(drop=True)[["k", "v"]],
+            after.sort_values("k").reset_index(drop=True)[["k", "v"]],
+        )
+        # point lookups still hit
+        from climatemind_ontology_processing_ray.sinks.partitioned import lookup_key
+
+        assert lookup_key(out, "key0123").to_pandas().v.tolist() == [123]
