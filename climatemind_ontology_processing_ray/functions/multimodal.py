@@ -356,3 +356,41 @@ class AudioFingerprinter:
         out = out.append_column("fp_hi", pa.array(his, pa.int64()))
         out = out.append_column("fp_lo", pa.array(los, pa.int64()))
         return out
+
+
+class SceneCutDetector:
+    """binary Y4M column -> scene-cut statistics: decode the luma
+    planes, sum |pixel delta| between consecutive frames, and count the
+    pairs whose delta energy exceeds the threshold — integer-exact
+    frame-level shot detection (the histogram/feature variants need
+    floats; absolute-delta energy is the SQL-replayable member of the
+    family).  Actor-pool stage over real YUV4MPEG2 bytes
+    (``codecs.decode_y4m``)."""
+
+    def __init__(self, video_col: str = "video", threshold: int = 1000):
+        from .codecs import decode_y4m
+
+        self.video_col = video_col
+        self.threshold = threshold
+        self.decoder = decode_y4m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.video_col).to_pylist()
+        n_frames, n_cuts, max_delta = [], [], []
+        for p in payloads:
+            frames, _fn, _fd = self.decoder(p or b"")
+            f = frames.astype(np.int64)
+            if len(f) < 2:
+                n_frames.append(len(f))
+                n_cuts.append(0)
+                max_delta.append(0)
+                continue
+            deltas = np.abs(f[1:] - f[:-1]).sum(axis=(1, 2))
+            n_frames.append(len(f))
+            n_cuts.append(int((deltas > self.threshold).sum()))
+            max_delta.append(int(deltas.max()))
+        out = batch.drop_columns([self.video_col])
+        out = out.append_column("n_frames", pa.array(n_frames, pa.int64()))
+        out = out.append_column("n_cuts", pa.array(n_cuts, pa.int64()))
+        out = out.append_column("max_delta", pa.array(max_delta, pa.int64()))
+        return out

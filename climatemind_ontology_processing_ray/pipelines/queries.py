@@ -9932,6 +9932,83 @@ ORDER BY d.doc_id
 """
 
 
+def q_video_scenes(sf_dir: str):
+    """Scene-cut detection over REAL YUV4MPEG2 bytes: deterministic
+    32-frame 16x16 clips with planted 8-frame scenes (luma formula
+    shared with the oracle, seeded by doc_id % 150) encode to real Y4M,
+    the actor-pool SceneCutDetector decodes them with the pure-python
+    parser and counts the frame pairs whose |pixel-delta| energy
+    crosses the threshold — integer-exact shot boundaries
+    (functions/multimodal.py:SceneCutDetector +
+    functions/codecs.py:decode_y4m)."""
+    from ..functions.codecs import encode_y4m
+    from ..functions.multimodal import SceneCutDetector
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    y, x = np.mgrid[0:16, 0:16]
+    f = np.arange(32)[:, None, None]
+
+    def render(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        payloads = []
+        for d in ids:
+            seed = int(d) % 150
+            luma = (
+                ((seed * 13 + (f // 8) * 101) * 7 + y[None] * 17 + x[None] * 29)
+                % 256
+            ).astype(np.uint8)
+            payloads.append(encode_y4m(luma))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "video": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            SceneCutDetector,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    for c in ("doc_id", "n_frames", "n_cuts", "max_delta"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_VIDEO_SCENES = """
+WITH seeds AS (SELECT DISTINCT doc_id % 150 AS seed FROM documents),
+g AS (
+  SELECT seed, f.f AS f, y.y AS y, x.x AS x,
+         ((seed * 13 + (f.f // 8) * 101) * 7 + y.y * 17 + x.x * 29) % 256 AS p
+  FROM seeds,
+       UNNEST(GENERATE_SERIES(0, 31)) AS f(f),
+       UNNEST(GENERATE_SERIES(0, 15)) AS y(y),
+       UNNEST(GENERATE_SERIES(0, 15)) AS x(x)),
+d AS (
+  SELECT a.seed, a.f, SUM(ABS(a.p - b.p)) AS delta
+  FROM g a
+  JOIN g b ON b.seed = a.seed AND b.f = a.f + 1
+          AND b.y = a.y AND b.x = a.x
+  GROUP BY 1, 2),
+m AS (
+  SELECT seed,
+         SUM(CASE WHEN delta > 1000 THEN 1 ELSE 0 END) AS n_cuts,
+         MAX(delta) AS max_delta
+  FROM d GROUP BY seed)
+SELECT doc_id, CAST(32 AS BIGINT) AS n_frames,
+       CAST(m.n_cuts AS BIGINT) AS n_cuts,
+       CAST(m.max_delta AS BIGINT) AS max_delta
+FROM documents JOIN m ON m.seed = doc_id % 150
+ORDER BY doc_id
+"""
+
+
 _TRIM_NUM, _TRIM_DEN = 1, 10
 
 
@@ -10487,6 +10564,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
     "image_neardup": (q_image_neardup, SQL_IMAGE_NEARDUP),
     "audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
+    "video_scenes": (q_video_scenes, SQL_VIDEO_SCENES),
 }
 
 

@@ -353,3 +353,26 @@ def test_average_hasher_roundtrip_and_bits(ray_session):
     batch = pa.table({"doc_id": [2], "image": [encode_ppm(flat)]})
     out = AverageHasher()(batch).to_pydict()
     assert (out["ahash_hi"][0], out["ahash_lo"][0]) == (0, 0)
+
+
+def test_scene_cut_detector_planted_cuts(ray_session):
+    import pyarrow as pa
+
+    from climatemind_ontology_processing_ray.functions.codecs import encode_y4m
+    from climatemind_ontology_processing_ray.functions.multimodal import (
+        SceneCutDetector,
+    )
+
+    # 3 scenes of 4 frames: constant luma 10 / 200 / 10 -> exactly 2 cuts
+    luma = np.concatenate(
+        [
+            np.full((4, 16, 16), 10, np.uint8),
+            np.full((4, 16, 16), 200, np.uint8),
+            np.full((4, 16, 16), 10, np.uint8),
+        ]
+    )
+    batch = pa.table({"doc_id": [1], "video": [encode_y4m(luma)]})
+    out = SceneCutDetector(threshold=1000)(batch).to_pydict()
+    assert out["n_frames"][0] == 12
+    assert out["n_cuts"][0] == 2
+    assert out["max_delta"][0] == 190 * 256
