@@ -10009,6 +10009,111 @@ ORDER BY doc_id
 """
 
 
+def q_psi_bins(sf_dir: str):
+    """Population-stability-index inputs between the two halves of the
+    order history: decile edges from the FIRST half's exact discrete
+    price quantiles (weighted_quantiles at q = i/10, weight 1), both
+    halves binned by strict edge comparison — the per-bin (n_a, n_b)
+    integer table every drift monitor reduces to PSI/KL at the edge.
+    One bounds pass + the candidate-bin quantile passes + one broadcast
+    bincount pass; bins 0..9 always present."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.stats import weighted_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+
+    def us_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "us": b["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            }
+        )
+
+    bounds = ds.map_batches(us_prep, batch_format="pandas").aggregate(
+        Min("us"), Max("us")
+    )
+    lo, hi = int(bounds["min(us)"]), int(bounds["max(us)"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "g": np.where(us * 2 <= lo + hi, "a", "b"),
+                "v": np.floor(
+                    b["o_totalprice"].to_numpy() * 100 + 0.5
+                ).astype("int64"),
+                "wt": np.int64(1),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    qs = [(i, 10) for i in range(1, 10)]
+    wq = weighted_quantiles(prepped, "g", "v", "wt", qs)
+    edges = np.sort(
+        wq[wq["g"] == "a"]["wq"].to_numpy(dtype=np.float64)
+    ).astype(np.int64)
+
+    def bin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy(dtype=np.int64)
+        binned = np.searchsorted(edges, v, side="left")  # == #edges < v
+        is_a = (b["g"] == "a").to_numpy()
+        na = np.bincount(binned[is_a], minlength=10)
+        nb = np.bincount(binned[~is_a], minlength=10)
+        return pd.DataFrame(
+            {
+                "bin": np.arange(10, dtype=np.int64),
+                "n_a": na.astype(np.int64),
+                "n_b": nb.astype(np.int64),
+            }
+        )
+
+    agg = (
+        prepped.map_batches(bin_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("bin", sort=True)[["n_a", "n_b"]]
+        .sum()
+        .reset_index()
+    )
+    for c in ("bin", "n_a", "n_b"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+SQL_PSI_BINS = """
+WITH b AS (
+  SELECT MIN(epoch_us(o_orderdate)) AS lo, MAX(epoch_us(o_orderdate)) AS hi
+  FROM orders),
+h AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN epoch_us(o_orderdate) * 2 <= b.lo + b.hi
+              THEN 'a' ELSE 'b' END AS g
+  FROM orders, b),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk,
+         COUNT(*) OVER () AS n
+  FROM h WHERE g = 'a'),
+edges AS (
+  SELECT q.i AS i, MIN(v) AS e
+  FROM r, (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS i) q
+  WHERE 10 * rk >= q.i * n GROUP BY 1),
+hv AS (SELECT g, v, COUNT(*) AS c FROM h GROUP BY 1, 2),
+binned AS (
+  SELECT hv.g, hv.c,
+         SUM(CASE WHEN e.e < hv.v THEN 1 ELSE 0 END) AS bin
+  FROM hv CROSS JOIN edges e GROUP BY hv.g, hv.v, hv.c),
+grid AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bin)
+SELECT grid.bin,
+       CAST(COALESCE(SUM(CASE WHEN g = 'a' THEN c END), 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(SUM(CASE WHEN g = 'b' THEN c END), 0) AS BIGINT) AS n_b
+FROM grid LEFT JOIN binned ON binned.bin = grid.bin
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _TRIM_NUM, _TRIM_DEN = 1, 10
 
 
@@ -10565,6 +10670,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "image_neardup": (q_image_neardup, SQL_IMAGE_NEARDUP),
     "audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
     "video_scenes": (q_video_scenes, SQL_VIDEO_SCENES),
+    "psi_bins": (q_psi_bins, SQL_PSI_BINS),
 }
 
 
