@@ -280,6 +280,7 @@ def run_bench() -> dict:
         "image_neardup",
         "audio_fingerprint",
         "video_scenes",
+        "psi_bins",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
