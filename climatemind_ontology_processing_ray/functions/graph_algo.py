@@ -1892,3 +1892,164 @@ def four_clique_counts(
     return grouped_sum(
         k4.map_batches(corners, batch_format="pandas"), ["node"], ["n_k4"]
     )
+
+
+def maximal_matching(
+    edges: Dataset,
+    src_col: str = "subject",
+    dst_col: str = "object",
+    max_rounds: int = 10,
+    driver_threshold: int = 250_000,
+) -> Dataset:
+    """Deterministic maximal matching by the handshake rule: each round
+    every node nominates its MINIMAL incident edge (by the edge's
+    string key u\\x1f v — any total order works, it just must be the
+    same one the oracle uses), an edge joins the matching iff BOTH its
+    endpoints nominated it, matched nodes leave the graph.  The
+    globally minimal surviving edge is always matched, so every round
+    makes progress; symmetric tie-breaking needs no randomness — the
+    deterministic cousin of Luby-style symmetry breaking, and the
+    standard way to coarsen graphs for multilevel partitioning.
+
+    Rounds = min(convergence, ``max_rounds``); at convergence the
+    result is a maximal matching (no surviving edge has two unmatched
+    endpoints).  Distributed rounds: one grouped MIN per direction +
+    two bucketed semi joins, state node-sized, blocks pinned.  Returns
+    (u, v) matched pairs."""
+    from .agg import grouped_min
+    from .dedup import pin_blocks
+    from .join import bucketed_hash_join
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str)
+        c = b[dst_col].astype(str)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        u = np.minimum(a, c)
+        v = np.maximum(a, c)
+        return pd.DataFrame({"u": u, "v": v, "ek": u + "\x1f" + v})
+
+    live = pin_blocks(
+        distinct_edges(
+            edges.map_batches(norm, batch_format="pandas"), "u", "v"
+        ).map_batches(
+            lambda b: b.assign(ek=b["u"] + "\x1f" + b["v"]),
+            batch_format="pandas",
+        ),
+        64,
+    )
+
+    if live.count() <= driver_threshold:
+        edf = live.to_pandas()
+        matched_pairs = []
+        for _ in range(max_rounds):
+            if not len(edf):
+                break
+            me: dict[str, str] = {}
+            for u, v, ek in zip(edf["u"], edf["v"], edf["ek"]):
+                if u not in me or ek < me[u]:
+                    me[u] = ek
+                if v not in me or ek < me[v]:
+                    me[v] = ek
+            m = edf[
+                (edf["ek"].to_numpy() == edf["u"].map(me).to_numpy())
+                & (edf["ek"].to_numpy() == edf["v"].map(me).to_numpy())
+            ]
+            if not len(m):
+                break
+            matched_pairs.append(m[["u", "v"]])
+            gone = set(m["u"]) | set(m["v"])
+            edf = edf[~edf["u"].isin(gone) & ~edf["v"].isin(gone)]
+        out = (
+            pd.concat(matched_pairs, ignore_index=True)
+            if matched_pairs
+            else pd.DataFrame({"u": pd.Series([], dtype=object), "v": pd.Series([], dtype=object)})
+        )
+        return ray.data.from_pandas(out)
+
+    matched = []
+    for _ in range(max_rounds):
+        if live.count() == 0:
+            break
+
+        def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": pd.concat([b["u"], b["v"]], ignore_index=True),
+                    "ek": pd.concat([b["ek"], b["ek"]], ignore_index=True),
+                }
+            )
+
+        nominee = grouped_min(
+            live.map_batches(both_dirs, batch_format="pandas"), ["node"], ["ek"]
+        ).map_batches(
+            lambda b: b.rename(columns={"ek": "me"}), batch_format="pandas"
+        )
+        with_u = bucketed_hash_join(
+            live.map_batches(
+                lambda b: b.rename(columns={"u": "node"}), batch_format="pandas"
+            ),
+            nominee,
+            "node",
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"u": b["node"], "v": b["v"], "ek": b["ek"]}
+            )[(b["ek"] == b["me"]).to_numpy()],
+            batch_format="pandas",
+        )
+        m_round = pin_blocks(
+            bucketed_hash_join(
+                with_u.map_batches(
+                    lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"
+                ),
+                nominee,
+                "node",
+            ).map_batches(
+                lambda b: pd.DataFrame({"u": b["u"], "v": b["node"]})[
+                    (b["ek"] == b["me"]).to_numpy()
+                ],
+                batch_format="pandas",
+            ),
+            16,
+        )
+        if m_round.count() == 0:
+            break
+        matched.append(m_round)
+
+        def gone_nodes(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": pd.concat([b["u"], b["v"]], ignore_index=True)}
+            )
+
+        gone = m_round.map_batches(gone_nodes, batch_format="pandas")
+        from .join import bucketed_anti_join
+
+        live = pin_blocks(
+            bucketed_anti_join(
+                bucketed_anti_join(
+                    live.map_batches(
+                        lambda b: b.rename(columns={"u": "node"}),
+                        batch_format="pandas",
+                    ),
+                    gone,
+                    "node",
+                ).map_batches(
+                    lambda b: b.rename(columns={"node": "u", "v": "node"}),
+                    batch_format="pandas",
+                ),
+                gone,
+                "node",
+            ).map_batches(
+                lambda b: b.rename(columns={"node": "v"}), batch_format="pandas"
+            ),
+            64,
+        )
+
+    if not matched:
+        return ray.data.from_pandas(
+            pd.DataFrame({"u": pd.Series([], dtype=object), "v": pd.Series([], dtype=object)})
+        )
+    out = matched[0]
+    for part in matched[1:]:
+        out = out.union(part)
+    return out

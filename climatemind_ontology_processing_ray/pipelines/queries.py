@@ -10114,6 +10114,64 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_MATCH_ROUNDS = 10
+
+
+def q_graph_matching(sf_dir: str):
+    """Deterministic maximal matching over the document-similarity
+    graph by the handshake rule (both endpoints nominate their minimal
+    incident edge key) — randomness-free distributed symmetry
+    breaking, the coarsening step of multilevel graph partitioners.
+    functions/graph_algo.py:maximal_matching; the oracle unrolls the
+    SAME round count, and both sides stop there by construction — on
+    graphs that converge inside the bound the result is a maximal
+    matching; on clique-heavy graphs (the handshake matches one edge
+    per clique per round) it is the deterministic 10-round prefix,
+    identical on both sides."""
+    from ..functions.graph_algo import maximal_matching
+
+    out = maximal_matching(
+        _doc_sim_edges(sf_dir), max_rounds=_MATCH_ROUNDS
+    ).to_pandas()
+    out["u"] = out["u"].astype(str)
+    out["v"] = out["v"].astype(str)
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _sql_graph_matching() -> str:
+    # round CTEs use the le{r} namespace (le = "live edges") so nothing
+    # collides with _SIM_EDGES_SQL's e0
+    rounds = []
+    for r in range(_MATCH_ROUNDS):
+        rounds.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT node, MIN(ek) AS me FROM (
+    SELECT u AS node, ek FROM le{r}
+    UNION ALL SELECT v, ek FROM le{r}) GROUP BY 1),
+m{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM le{r} e
+  JOIN n{r} a ON a.node = e.u AND a.me = e.ek
+  JOIN n{r} b ON b.node = e.v AND b.me = e.ek),
+g{r} AS MATERIALIZED (SELECT u AS node FROM m{r} UNION SELECT v FROM m{r}),
+le{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v, e.ek FROM le{r} e
+  LEFT JOIN g{r} x ON x.node = e.u
+  LEFT JOIN g{r} y ON y.node = e.v
+  WHERE x.node IS NULL AND y.node IS NULL)"""
+        )
+    unions = "\nUNION ALL ".join(f"SELECT u, v FROM m{r}" for r in range(_MATCH_ROUNDS))
+    return f"""
+WITH {_SIM_EDGES_SQL},
+norm AS MATERIALIZED (
+  SELECT DISTINCT LEAST(CAST(u AS VARCHAR), CAST(v AS VARCHAR)) AS u,
+         GREATEST(CAST(u AS VARCHAR), CAST(v AS VARCHAR)) AS v
+  FROM e0),
+le0 AS MATERIALIZED (SELECT u, v, u || chr(31) || v AS ek FROM norm),
+{",".join(rounds)}
+SELECT u, v FROM ({unions}) ORDER BY u, v
+"""
+
+
 _TRIM_NUM, _TRIM_DEN = 1, 10
 
 
@@ -10671,6 +10729,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
     "video_scenes": (q_video_scenes, SQL_VIDEO_SCENES),
     "psi_bins": (q_psi_bins, SQL_PSI_BINS),
+    "graph_matching": (q_graph_matching, _sql_graph_matching),
 }
 
 

@@ -682,3 +682,41 @@ def test_four_clique_counts_matches_brute(ray_session):
             for v in quad:
                 brute[v] = brute.get(v, 0) + 1
     assert {k: int(v) for k, v in out.items()} == brute
+
+
+def test_maximal_matching_driver_vs_distributed_and_valid(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        maximal_matching,
+    )
+
+    rng = np.random.RandomState(67)
+    u = rng.randint(0, 80, size=300)
+    v = rng.randint(0, 80, size=300)
+    keep = u != v
+    edges = pd.DataFrame(
+        {"subject": u[keep].astype(str), "object": v[keep].astype(str)}
+    )
+    e_ds = rd.from_pandas(edges).repartition(5)
+
+    def run(threshold):
+        out = maximal_matching(e_ds, driver_threshold=threshold).to_pandas()
+        return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+    drv, dist = run(10**9), run(0)
+    pd.testing.assert_frame_equal(drv, dist)
+
+    # validity: a matching (no node twice)
+    nodes = list(drv["u"]) + list(drv["v"])
+    assert len(nodes) == len(set(nodes))
+    # maximality: every edge has >= 1 matched endpoint
+    matched_nodes = set(nodes)
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in zip(edges["subject"], edges["object"])
+    }
+    for a, b in und:
+        assert a in matched_nodes or b in matched_nodes, (a, b)
