@@ -10114,6 +10114,102 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_session_similarity(sf_dir: str):
+    """Behavioral-sequence similarity: each user's event history
+    becomes the string of event-type initials (ts, event_id ordered),
+    and key-adjacent user pairs get their exact Levenshtein distance —
+    the sequence-alignment view of session comparison (bot detection,
+    cohort lookalikes).  One hash(user) exchange builds the sequences,
+    a bucketed join pairs (u, u+1), and the lane-vectorized DP kernel
+    from the fuzzy-join family (functions/fuzzy.py:levenshtein_pairs)
+    scores every pair in the batch simultaneously.  The oracle is
+    DuckDB's native levenshtein over STRING_AGG sequences."""
+    from ..functions.fuzzy import _byte_matrix, levenshtein_pairs
+    from ..functions.join import bucketed_hash_join, hash_bucket
+    from ..functions.partitioning import adaptive_parts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    parts = adaptive_parts(ev)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "ch": b["event_type"].str[0],
+                "__part": hash_bucket(b["user_id"].to_numpy(), parts),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        s = g.groupby("user_id", sort=False)["ch"].agg("".join).reset_index()
+        return s.rename(columns={"ch": "sq"})
+
+    seqs = (
+        ev.map_batches(prep, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(lambda g: build(g.drop(columns="__part")), batch_format="pandas")
+    )
+    left = seqs.map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["user_id"], "user_a": b["user_id"], "sq_a": b["sq"]}
+        ),
+        batch_format="pandas",
+    )
+    right = seqs.map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["user_id"] - 1, "user_b": b["user_id"], "sq_b": b["sq"]}
+        ),
+        batch_format="pandas",
+    )
+
+    def dist(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "user_a": pd.Series([], dtype="int64"),
+                    "user_b": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        names = pd.concat(
+            [b["sq_a"].astype(str), b["sq_b"].astype(str)], ignore_index=True
+        )
+        mat, lens = _byte_matrix(names)
+        n = len(b)
+        d = levenshtein_pairs(
+            mat, lens, np.arange(n), n + np.arange(n)
+        )
+        return pd.DataFrame(
+            {
+                "user_a": b["user_a"].astype("int64"),
+                "user_b": b["user_b"].astype("int64"),
+                "dist": d.astype("int64"),
+            }
+        )
+
+    out = (
+        bucketed_hash_join(left, right, "key")
+        .map_batches(dist, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_a").reset_index(drop=True)
+
+
+SQL_SESSION_SIMILARITY = """
+WITH s AS (
+  SELECT user_id,
+         STRING_AGG(SUBSTRING(event_type, 1, 1), '' ORDER BY ts, event_id) AS sq
+  FROM events GROUP BY 1)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(levenshtein(a.sq, b.sq) AS BIGINT) AS dist
+FROM s a JOIN s b ON b.user_id = a.user_id + 1
+ORDER BY user_a
+"""
+
+
 _MATCH_ROUNDS = 10
 
 
@@ -10730,6 +10826,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "video_scenes": (q_video_scenes, SQL_VIDEO_SCENES),
     "psi_bins": (q_psi_bins, SQL_PSI_BINS),
     "graph_matching": (q_graph_matching, _sql_graph_matching),
+    "session_similarity": (q_session_similarity, SQL_SESSION_SIMILARITY),
 }
 
 
