@@ -282,6 +282,7 @@ def run_bench() -> dict:
         "video_scenes",
         "psi_bins",
         "graph_matching",
+        "session_similarity",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
