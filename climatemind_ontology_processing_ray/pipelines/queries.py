@@ -10210,6 +10210,171 @@ ORDER BY user_a
 """
 
 
+_COVER_ROUNDS = 5
+
+
+def q_greedy_coverage(sf_dir: str):
+    """Greedy max-coverage corpus selection (the classic submodular
+    1-1/e curation algorithm): pick 5 documents, each round choosing
+    the doc adding the most NOT-yet-covered bigram shingles
+    (ties -> min doc_id; unigrams degenerate here — one long doc spans
+    the whole synthetic vocabulary, bigrams are doc-distinctive).  Every round is one distributed gain scan
+    against the broadcast covered-set plus a tiny top-1 reduce — the
+    covered set grows by at most one doc's vocabulary per round, so
+    the broadcast stays small no matter the corpus.  The oracle
+    unrolls the same rounds with MATERIALIZED CTEs.  Output:
+    (round, doc_id, gain)."""
+    import ray
+
+    from ..functions.agg import grouped_sum
+    from ..functions.broadcast import cached_get
+    from ..functions.dedup import pin_blocks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.split(" ")
+        counts = toks.str.len().to_numpy()
+        doc = np.repeat(b["doc_id"].to_numpy().astype(np.int64), counts)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        keep = flat != ""
+        doc, flat = doc[keep], flat[keep]
+        if len(doc) > 1:
+            m = doc[:-1] == doc[1:]
+            d = pd.DataFrame(
+                {
+                    "doc_id": doc[:-1][m],
+                    "tok": flat[:-1][m] + " " + flat[1:][m],
+                }
+            )
+        else:
+            d = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "tok": pd.Series([], dtype=object)}
+            )
+        d = d.drop_duplicates()
+        d["one"] = np.int64(1)
+        return d
+
+    # distinct (doc, tok) pairs, co-partitioned by doc ONCE and pinned:
+    # every doc's rows live in one block, so each round's gain argmax is
+    # one map pass emitting <= 1 row per block + a blocks-sized driver
+    # fold — NO per-round exchange (the first cut paid a grouped_sum
+    # exchange every round: 75s -> ~8s at sf0.01)
+    from ..functions.join import hash_bucket
+
+    base = grouped_sum(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["doc_id", "tok"],
+        ["one"],
+    )
+    toksp = pin_blocks(
+        base.map_batches(
+            lambda b: b.assign(
+                __part=hash_bucket(b["doc_id"].to_numpy(), 64)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: g.drop(columns="__part"), batch_format="pandas"
+        ),
+        64,
+    )
+
+    covered: set = set()
+    chosen: list[tuple[int, int, int]] = []
+    for rnd in range(1, _COVER_ROUNDS + 1):
+        cov_ref = ray.put(frozenset(covered))
+
+        def local_best(b: pd.DataFrame, _ref=cov_ref) -> pd.DataFrame:
+            cov = cached_get(_ref)
+            d = b[~b["tok"].isin(cov).to_numpy()]
+            if not len(d):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "gain": pd.Series([], dtype="int64"),
+                    }
+                )
+            out = d.groupby("doc_id", sort=False).size().reset_index(name="gain")
+            out = out.sort_values(
+                ["gain", "doc_id"], ascending=[False, True]
+            ).head(1)
+            out["gain"] = out["gain"].astype("int64")
+            return out
+
+        g = toksp.map_batches(local_best, batch_format="pandas").to_pandas()
+        if len(g) == 0 or "gain" not in g.columns:
+            break
+        g = g[g["gain"] > 0]
+        if not len(g):
+            break
+        g = g.sort_values(["gain", "doc_id"], ascending=[False, True])
+        best_doc = int(g["doc_id"].iloc[0])
+        best_gain = int(g["gain"].iloc[0])
+        chosen.append((rnd, best_doc, best_gain))
+        new_toks = (
+            toksp.map_batches(
+                lambda b, d=best_doc: b[b["doc_id"].to_numpy() == d],
+                batch_format="pandas",
+            )
+            .to_pandas()["tok"]
+            .tolist()
+        )
+        covered |= set(new_toks)
+
+    out = pd.DataFrame(chosen, columns=["round", "doc_id", "gain"])
+    return out.astype({"round": "int64", "doc_id": "int64", "gain": "int64"})
+
+
+def _sql_greedy_coverage() -> str:
+    rounds = []
+    for r in range(1, _COVER_ROUNDS + 1):
+        if r == 1:
+            gain_src = "SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY 1"
+        else:
+            gain_src = f"""SELECT t.doc_id, COUNT(*) AS c
+  FROM toks t LEFT JOIN cov{r - 1} c ON c.tok = t.tok
+  WHERE c.tok IS NULL GROUP BY 1"""
+        cov_prev = (
+            f"SELECT tok FROM cov{r - 1}\n  UNION " if r > 1 else ""
+        )
+        rounds.append(
+            f"""g{r} AS MATERIALIZED ({gain_src}),
+p{r} AS MATERIALIZED (
+  SELECT doc_id, c FROM g{r} WHERE c > 0
+  ORDER BY c DESC, doc_id LIMIT 1),
+cov{r} AS MATERIALIZED (
+  {cov_prev}SELECT DISTINCT t.tok FROM toks t JOIN p{r} USING (doc_id))"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, c AS gain FROM p{r}"
+        for r in range(1, _COVER_ROUNDS + 1)
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, generate_subscripts(STRING_SPLIT(LOWER(text), ' '), 1) AS pos0,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents),
+t1 AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM t0 WHERE tok <> ''),
+toks AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS tok
+  FROM t1 a JOIN t1 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+{",".join(rounds)}
+SELECT CAST(round AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS gain
+FROM ({unions}) ORDER BY round
+"""
+
+
 _MATCH_ROUNDS = 10
 
 
@@ -10827,6 +10992,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "psi_bins": (q_psi_bins, SQL_PSI_BINS),
     "graph_matching": (q_graph_matching, _sql_graph_matching),
     "session_similarity": (q_session_similarity, SQL_SESSION_SIMILARITY),
+    "greedy_coverage": (q_greedy_coverage, _sql_greedy_coverage),
 }
 
 
