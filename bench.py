@@ -283,6 +283,7 @@ def run_bench() -> dict:
         "psi_bins",
         "graph_matching",
         "session_similarity",
+        "greedy_coverage",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
