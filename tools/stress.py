@@ -1346,7 +1346,151 @@ def suite_r9graph() -> None:
 
 
 
+def suite_r10curation() -> None:
+    """Round-5 final-stretch ops at scale: per-user sequence build +
+    lane-vectorized edit distance over ~100k adjacent user pairs
+    (8M events), and greedy max-coverage rounds over 1M docs'
+    bigram shingles (map-only rounds, no per-round exchange)."""
+    ray, rd = _session()
+    rng = np.random.default_rng(37)
+
+    n_ev, n_users = 8_000_000, 100_000
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n_ev).astype(np.int64),
+            "us": rng.integers(0, 10**9, n_ev).astype(np.int64),
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ch": rng.choice(list("cepsv"), n_ev),
+        }
+    )
+    ev_ds = rd.from_pandas(ev).repartition(64)
+
+    from climatemind_ontology_processing_ray.functions.fuzzy import (
+        _byte_matrix,
+        levenshtein_pairs,
+    )
+    from climatemind_ontology_processing_ray.functions.join import (
+        bucketed_hash_join,
+        hash_bucket,
+    )
+
+    def run_seq_dp():
+        def prep(b):
+            b = b.copy()
+            b["__part"] = hash_bucket(b["user_id"].to_numpy(), 256)
+            return b
+
+        def build(g):
+            g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+            return (
+                g.groupby("user_id", sort=False)["ch"].agg("".join)
+                .reset_index()
+                .rename(columns={"ch": "sq"})
+            )
+
+        seqs = (
+            ev_ds.map_batches(prep, batch_format="pandas")
+            .groupby("__part")
+            .map_groups(
+                lambda g: build(g.drop(columns="__part")), batch_format="pandas"
+            )
+        )
+        left = seqs.map_batches(
+            lambda b: pd.DataFrame(
+                {"key": b["user_id"], "user_a": b["user_id"], "sq_a": b["sq"]}
+            ),
+            batch_format="pandas",
+        )
+        right = seqs.map_batches(
+            lambda b: pd.DataFrame(
+                {"key": b["user_id"] - 1, "user_b": b["user_id"], "sq_b": b["sq"]}
+            ),
+            batch_format="pandas",
+        )
+
+        def dist(b):
+            if not len(b):
+                return pd.DataFrame({"dist": pd.Series([], dtype="int64")})
+            names = pd.concat(
+                [b["sq_a"].astype(str), b["sq_b"].astype(str)], ignore_index=True
+            )
+            mat, lens = _byte_matrix(names)
+            n = len(b)
+            d = levenshtein_pairs(mat, lens, np.arange(n), n + np.arange(n))
+            return pd.DataFrame({"dist": d.astype("int64")})
+
+        return bucketed_hash_join(left, right, "key").map_batches(
+            dist, batch_format="pandas"
+        ).count()
+
+    _t("session sequence DP @8M events x 100k adjacent pairs", lambda: f"{run_seq_dp()} pairs")
+
+    from climatemind_ontology_processing_ray.functions.agg import grouped_sum
+    from climatemind_ontology_processing_ray.functions.broadcast import cached_get
+    from climatemind_ontology_processing_ray.functions.dedup import pin_blocks
+
+    n_docs, toks_per_doc, vocab = 1_000_000, 12, 50_000
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.repeat(np.arange(n_docs, dtype=np.int64), toks_per_doc - 1),
+            "tok": (
+                rng.integers(0, vocab, n_docs * (toks_per_doc - 1)) * 100_000
+                + rng.integers(0, vocab, n_docs * (toks_per_doc - 1))
+            ).astype(np.int64),
+        }
+    )
+    base = rd.from_pandas(docs).repartition(64).map_batches(
+        lambda b: b.drop_duplicates().assign(one=np.int64(1)), batch_format="pandas"
+    )
+    toks = grouped_sum(base, ["doc_id", "tok"], ["one"])
+
+    def run_cover():
+        toksp = pin_blocks(
+            toks.map_batches(
+                lambda b: b.assign(__part=hash_bucket(b["doc_id"].to_numpy(), 64)),
+                batch_format="pandas",
+            )
+            .groupby("__part")
+            .map_groups(lambda g: g.drop(columns="__part"), batch_format="pandas"),
+            64,
+        )
+        covered = set()
+        chosen = []
+        for rnd in range(1, 6):
+            ref = ray.put(frozenset(covered))
+
+            def local_best(b, _ref=ref):
+                cov = cached_get(_ref)
+                d = b[~b["tok"].isin(cov).to_numpy()]
+                if not len(d):
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "gain": pd.Series([], dtype="int64")}
+                    )
+                out = d.groupby("doc_id", sort=False).size().reset_index(name="gain")
+                return out.sort_values(
+                    ["gain", "doc_id"], ascending=[False, True]
+                ).head(1).astype({"gain": "int64"})
+
+            g = toksp.map_batches(local_best, batch_format="pandas").to_pandas()
+            if not len(g):
+                break
+            g = g.sort_values(["gain", "doc_id"], ascending=[False, True])
+            best = int(g["doc_id"].iloc[0])
+            chosen.append(best)
+            new = toksp.map_batches(
+                lambda b, d=best: b[b["doc_id"].to_numpy() == d],
+                batch_format="pandas",
+            ).to_pandas()
+            covered |= set(new["tok"])
+        return len(chosen)
+
+    _t("greedy_coverage 5 rounds @1M docs x 11 shingles", lambda: f"{run_cover()} chosen")
+
+
+
 SUITES = {
+    "r10curation": suite_r10curation,
     "r9graph": suite_r9graph,
     "r8ops": suite_r8ops,
     "r7ops": suite_r7ops,
