@@ -10210,6 +10210,97 @@ ORDER BY user_a
 """
 
 
+def q_longest_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user (top 20 by
+    streak, ties by user): distinct (user, epoch-day) pairs in one
+    map-side combined exchange, then the classic gaps-and-islands
+    day − rank grouping runs vectorized inside each user partition —
+    islands are runs where day minus its per-user rank is constant.
+    Engagement analytics' most-asked window question, exact integers
+    end to end."""
+    from ..functions.agg import grouped_sum
+    from ..functions.join import hash_bucket
+    from ..functions.partitioning import adaptive_parts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    parts = adaptive_parts(ev)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64") // _DAY_US
+        )
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+        d["one"] = np.int64(1)
+        return d
+
+    days = grouped_sum(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id", "day"], ["one"]
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = hash_bucket(b["user_id"].to_numpy(), parts)
+        return b
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        # per-user rank: position − start-of-user-segment
+        seg_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0)
+        )
+        rank = np.arange(n) - seg_start
+        island = day - rank  # constant within a consecutive-day run
+        d = pd.DataFrame({"user_id": u, "island": island})
+        runs = (
+            d.groupby(["user_id", "island"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        best = (
+            runs.groupby("user_id", sort=False)["len"].max().reset_index()
+        )
+        best = best.rename(columns={"len": "streak"})
+        best["streak"] = best["streak"].astype("int64")
+        return best
+
+    out = (
+        days.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: streaks(g.drop(columns="__part")), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["streak", "user_id"], ascending=[False, True]
+    ).head(20)
+    return out[["user_id", "streak"]].reset_index(drop=True)
+
+
+SQL_LONGEST_STREAK = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM d),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY 1, 2),
+best AS (
+  SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak FROM runs GROUP BY 1)
+SELECT user_id, streak FROM best
+ORDER BY streak DESC, user_id LIMIT 20
+"""
+
+
 _COVER_ROUNDS = 5
 
 
@@ -10993,6 +11084,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "graph_matching": (q_graph_matching, _sql_graph_matching),
     "session_similarity": (q_session_similarity, SQL_SESSION_SIMILARITY),
     "greedy_coverage": (q_greedy_coverage, _sql_greedy_coverage),
+    "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
 }
 
 
