@@ -284,6 +284,7 @@ def run_bench() -> dict:
         "graph_matching",
         "session_similarity",
         "greedy_coverage",
+        "longest_streak",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
