@@ -1452,9 +1452,12 @@ def khop_per_source(
     dst_col: str = "object",
     node_col: str = "node",
     driver_threshold: int = 250_000,
+    directed: bool = False,
 ) -> Dataset:
     """Per-seed bounded-hop closeness statistics over the UNDIRECTED
-    simple graph: for every source, the number of OTHER nodes within
+    simple graph (``directed=True`` keeps edge direction — the causal/
+    citation reach variant): for every source, the number of OTHER
+    nodes within
     ``max_depth`` hops and the sum of their hop distances — the exact
     integer sufficient statistics behind closeness / harmonic / Lin
     centrality, evaluated the way centrality is done at scale: for a
@@ -1473,7 +1476,19 @@ def khop_per_source(
     from .dedup import pin_blocks
     from .join import bucketed_hash_join
 
-    ue = _undirected_distinct(edges, src_col, dst_col).materialize()
+    if directed:
+
+        def one_way(b: pd.DataFrame) -> pd.DataFrame:
+            a = b[src_col].astype(str)
+            c = b[dst_col].astype(str)
+            keep = a != c
+            return pd.DataFrame({"node": a[keep], "nbr": c[keep]})
+
+        ue = distinct_edges(
+            edges.map_batches(one_way, batch_format="pandas"), "node", "nbr"
+        ).materialize()
+    else:
+        ue = _undirected_distinct(edges, src_col, dst_col).materialize()
 
     if ue.count() <= 2 * driver_threshold:  # ue holds both directions
         from collections import deque

@@ -10301,6 +10301,59 @@ ORDER BY streak DESC, user_id LIMIT 20
 """
 
 
+def q_kg_causal_reach(sf_dir: str):
+    """Directed causal reach over the constructed knowledge graph: from
+    every ROOT cause (a subject of causes_or_promotes that is never
+    itself caused), how many downstream effects lie within 3 directed
+    hops and the exact sum of hop distances — the reference's
+    custom_bfs/"downstream" traversal generalized to per-root
+    statistics (graph/enrich.py cites make_graph's traversals).
+    functions/graph_algo.py:khop_per_source(directed=True); the
+    canonical edge table is ontology-sized by construction (SURVEY
+    §1.3), so root discovery is a driver-side set difference."""
+    from ..functions.graph_algo import khop_per_source
+
+    edges = _kg_canonical_edge_ds(sf_dir).map_batches(
+        lambda b: b[b["predicate"] == "causes_or_promotes"][
+            ["subject", "object"]
+        ],
+        batch_format="pandas",
+    )
+    edf = edges.to_pandas()
+    roots = sorted(set(edf["subject"]) - set(edf["object"]))
+    seeds = rd.from_pandas(pd.DataFrame({"node": roots}))
+    out = khop_per_source(edges, seeds, 3, directed=True).to_pandas()
+    out["start"] = out["start"].astype(str)
+    out["n_reach"] = out["n_reach"].astype("int64")
+    out["dist_sum"] = out["dist_sum"].astype("int64")
+    return out.sort_values("start").reset_index(drop=True)
+
+
+def _sql_kg_causal_reach() -> str:
+    n = _fixture_pages_count(_kg_oracle_sf())
+    path = _kg_oracle_pages_path(n)
+    return f"""
+WITH RECURSIVE {_kg_edges_cte(path)},
+ce AS (
+  SELECT DISTINCT subject, object FROM linked
+  WHERE predicate = 'causes_or_promotes'),
+roots AS (
+  SELECT DISTINCT subject AS start FROM ce
+  WHERE subject NOT IN (SELECT object FROM ce)),
+walk(start, node, d) AS (
+  SELECT start, start, 0 FROM roots
+  UNION
+  SELECT walk.start, ce.object, walk.d + 1
+  FROM walk JOIN ce ON ce.subject = walk.node
+  WHERE walk.d < 3),
+m AS (SELECT start, node, MIN(d) AS d FROM walk GROUP BY 1, 2)
+SELECT start,
+       CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reach,
+       CAST(SUM(d) AS BIGINT) AS dist_sum
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 _COVER_ROUNDS = 5
 
 
@@ -11085,6 +11138,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "session_similarity": (q_session_similarity, SQL_SESSION_SIMILARITY),
     "greedy_coverage": (q_greedy_coverage, _sql_greedy_coverage),
     "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
+    "kg_causal_reach": (q_kg_causal_reach, _sql_kg_causal_reach),
 }
 
 

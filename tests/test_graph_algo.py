@@ -720,3 +720,57 @@ def test_maximal_matching_driver_vs_distributed_and_valid(ray_session):
     }
     for a, b in und:
         assert a in matched_nodes or b in matched_nodes, (a, b)
+
+
+def test_khop_directed_driver_vs_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from climatemind_ontology_processing_ray.functions.graph_algo import (
+        khop_per_source,
+    )
+
+    rng = np.random.RandomState(71)
+    u = rng.randint(0, 40, size=120)
+    v = rng.randint(0, 40, size=120)
+    keep = u != v
+    edges = pd.DataFrame({"subject": u[keep], "object": v[keep]})
+    seeds = pd.DataFrame({"node": np.arange(0, 40, 6)})
+    e_ds, s_ds = rd.from_pandas(edges).repartition(4), rd.from_pandas(seeds)
+
+    def run(threshold):
+        out = khop_per_source(
+            e_ds, s_ds, 3, driver_threshold=threshold, directed=True
+        ).to_pandas()
+        out["start"] = out["start"].astype(int)
+        return out.sort_values("start").reset_index(drop=True).astype(
+            {"n_reach": "int64", "dist_sum": "int64"}
+        )
+
+    drv, dist = run(10**9), run(0)
+    pd.testing.assert_frame_equal(drv, dist)
+
+    # directed reach must differ from undirected on this random digraph
+    und = khop_per_source(e_ds, s_ds, 3, driver_threshold=10**9).to_pandas()
+    assert und["n_reach"].sum() >= drv["n_reach"].sum()
+
+    # brute directed BFS
+    adj: dict[int, set] = {}
+    for a, b in zip(edges["subject"], edges["object"]):
+        adj.setdefault(int(a), set()).add(int(b))
+    for srow in seeds["node"]:
+        s = int(srow)
+        dist_map = {s: 0}
+        frontier = [s]
+        for d in (1, 2, 3):
+            nxt = []
+            for x in frontier:
+                for nb in adj.get(x, ()):
+                    if nb not in dist_map:
+                        dist_map[nb] = d
+                        nxt.append(nb)
+            frontier = nxt
+        row = drv[drv["start"] == s].iloc[0]
+        assert row["n_reach"] == len(dist_map) - 1
+        assert row["dist_sum"] == sum(dist_map.values())
