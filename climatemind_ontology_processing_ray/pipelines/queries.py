@@ -10354,6 +10354,191 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+_MMR_ROUNDS = 5
+_MMR_LAMBDA = 50
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal-marginal-relevance selection: pick 5 docs greedily by
+    score = n_chars − 50 · (max bigram overlap with any already-chosen
+    doc), ties → min doc_id — the diversified cousin of
+    greedy_coverage (pure relevance round 1, then relevance traded
+    against redundancy).  Same exchange-free layout: the (doc, bigram,
+    n_chars) table is co-partitioned by doc once; every round is one
+    map pass against the broadcast chosen-doc shingle sets + a
+    blocks-sized driver fold.  Output (round, doc_id, score)."""
+    import ray
+
+    from ..functions.agg import grouped_sum
+    from ..functions.broadcast import cached_get
+    from ..functions.dedup import pin_blocks
+    from ..functions.join import hash_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.split(" ")
+        counts = toks.str.len().to_numpy()
+        doc = np.repeat(b["doc_id"].to_numpy().astype(np.int64), counts)
+        rel = np.repeat(b["n_chars"].to_numpy().astype(np.int64), counts)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        keep = flat != ""
+        doc, rel, flat = doc[keep], rel[keep], flat[keep]
+        if len(doc) > 1:
+            m = doc[:-1] == doc[1:]
+            d = pd.DataFrame(
+                {
+                    "doc_id": doc[:-1][m],
+                    "rel": rel[:-1][m],
+                    "tok": flat[:-1][m] + " " + flat[1:][m],
+                }
+            ).drop_duplicates(["doc_id", "tok"])
+        else:
+            d = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "rel": pd.Series([], dtype="int64"),
+                    "tok": pd.Series([], dtype=object),
+                }
+            )
+        return d
+
+    base = ds.map_batches(tok_partial, batch_format="pandas")
+    # one dedup exchange (a doc's text may span batches), then co-partition
+    deduped = grouped_sum(
+        base.map_batches(
+            lambda b: b.assign(one=np.int64(1)), batch_format="pandas"
+        ),
+        ["doc_id", "rel", "tok"],
+        ["one"],
+    )
+    toksp = pin_blocks(
+        deduped.map_batches(
+            lambda b: b.assign(__part=hash_bucket(b["doc_id"].to_numpy(), 64)),
+            batch_format="pandas",
+        )
+        .groupby("__part")
+        .map_groups(lambda g: g.drop(columns="__part"), batch_format="pandas"),
+        64,
+    )
+
+    chosen: list[tuple[int, int, int]] = []
+    chosen_toks: dict[int, frozenset] = {}
+    for rnd in range(1, _MMR_ROUNDS + 1):
+        state_ref = ray.put(dict(chosen_toks))
+
+        def local_best(b: pd.DataFrame, _ref=state_ref) -> pd.DataFrame:
+            csets = cached_get(_ref)
+            excl = b["doc_id"].isin(csets.keys()).to_numpy()
+            d = b[~excl]
+            if not len(d):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="int64"),
+                    }
+                )
+            rel = d.groupby("doc_id", sort=False)["rel"].first()
+            maxshared = pd.Series(np.int64(0), index=rel.index)
+            for cset in csets.values():
+                hit = d[d["tok"].isin(cset).to_numpy()]
+                if len(hit):
+                    sh = hit.groupby("doc_id", sort=False).size()
+                    maxshared = np.maximum(
+                        maxshared, sh.reindex(rel.index, fill_value=0)
+                    )
+            score = rel - _MMR_LAMBDA * maxshared
+            out = score.reset_index()
+            out.columns = ["doc_id", "score"]
+            out = out.sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            ).head(1)
+            out["score"] = out["score"].astype("int64")
+            return out
+
+        g = toksp.map_batches(local_best, batch_format="pandas").to_pandas()
+        if len(g) == 0 or "score" not in g.columns:
+            break
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        best_doc = int(g["doc_id"].iloc[0])
+        best_score = int(g["score"].iloc[0])
+        chosen.append((rnd, best_doc, best_score))
+        new = (
+            toksp.map_batches(
+                lambda b, d=best_doc: b[b["doc_id"].to_numpy() == d],
+                batch_format="pandas",
+            )
+            .to_pandas()["tok"]
+            .tolist()
+        )
+        chosen_toks[best_doc] = frozenset(new)
+
+    out = pd.DataFrame(chosen, columns=["round", "doc_id", "score"])
+    return out.astype({"round": "int64", "doc_id": "int64", "score": "int64"})
+
+
+def _sql_mmr_select() -> str:
+    rounds = []
+    for r in range(1, _MMR_ROUNDS + 1):
+        if r == 1:
+            rounds.append(
+                """docs AS MATERIALIZED (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks)),
+p1 AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM docs
+  ORDER BY n_chars DESC, doc_id LIMIT 1),
+ch1 AS MATERIALIZED (SELECT doc_id FROM p1)"""
+            )
+        else:
+            rounds.append(
+                f"""sh{r} AS MATERIALIZED (
+  SELECT x.doc_id, MAX(x.cnt) AS ms FROM (
+    SELECT t.doc_id, c.doc_id AS cid, COUNT(*) AS cnt
+    FROM toks t
+    JOIN toks c ON c.tok = t.tok
+    JOIN ch{r - 1} k ON k.doc_id = c.doc_id
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM ch{r - 1})
+    GROUP BY 1, 2) x
+  GROUP BY 1),
+p{r} AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(d.n_chars - {_MMR_LAMBDA} * COALESCE(sh{r}.ms, 0) AS BIGINT)
+           AS score
+  FROM docs d
+  LEFT JOIN sh{r} ON sh{r}.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM ch{r - 1})
+  ORDER BY score DESC, d.doc_id LIMIT 1),
+ch{r} AS MATERIALIZED (
+  SELECT doc_id FROM ch{r - 1} UNION SELECT doc_id FROM p{r})"""
+            )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, score FROM p{r}"
+        for r in range(1, _MMR_ROUNDS + 1)
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, generate_subscripts(STRING_SPLIT(LOWER(text), ' '), 1) AS pos0,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents),
+t1 AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM t0 WHERE tok <> ''),
+toks AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS tok
+  FROM t1 a JOIN t1 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+{",".join(rounds)}
+SELECT CAST(round AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(score AS BIGINT) AS score
+FROM ({unions}) ORDER BY round
+"""
+
+
 _COVER_ROUNDS = 5
 
 
@@ -11139,6 +11324,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "greedy_coverage": (q_greedy_coverage, _sql_greedy_coverage),
     "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
     "kg_causal_reach": (q_kg_causal_reach, _sql_kg_causal_reach),
+    "mmr_select": (q_mmr_select, _sql_mmr_select),
 }
 
 
