@@ -286,6 +286,7 @@ def run_bench() -> dict:
         "greedy_coverage",
         "longest_streak",
         "kg_causal_reach",
+        "mmr_select",
     ]
     # per-query protocol (r4 verdict item 2): the r4 driver artifact
     # embedded 2-6x ambient-load inflation on ~22 queries that measured
